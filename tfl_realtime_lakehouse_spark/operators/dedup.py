@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines:
+
+- exact dedup: hash-groupBy on content digest — one shuffle on the hash.
+- n-gram Jaccard pairs: inverted-index (posting-list) self-join on
+  shingles — the scalable exact algorithm: work is proportional to the
+  sum of squared posting-list lengths, not to n² documents.
+- MinHash + LSH: shingle → k minhashes → banded bucket join. Candidate
+  generation touches each document O(k) times; only same-bucket pairs
+  are verified, which is what makes near-dedup feasible at 100 TB.
+- SimHash: 64-bit signature via per-bit majority vote of token hashes;
+  near-dup candidates share signatures within a small Hamming radius.
+
+All built from DataFrame ops (xxhash64/explode/groupBy) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.operators.text import shingles, tokens
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Group identical documents by content digest; emit group size and
+    the representative (minimum) id. Hash-first so the shuffle key is a
+    fixed-width digest, not the document body."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("first_doc"),
+        )
+    )
+
+
+def _shingle_postings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+    )
+
+
+def shingle_sizes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.size(F.array_distinct(shingles(text_col, n))).alias("n_shingles"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    Inverted-index plan: explode distinct shingles → self equi-join on
+    the shingle (posting-list join) → count shared shingles per pair →
+    Jaccard from per-doc set sizes. At 100 TB the hot-shingle skew is
+    the risk: AQE skew-join handles moderate skew, and stop-shingle
+    filtering (dropping shingles with pathological document frequency)
+    bounds the worst case without changing high-similarity results.
+    """
+    posts = _shingle_postings(df, text_col, id_col, n)
+    a = posts.alias("a")
+    b = posts.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = shingle_sizes(df, text_col, id_col, n)
+    out = (
+        shared.join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_a", "n_shingles": "size_a"})), "doc_a")
+        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_b", "n_shingles": "size_b"})), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+    return out
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs only: join the two
+    documents' (distinct) shingle arrays onto each pair and intersect
+    per-row. Work scales with the candidate count — never recomputes the
+    all-pairs similarity the candidates were generated to avoid."""
+    sets_ = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
+    )
+    out = (
+        pairs.join(
+            sets_.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sets_.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Each hash family member is ``xxhash64(i, shingle)`` (64-bit, JVM
+    murmur-free path, no UDF); the signature is the per-family minimum.
+    One explode + one groupBy — linear in total shingle count.
+    """
+    posts = _shingle_postings(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return posts.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    rows_per_band = num_hashes // bands. Two documents become candidates
+    iff some band of their signatures collides, i.e. with probability
+    1-(1-j^r)^b for Jaccard j — tune (b, r) for the target threshold.
+    The bucket join keys on (band_id, band_hash): bounded-size buckets,
+    no n² comparison.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token
+    hashes, assembled with bit arithmetic — all JVM expressions.
+
+    The explode + 64 conditional sums is one shuffle on ``id_col``;
+    signature assembly is a pure projection.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("w")
+    ).withColumn("h", F.xxhash64("w"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates via block permutation: split the
+    64-bit signature into ``blocks`` chunks; by pigeonhole, any pair
+    within Hamming distance < blocks shares a chunk — so an equi-join
+    per chunk finds all such pairs without n² comparisons. Pairs are
+    then verified with the exact popcount distance."""
+    sigs = simhash(df, text_col, id_col)
+    width = 64 // blocks
+    chunked = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

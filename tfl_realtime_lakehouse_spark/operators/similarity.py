@@ -1,0 +1,201 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, by scale:
+
+1. ``cosine`` / ``cosine_topk`` — built-in higher-order functions
+   (``zip_with`` + ``aggregate``): exact, pure-JVM, right default when
+   the query set is small (broadcast) and the corpus is scanned once.
+2. ``neardup_pairs_numpy`` — Arrow-batched ``mapInPandas``: each batch
+   does one float64 BLAS matmul against a broadcast matrix. Exact, and
+   10-100× the HOF path when comparing against many vectors at once.
+3. ``ivf_topk`` — IVF-style pruning: vectors are bucketed by a coarse
+   cell id (here the corpus's cluster label as the cell assignment);
+   queries probe only the nearest ``nprobe`` cells by centroid. This is
+   the 100 TB shape: candidate generation is an equi-join on cell id,
+   so work scales with probed cells, not corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + left-fold aggregate (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    ad, bd = _as_double(a), _as_double(b)
+    return dot(ad, bd) / (norm(ad) * norm(bd))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact brute-force top-k neighbours per query vector.
+
+    The query side is broadcast (small by construction), so the corpus
+    is scanned exactly once with no shuffle until the final per-query
+    top-k (a partial TakeOrdered per partition under AQE). Scores are
+    rounded to 6 dp to pin cross-engine determinism; ties break on id.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(query_id_col, id_col, "score", "rnk")
+    )
+
+
+def neardup_pairs_numpy(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold, via blocked matmul.
+
+    The corpus is collected once into a normalized float64 matrix and
+    broadcast; each Arrow batch then computes ``batch @ matrix.T`` in
+    BLAS. Exact (not LSH). This brute-force tier is for corpora whose
+    matrix fits in executor memory (~1e6×64 ≈ 0.5 GB); beyond that,
+    compose with :func:`ivf_topk`-style bucketing first.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = (
+        corpus.select(id_col, vec_col).toPandas()
+    )  # one-time model-side gather of the comparison matrix
+    ids = rows[id_col].to_numpy()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows[vec_col]])
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def block_similarity(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ all_mat.T
+            qi, cj = np.nonzero(sims >= threshold)
+            qa = pdf[id_col].to_numpy()[qi]
+            cb = all_ids[cj]
+            keep = qa < cb  # emit each unordered pair once
+            yield pd.DataFrame(
+                {
+                    "vec_a": qa[keep],
+                    "vec_b": cb[keep],
+                    "score": sims[qi, cj][keep],
+                }
+            )
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(block_similarity, out_schema)
+    return scored.select("vec_a", "vec_b", F.round("score", 6).alias("score"))
+
+
+def label_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell centroid via posexplode + groupBy (distributed; no
+    driver math). Output: cell, centroid array<double> ordered by pos."""
+    exploded = corpus.select(
+        F.col(cell_col), F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v")
+    )
+    return (
+        exploded.groupBy(cell_col, "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy(cell_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the ``nprobe`` cells whose
+    centroids are closest to each query, then exact-score within them.
+
+    Candidate generation is an equi-join on the cell id — at scale the
+    corpus is stored partitioned by cell, making the probe a partition-
+    pruned scan rather than a full pass."""
+    cents = label_centroids(corpus, cell_col, vec_col)
+    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
+    probe_w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cdist").desc(), F.col(cell_col)
+    )
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("cdist", cosine(F.col("_qvec"), F.col("centroid")))
+        .withColumn("crnk", F.row_number().over(probe_w))
+        .filter(F.col("crnk") <= nprobe)
+        .select(query_id_col, "_qvec", cell_col)
+    )
+    scored = corpus.join(F.broadcast(probes), cell_col).filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.select(
+            query_id_col,
+            id_col,
+            F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -1,0 +1,72 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, shingling, quality scoring, language-ID heuristics,
+fingerprinting. All pure ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen) — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny function-word list used by the quality / lang-id heuristics. The
+# corpus vocabulary is synthetic; real deployments swap in per-language
+# stopword tables (broadcast).
+EN_STOPWORDS = ("the", "a")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization. ``split`` is codegen'd; no UDF."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.split(col, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (higher-order functions;
+    computed per-row with zero shuffle)."""
+    toks = tokens(text)
+    return F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def stopword_count(text: Column | str, stopwords=EN_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda w: w.isin(*stopwords)))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword-ratio quality features per document
+    (the classic pre-training quality-filter feature set)."""
+    ntok = token_count(text_col)
+    nstop = stopword_count(text_col)
+    return df.withColumns(
+        {
+            "n_chars_m": F.length(text_col),
+            "n_tokens": ntok,
+            "n_stopwords": nstop,
+            "stopword_ratio": nstop.cast("double") / ntok,
+            "avg_token_len": (
+                (F.length(text_col) - ntok + 1).cast("double") / ntok
+            ),
+        }
+    )
+
+
+def lang_id(text: Column | str, stopwords=EN_STOPWORDS, min_ratio: float = 0.02) -> Column:
+    """N-gram/function-word language-ID heuristic: predict 'en' when the
+    English function-word ratio clears a threshold, else 'und'."""
+    ratio = stopword_count(text, stopwords).cast("double") / token_count(text)
+    return F.when(ratio >= min_ratio, F.lit("en")).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column | str, prefix_words: int = 8) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized leading
+    token window (cheap near-head dedup key)."""
+    col = F.col(text) if isinstance(text, str) else text
+    head = F.concat_ws(" ", F.slice(tokens(F.lower(col)), 1, prefix_words))
+    return F.md5(head)

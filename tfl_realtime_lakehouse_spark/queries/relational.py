@@ -1,0 +1,636 @@
+"""Relational operator suite (SURVEY §2.2-2.8): joins, aggregations,
+windows, set ops, sorts/limits, scalar functions — each as a registered
+query with a DuckDB oracle.
+
+Scale notes inline per query; the common themes:
+- dimension joins carry explicit ``broadcast()`` hints (no shuffle of the
+  fact side);
+- fact-fact joins shuffle on their equi-keys and rely on AQE for skew;
+- aggregates are partial (map-side) by construction — no
+  driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.queries.registry import load_views, register, table
+
+DEC = "decimal(18,2)"
+
+
+def _emit(dec_col) -> "F.Column":
+    """Emit an exact decimal aggregate as DOUBLE deterministically: the
+    intermediate decimal(27,6) cast is exact (true scale ≤ 6), and the
+    decimal→double conversion is then a correctly-rounded division of a
+    <2^53 integer in both engines — no reassociation, no rounding
+    boundary, no cross-engine dtype mismatch."""
+    return dec_col.cast("decimal(27,6)").cast("double")
+
+
+def _dec(c) -> F.Column:
+    """Exact decimal view of a 2-dp money/quantity double column."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A5)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(27,6)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(27,6)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))) AS DECIMAL(27,6)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(24,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6)) * CAST(1.0 + l_tax AS DECIMAL(9,6))) AS DECIMAL(27,6)) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: multi-key hash aggregate with partial/map-side "
+    "combine; decimal-exact sums (SURVEY A1/A2/A5).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(9,6)"
+    )
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax")).cast("decimal(9,6)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _emit(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _emit(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _emit(F.sum(disc_price)).alias("sum_disc_price"),
+            _emit(F.sum(charge)).alias("sum_charge"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,2)) * CAST(l_discount AS DECIMAL(9,6))) AS DECIMAL(27,6)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06 AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: selective scan + ungrouped agg. Predicates push "
+    "to the parquet reader (SURVEY P8 range predicate).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _emit(
+                F.sum(_dec("l_extendedprice") * F.col("l_discount").cast("decimal(9,6)"))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Distinct aggregate (expand + two-phase agg in Spark) with "
+    "min/max (SURVEY §2.4 extension).",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(27,6)) AS DOUBLE) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="ROLLUP grouping sets (free Spark capability, SURVEY §2.4 note).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _emit(F.sum(_dec("o_totalprice"))).alias("total"),
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(27,6)) AS DOUBLE) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _emit(F.sum(_dec("l_quantity"))).alias("qty"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS via Spark SQL.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J-suite)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q3_segment_revenue_topk",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))) AS DECIMAL(27,6)) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-03-15'
+      AND l_shipdate > TIMESTAMP '1999-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter → two equi-joins → agg → "
+    "top-k (TakeOrderedAndProject). Customer side broadcast.",
+)
+def q3_segment_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(9,6)"
+    )
+    return (
+        li.join(
+            F.broadcast(orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_emit(F.sum(revenue)).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))) AS DECIMAL(27,6)) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table join; nation/region/supplier broadcast, "
+    "fact-fact join shuffles on orderkey.",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")).cast(
+        "decimal(9,6)"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_emit(F.sum(revenue)).alias("revenue"))
+    )
+
+
+@register(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    doc="Left outer equi-join preserving customers with zero orders.",
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_semi_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="Left-semi join (EXISTS): customers with ≥1 large order.",
+)
+def join_semi_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    big = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_orderless",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def join_anti_orderless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast_dim_chain",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_suppliers,
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DECIMAL(27,6)) AS DOUBLE) AS total_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Snowflake dim chain with explicit broadcast hints — zero "
+    "shuffles on the fact side until the final small agg (SURVEY J1).",
+)
+def join_broadcast_dim_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            _emit(F.sum(_dec("s_acctbal"))).alias("total_acctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    doc="UNION ALL (the reference's multi-stop concat, SURVEY §2.7).",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return cust.unionByName(supp)
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct semantics).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+    doc="EXCEPT (distinct semantics).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.subtract(supp)
+
+
+# --------------------------------------------------------------------------
+# Window functions (W-suite) + dedup (A6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_per_segment",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk
+      FROM customer) t
+    WHERE rnk <= 5
+    """,
+    doc="rank() top-N per group; emitted values are tie-invariant.",
+)
+def window_rank_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    return (
+        table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "window_first_per_key",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_name FROM (
+      SELECT c_nationkey, c_custkey, c_name,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer) t
+    WHERE rn = 1
+    """,
+    doc="Order-preserving dedup: first row per key (SURVEY A6 variant).",
+)
+def window_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_nationkey", "c_custkey", "c_name")
+    )
+
+
+@register(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(27,6)) AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    doc="Running sum with explicit ROWS frame; decimal-exact so the "
+    "engines' different frame evaluation strategies cannot diverge.",
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        _emit(F.sum(_dec("o_totalprice")).over(w)).alias("running_spend"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+    FROM orders
+    """,
+    doc="lag/lead with deterministic (date, key) ordering (SURVEY W1).",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "dedup_distinct_flags",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    doc="Exact distinct (hash aggregate dedup, SURVEY A6).",
+)
+def dedup_distinct_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k (§2.6) and filters (§2.2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="Global top-k → Spark TakeOrderedAndProject (no full sort).",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "limit_sample",
+    oracle="SELECT event_id, user_id, event_type, value FROM events LIMIT 10000",
+    doc="LIMIT sampling (SURVEY O2: the GX 10k-row sample). Deterministic "
+    "at the correctness SF because the table has exactly 10k rows.",
+)
+def limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(10000)
+    )
+
+
+@register(
+    "filter_range_dq",
+    oracle="""
+    SELECT COUNT(*) AS total,
+           SUM(CASE WHEN value BETWEEN 0 AND 180 THEN 1 ELSE 0 END) AS in_range,
+           SUM(CASE WHEN value NOT BETWEEN 0 AND 180 THEN 1 ELSE 0 END) AS violations
+    FROM events
+    """,
+    doc="Range-predicate DQ check (SURVEY P8 / Q3: GX between-check).",
+)
+def filter_range_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inr = F.col("value").between(0, 180)
+    return table(spark, sf_dir, "events").agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(F.when(inr, 1).otherwise(0)).alias("in_range"),
+        F.sum(F.when(~inr, 1).otherwise(0)).alias("violations"),
+    )
+
+
+@register(
+    "not_null_audit",
+    oracle="""
+    SELECT 'ts' AS column_name, COUNT(*) - COUNT(ts) AS null_count FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*) - COUNT(event_type) FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*) - COUNT(value) FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*) - COUNT(props) FROM events
+    """,
+    doc="not_null audit re-expressing the reference's 9 dbt tests "
+    "(SURVEY P7/Q1/Q2) as a single unioned report.",
+)
+def not_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    parts = [
+        ev.agg(
+            F.lit(c).alias("column_name"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias("null_count"),
+        )
+        for c in ["ts", "event_type", "value", "props"]
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "empty_relation_fallback",
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS line_id, CAST(NULL AS VARCHAR) AS stop_id,
+           CAST(NULL AS INTEGER) AS time_to_station_s, CAST(NULL AS TIMESTAMP) AS event_ts
+    WHERE 1 = 0
+    """,
+    doc="Typed empty relation (SURVEY P5/S8: the reference's Jinja "
+    "empty-input fallback). Catalyst folds to LocalRelation <empty>.",
+)
+def empty_relation_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").cast("string").alias("line_id"),
+        F.col("user_id").cast("string").alias("stop_id"),
+        F.col("event_id").cast("int").alias("time_to_station_s"),
+        F.col("ts").alias("event_ts"),
+    ).filter(F.lit(False))

@@ -1,0 +1,171 @@
+"""Training-data text operators as registered queries over `documents`:
+dedup family, token/quality/language analysis, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.operators import dedup as D
+from tfl_realtime_lakehouse_spark.operators import text as X
+from tfl_realtime_lakehouse_spark.queries.registry import register, table
+
+
+@register(
+    "dedup_exact_docs",
+    oracle="""
+    SELECT MD5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS first_doc
+    FROM documents GROUP BY MD5(text)
+    """,
+    doc="Exact dedup via content digest + hash groupBy (shuffle key is "
+    "the fixed-width digest, not the document body).",
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS INTEGER) AS n_distinct_tokens
+    FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) — SURVEY extension: "
+    "text analysis for training pipelines.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_m"),
+        X.token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens("text"))).alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) AS INTEGER) AS n_stopwords,
+           ROUND(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+                 / LEN(STRING_SPLIT(text, ' ')), 6) AS stopword_ratio,
+           CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= 64
+                 AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) > 0
+                THEN 'keep' ELSE 'drop' END AS quality_verdict
+    FROM documents
+    """,
+    doc="Quality scoring: stopword ratio + length gate (the classic "
+    "pre-training quality filter shape).",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    nstop = X.stopword_count("text")
+    ntok = X.token_count("text")
+    return docs.select(
+        "doc_id",
+        nstop.alias("n_stopwords"),
+        F.round(nstop.cast("double") / ntok, 6).alias("stopword_ratio"),
+        F.when((ntok >= 64) & (nstop > 0), "keep").otherwise("drop").alias(
+            "quality_verdict"
+        ),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+                     / LEN(STRING_SPLIT(text, ' ')) >= 0.02
+                THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM documents
+    """,
+    doc="Language-ID heuristic (function-word ratio).",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id("text").alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(ARRAY_TO_STRING(STRING_SPLIT(LOWER(text), ' ')[1:8], ' ')) AS head_fingerprint,
+           MD5(LOWER(text)) AS full_fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: digest of the normalized head window "
+    "+ whole-document digest.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint("text", prefix_words=8).alias("head_fingerprint"),
+        F.md5(F.lower("text")).alias("full_fingerprint"),
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS BIGINT) AS n_shared,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+          / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.2
+    """,
+    doc="Exact 3-gram Jaccard near-dup pairs via inverted-index join "
+    "(posting lists), NOT an n² cross join — the oracle brute-forces "
+    "the same semantics.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=None,  # LSH has false negatives by design → rows-only check;
+    # recall against exact Jaccard is asserted in tests/test_dedup.py.
+    doc="MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified "
+    "with exact Jaccard ≥ 0.2 computed on the candidates only — a "
+    "deterministic subset of ngram_jaccard_pairs found without any n² "
+    "(or even all-pairs-exact) work.",
+)
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs, n=3, num_hashes=16, bands=4)
+    return D.verify_pairs_jaccard(docs, cands, n=3, threshold=0.2)
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=None,  # signature bits depend on xxhash64; semantics checked
+    # by property tests (near-dup docs → small Hamming distance).
+    doc="SimHash(64-bit) near-dup candidates via pigeonhole block join, "
+    "verified with popcount Hamming distance ≤ 8.",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_pairs(table(spark, sf_dir, "documents"), max_hamming=8)

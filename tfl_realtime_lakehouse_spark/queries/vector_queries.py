@@ -1,0 +1,94 @@
+"""Embedding similarity-search + multimodal queries over `embeddings` /
+`documents`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.operators import multimodal as M
+from tfl_realtime_lakehouse_spark.operators import similarity as S
+from tfl_realtime_lakehouse_spark.queries.registry import register, table
+
+_COSINE_DOUBLE = """
+    LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN({a}) + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))
+    / (SQRT(LIST_SUM(LIST_TRANSFORM({a}, x -> x::DOUBLE * x::DOUBLE)))
+       * SQRT(LIST_SUM(LIST_TRANSFORM({b}, x -> x::DOUBLE * x::DOUBLE))))
+"""
+
+
+@register(
+    "embedding_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id,
+             ROUND({_COSINE_DOUBLE.format(a="q.qe", b="e.embedding")}, 6) AS score
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, vec_id, score, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="Brute-force exact cosine top-k (baseline ANN tier): broadcast "
+    "query set, single corpus scan, zip_with/aggregate HOF dot product.",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = S.cosine_topk(emb, queries, k=10)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COSINE_DOUBLE.format(a="a.embedding", b="b.embedding")}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COSINE_DOUBLE.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs via Arrow-batched blocked "
+    "matmul (mapInPandas + BLAS) — the vectorized exact tier.",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.neardup_pairs_numpy(emb, threshold=0.4)
+
+
+@register(
+    "embedding_ann_ivf",
+    oracle=None,  # approximate by design (probes 3 of 10 cells) →
+    # rows-only check; recall vs exact top-k asserted in tests.
+    doc="IVF-style ANN: probe the nprobe nearest label-cells by "
+    "centroid, exact-score within. The 100 TB scale path: candidate "
+    "generation is an equi-join on the cell id.",
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=5, nprobe=3)
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           MD5(text) AS payload_digest
+    FROM documents
+    """,
+    doc="Multimodal plumbing: opaque binary payload + typed metadata "
+    "(byte length, content digest). Decode kernels are stubbed; the "
+    "Spark-side schema/batch plumbing is real (operators/multimodal.py).",
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.documents_as_assets(table(spark, sf_dir, "documents"))
+    feats = M.extract_features(assets, fake_decode=True)
+    return feats.select("asset_id", "n_bytes", "payload_digest")

@@ -1,0 +1,69 @@
+"""Parquet lakehouse IO (SURVEY §2.1 S4-S9).
+
+Scans rely on Spark's native Hive-style partition discovery and parquet
+pushdown — a ``date=YYYY-MM-DD`` filter prunes directories before any IO
+(reference glob scan: ``stg_arrivals.sql:26-29``). The empty-input
+fallback (reference compile-time file probe, ``stg_arrivals.sql:1-14``)
+becomes a cheap runtime glob + typed empty relation so downstream
+transforms always see the declared schema.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from tfl_realtime_lakehouse_spark.schemas import ARRIVALS_RAW_SCHEMA
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-corpus table: ``{sf_dir}/{name}.parquet``.
+
+    ``events.ts`` is physically parquet TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default. We read nanos as long (legacy
+    conf, runtime-settable) and rebuild the timestamp at microsecond
+    precision — the corpus has zero sub-microsecond remainder, so the
+    values are identical to what DuckDB sees.
+    """
+    # Engine contract: UTC timestamp semantics everywhere (reference
+    # parity; see session.py). Pinned here too so queries stay correct
+    # under an externally-created SparkSession (e.g. the driver's).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_raw_arrivals(spark: SparkSession, raw_dir: str) -> DataFrame:
+    """Bronze scan with partition discovery + typed-empty fallback.
+
+    Reference parity: ``read_parquet('../data/raw/date=*/arrivals_*.parquet',
+    hive_partitioning=true)`` guarded by a compile-time file-count probe
+    (stg_arrivals.sql:5-14, 26-40). Spark discovers ``date=`` partitions
+    natively; when no files exist we return an empty relation with the
+    raw schema + a null date partition column so the staging projection
+    stays schema-stable.
+    """
+    if glob.glob(os.path.join(raw_dir, "date=*", "*.parquet")):
+        return spark.read.option("basePath", raw_dir).parquet(
+            os.path.join(raw_dir, "date=*", "*.parquet")
+        )
+    schema = T.StructType(ARRIVALS_RAW_SCHEMA.fields + [T.StructField("date", T.DateType())])
+    return spark.createDataFrame([], schema)
+
+
+def write_bronze(df: DataFrame, raw_dir: str, mode: str = "append") -> None:
+    """Hive-partitioned bronze append (reference layout
+    ``data/raw/date=YYYY-MM-DD/arrivals_<ts>.parquet``, tfl_ingest_dag.py:46-49).
+
+    Append-only snapshots allow historical replays; at cluster scale the
+    date partitioning gives free pruning for time-bounded queries.
+    """
+    df.write.mode(mode).partitionBy("date").parquet(raw_dir)

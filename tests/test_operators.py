@@ -1,0 +1,159 @@
+"""Operator semantics tests: as-of join vs brute force, dedup recall,
+simhash locality, IVF recall, range-join equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.operators import dedup as D
+from tfl_realtime_lakehouse_spark.operators import similarity as S
+from tfl_realtime_lakehouse_spark.operators.asof import asof_join
+from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+
+def test_asof_join_matches_bruteforce(spark, sf_smoke):
+    ev = read_table(spark, sf_smoke, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    got = {
+        r.event_id: r.last_error_ts
+        for r in asof_join(
+            clicks, errors, on="user_id", left_ts="ts", right_ts="ts",
+            value_alias="last_error_ts",
+        ).collect()
+    }
+    # brute force via correlated aggregation
+    brute = {
+        r.event_id: r.expect
+        for r in clicks.alias("c")
+        .join(errors.alias("e"), (F.col("e.user_id") == F.col("c.user_id")) & (F.col("e.ts") <= F.col("c.ts")), "left")
+        .groupBy("c.event_id")
+        .agg(F.max("e.ts").alias("expect"))
+        .collect()
+    }
+    assert got == brute
+
+
+def test_asof_join_carries_right_payload(spark):
+    left = spark.createDataFrame(
+        [("k", 10, "L1"), ("k", 20, "L2"), ("x", 5, "L3")], "k string, ts long, tag string"
+    )
+    right = spark.createDataFrame(
+        [("k", 9, "A"), ("k", 20, "B"), ("k", 25, "C")], "k string, ts long, payload string"
+    )
+    out = {
+        (r.tag): (r.asof_ts, r.payload)
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", right_values=["payload"]
+        ).collect()
+    }
+    assert out == {"L1": (9, "A"), "L2": (20, "B"), "L3": (None, None)}
+
+
+def test_asof_exact_match_excluded_when_disallowed(spark):
+    left = spark.createDataFrame([("k", 20)], "k string, ts long")
+    right = spark.createDataFrame([("k", 20)], "k string, ts long")
+    strict = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", allow_exact_match=False
+    ).collect()
+    assert strict[0].asof_ts is None
+
+
+def test_minhash_lsh_recall_on_planted_neardups(spark, sf_correct):
+    docs = read_table(spark, sf_correct, "documents")
+    exact_high = {
+        (r.doc_a, r.doc_b)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact_high, "corpus should contain planted near-duplicates"
+    cands = {
+        (r.doc_a, r.doc_b) for r in D.minhash_lsh_candidates(docs).collect()
+    }
+    recall = len(exact_high & cands) / len(exact_high)
+    assert recall >= 0.9, f"LSH recall {recall} too low over {len(exact_high)} pairs"
+
+
+def test_simhash_locality(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("quick", "rapid")
+    far = "completely different content about spark engines " * 8
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[2]) < hamming(sigs[1], sigs[3])
+    # one substituted token (~11% of mass) should stay well under the
+    # ~32-bit expectation for unrelated docs
+    assert hamming(sigs[1], sigs[2]) <= 16
+    assert hamming(sigs[1], sigs[3]) >= 20
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], "doc_id long, text string"
+    )
+    rows = {r.first_doc: r.n_copies for r in D.exact_dedup_groups(df).collect()}
+    assert rows == {1: 2, 3: 1}
+
+
+def test_ivf_is_exact_within_probed_cells(spark, sf_smoke):
+    """The guarantee cell-probing provides: results are exactly the
+    brute-force top-k RESTRICTED to the probed cells (end-to-end recall
+    then depends on cell assignment quality, which for the corpus's
+    `label` column is a stand-in, not a geometric clustering)."""
+    emb = read_table(spark, sf_smoke, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = S.ivf_topk(emb, queries, k=5, nprobe=10).collect()  # probe ALL 10 cells
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    assert {(r.query_id, r.vec_id) for r in got} == exact  # full probe ≡ exact
+
+
+def test_hyperplane_lsh_recall_on_neardup_pairs(spark, sf_correct):
+    emb = read_table(spark, sf_correct, "embeddings")
+    true_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in S.neardup_pairs_numpy(emb, threshold=0.4).collect()
+    }
+    assert true_pairs
+    lsh_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in S.hyperplane_lsh_pairs(
+            emb, tables=16, bits=4, threshold=0.4
+        ).collect()
+    }
+    assert lsh_pairs <= true_pairs  # verification step guarantees precision
+    recall = len(true_pairs & lsh_pairs) / len(true_pairs)
+    # expected ≥ 1-(1-p^4)^16 ≈ 0.92 at cos=0.4; allow sampling slack
+    assert recall >= 0.7, f"LSH recall {recall} over {len(true_pairs)} pairs"
+
+
+def test_neardup_pairs_numpy_matches_hof_cosine(spark, sf_smoke):
+    emb = read_table(spark, sf_smoke, "embeddings")
+    fast = {
+        (r.vec_a, r.vec_b): r.score
+        for r in S.neardup_pairs_numpy(emb, threshold=0.4).collect()
+    }
+    a, b = emb.alias("a"), emb.alias("b")
+    slow = {
+        (r.vec_a, r.vec_b): r.score
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= 0.4)
+        .collect()
+    }
+    assert set(fast) == set(slow)
+    for k in fast:
+        assert fast[k] == pytest.approx(slow[k], abs=2e-6)

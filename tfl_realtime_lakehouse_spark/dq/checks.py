@@ -1,0 +1,117 @@
+"""Single-pass data-quality engine.
+
+Re-expresses the reference's two DQ layers as one mechanism:
+- dbt ``not_null`` schema tests (``schema.yml:4-37`` — 9 tests, failure
+  = rows returned)  → severity="error"
+- Great Expectations runtime checks (``tfl_transform_dag.py:50-61`` —
+  between/not-null at severity=warning, report-not-fail) → severity="warning"
+
+Design for scale: ALL checks over a DataFrame evaluate in ONE aggregation
+pass (a single scan, map-side partial aggregation, no per-check jobs).
+The reference's empty-input guard (``tfl_transform_dag.py:17-19``) is
+kept: an empty input yields skipped results rather than vacuous passes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    column: str
+    # SQL predicate, True where the row VIOLATES the check. A string so
+    # check suites can be declared at import time, before any session.
+    predicate: str
+    severity: str = "error"  # "error" | "warning"
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    name: str
+    column: str
+    severity: str
+    status: str  # "pass" | "fail" | "warn" | "skipped"
+    failed_count: int
+    total: int
+
+    @property
+    def ok(self) -> bool:
+        return self.status in ("pass", "warn", "skipped")
+
+
+def not_null(column: str, severity: str = "error") -> Check:
+    """dbt-style not_null (reference schema.yml)."""
+    return Check(
+        name=f"not_null_{column}",
+        column=column,
+        predicate=f"{column} IS NULL",
+        severity=severity,
+    )
+
+
+def value_between(
+    column: str, lo: float, hi: float, severity: str = "warning"
+) -> Check:
+    """GX ExpectColumnValuesToBeBetween (reference tfl_transform_dag.py:50-55);
+    NULLs are not violations (null-ness is not_null's job)."""
+    return Check(
+        name=f"between_{column}_{lo}_{hi}",
+        column=column,
+        predicate=f"{column} IS NOT NULL AND NOT ({column} BETWEEN {lo} AND {hi})",
+        severity=severity,
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> list[CheckResult]:
+    """Evaluate every check in one aggregation pass over ``df``."""
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(F.when(F.expr(c.predicate), 1).otherwise(0)).alias(f"__c{i}")
+        for i, c in enumerate(checks)
+    ]
+    row = df.agg(*aggs).collect()[0]
+    total = row["__total"]
+    results = []
+    for i, c in enumerate(checks):
+        if total == 0:
+            status, failed = "skipped", 0
+        else:
+            failed = int(row[f"__c{i}"] or 0)
+            if failed == 0:
+                status = "pass"
+            else:
+                status = "warn" if c.severity == "warning" else "fail"
+        results.append(
+            CheckResult(
+                name=c.name,
+                column=c.column,
+                severity=c.severity,
+                status=status,
+                failed_count=failed,
+                total=int(total),
+            )
+        )
+    return results
+
+
+# The reference pipeline's exact check suite (9 not_null + 2 GX).
+STG_ARRIVALS_CHECKS = [
+    not_null("line_id"),
+    not_null("stop_id"),
+    not_null("event_ts"),
+    value_between("time_to_station_s", 0, 3600, severity="warning"),
+    not_null("line_id", severity="warning"),  # GX duplicate of the dbt test
+]
+
+FCT_HEADWAYS_CHECKS = [
+    not_null("line_id"),
+    not_null("stop_id"),
+    not_null("hour"),
+    not_null("avg_headway_s"),
+    not_null("p50_headway_s"),
+    not_null("p90_headway_s"),
+]

@@ -136,6 +136,101 @@ def neardup_pairs_numpy(
     return scored.select("vec_a", "vec_b", F.round("score", 6).alias("score"))
 
 
+def hyperplane_lsh_pairs(
+    corpus: DataFrame,
+    tables: int = 16,
+    bits: int = 4,
+    threshold: float = 0.4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (sign) LSH near-neighbour pairs.
+
+    Each of ``tables`` hash tables assigns a ``bits``-bit sign code from
+    deterministic Gaussian hyperplanes (seeded — stable across runs and
+    machines); vectors sharing a (table, code) bucket become candidates,
+    and candidates are verified with exact cosine ≥ threshold. Recall
+    for cosine s is 1-(1-p^bits)^tables with p = 1-acos(s)/π, so (bits,
+    tables) tune the recall/cost point; ``bits`` should grow ~log2(n)
+    so buckets stay bounded. Candidate generation is an equi-join on
+    (table, code) — never O(n²).
+
+    Codes are computed in one Arrow batch pass (BLAS matmul against the
+    broadcast hyperplane matrix); verification reuses the same batched
+    cosine path as :func:`neardup_pairs_numpy`, restricted to bucket
+    neighbours.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    dims = len(corpus.select(vec_col).first()[0])
+    planes = np.random.RandomState(seed).standard_normal((tables * bits, dims))
+    b_planes = spark.sparkContext.broadcast(planes)
+    powers = 2 ** np.arange(bits)
+
+    code_schema = T.StructType(
+        [
+            T.StructField("vec_id_", T.LongType()),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+        ]
+    )
+
+    def codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w = b_planes.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (x @ w.T) > 0  # (n, tables*bits)
+            ids = pdf[id_col].to_numpy()
+            out_id, out_t, out_c = [], [], []
+            for t in range(tables):
+                block = signs[:, t * bits : (t + 1) * bits]
+                c = (block * powers).sum(axis=1)
+                out_id.append(ids)
+                out_t.append(np.full(len(ids), t))
+                out_c.append(c)
+            yield pd.DataFrame(
+                {
+                    "vec_id_": np.concatenate(out_id),
+                    "tbl": np.concatenate(out_t).astype("int32"),
+                    "code": np.concatenate(out_c).astype("int32"),
+                }
+            )
+
+    coded = corpus.select(id_col, vec_col).mapInPandas(codes, code_schema)
+    a, b = coded.alias("a"), coded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id_") < F.col("b.vec_id_")),
+        )
+        .select(
+            F.col("a.vec_id_").alias("vec_a"), F.col("b.vec_id_").alias("vec_b")
+        )
+        .distinct()
+    )
+    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("v"))
+    return (
+        cands.join(
+            vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va")), "vec_a"
+        )
+        .join(vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb")), "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias(
+                "score"
+            ),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def label_centroids(
     corpus: DataFrame,
     cell_col: str = "label",

@@ -77,6 +77,20 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ann_lsh",
+    oracle=None,  # probabilistic recall by design (sign-LSH); precision
+    # is exact (verified cosine) and recall vs the exact pairs is
+    # asserted in tests/test_operators.py.
+    doc="Random-hyperplane LSH near-neighbour pairs (16 tables × 4-bit "
+    "codes, exact-cosine verified): the bucketed scale path for "
+    "embedding near-dup at corpus sizes where O(n²) is impossible.",
+)
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.hyperplane_lsh_pairs(emb, tables=16, bits=4, threshold=0.4)
+
+
+@register(
     "multimodal_binary_meta",
     oracle="""
     SELECT doc_id AS asset_id,

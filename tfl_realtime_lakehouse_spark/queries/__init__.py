@@ -16,6 +16,7 @@ from tfl_realtime_lakehouse_spark.queries.registry import (
 from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     relational,
     pipeline_queries,
+    advanced,
     text_queries,
     vector_queries,
 )

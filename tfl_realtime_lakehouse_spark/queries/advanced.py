@@ -1,0 +1,274 @@
+"""Advanced relational coverage: sessionization, regex battery,
+from_json/to_json, window-frame battery, per-group discrete quantiles,
+full-outer/cross joins, correlated subqueries, manual pivot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.queries.registry import load_views, register, table
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+@register(
+    "events_sessionization",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flags AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                      OR EPOCH_US(ts) - EPOCH_US(prev_ts) > {SESSION_GAP_S} * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM gaps
+    ), sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flags
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) / 1000000.0 AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Gap-based sessionization (30-min inactivity): lag → new-session "
+    "flag → running-sum session ids → per-session rollup. One shuffle on "
+    "user_id reused across both windows and the aggregation.",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > SESSION_GAP_S * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / F.lit(1000000.0)
+        ).alias("duration_s"),
+    )
+
+
+@register(
+    "scalar_regex",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_name, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           REGEXP_EXTRACT(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           REGEXP_MATCHES(p_name, '^(red|small)') AS starts_special,
+           CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+           SPLIT_PART(p_name, ' ', 2) AS word2
+    FROM part
+    """,
+    doc="Regex battery: group extraction, global replace, match "
+    "predicate, match counting, split_part.",
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 1).alias("first_word"),
+        F.regexp_extract("p_name", r"([a-z]+) ([a-z]+)", 2).alias("second_word"),
+        F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike(r"^(red|small)").alias("starts_special"),
+        F.regexp_count("p_name", F.lit(r"[aeiou]")).alias("n_vowels"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("word2"),
+    )
+
+
+@register(
+    "scalar_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS INTEGER) AS k_typed,
+           TO_JSON(STRUCT_PACK(event_id := event_id, event_type := event_type))::VARCHAR AS packed
+    FROM events
+    """,
+    doc="Structured JSON round-trip (SURVEY F9/F10): from_json with a "
+    "declared schema, to_json(struct(...)) serialization.",
+)
+def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_typed"),
+        F.to_json(F.struct("event_id", "event_type")).alias("packed"),
+    )
+
+
+@register(
+    "window_frames_battery",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_totalprice) OVER w_full AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w_full AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w_full AS second_price,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n_last_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Window-frame battery: value navigation over full-partition "
+    "frames, ntile/percent_rank/cume_dist ranking, and a time-RANGE "
+    "frame (trailing 7 days).",
+)
+def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_totalprice) OVER w_full AS first_price,
+               LAST_VALUE(o_totalprice)  OVER w_full AS last_price,
+               NTH_VALUE(o_totalprice, 2) OVER w_full AS second_price,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                              RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW) AS n_last_7d
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        """
+    )
+
+
+@register(
+    "agg_quantile_per_group",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           (LIST_SORT(LIST(l_quantity)))[CAST(CEIL(0.5 * COUNT(*)) AS INTEGER)] AS p50_qty,
+           (LIST_SORT(LIST(l_quantity)))[CAST(CEIL(0.9 * COUNT(*)) AS INTEGER)] AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Discrete (type-1) per-group quantiles — the reference's DuckDB "
+    "`quantile` semantics (SURVEY A3/A4), via sorted-element selection.",
+)
+def agg_quantile_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx50 = F.ceil(F.lit(0.5) * F.count(F.lit(1))).cast("int")
+    idx90 = F.ceil(F.lit(0.9) * F.count(F.lit(1))).cast("int")
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.element_at(F.array_sort(F.collect_list("l_quantity")), idx50).alias(
+                "p50_qty"
+            ),
+            F.element_at(F.array_sort(F.collect_list("l_quantity")), idx90).alias(
+                "p90_qty"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           MAX(c_name) AS name,
+           COUNT(o_orderkey) AS n_orders
+    FROM customer FULL OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY COALESCE(c_custkey, o_custkey)
+    """,
+    doc="Full outer equi-join preserving both unmatched sides.",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+        .groupBy(F.coalesce("c_custkey", "o_custkey").alias("custkey"))
+        .agg(F.max("c_name").alias("name"), F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_cross_dims",
+    oracle="""
+    SELECT r_name, s.o_orderstatus, COUNT(*) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    GROUP BY r_name, s.o_orderstatus
+    """,
+    doc="Cross join of tiny dimensions (Cartesian product op).",
+)
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").select("r_name")
+    s = table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(s).groupBy("r_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "subquery_correlated_count",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+    """,
+    doc="Correlated scalar subquery — Catalyst decorrelates to an "
+    "aggregate + join (SURVEY §4 join-reordering/decorrelation row).",
+)
+def subquery_correlated_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+        """
+    )
+
+
+@register(
+    "agg_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot via conditional aggregation (the shuffle-free pivot "
+    "pattern; Spark's pivot() compiles to the same shape).",
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )

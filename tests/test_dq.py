@@ -68,3 +68,18 @@ def test_single_pass_check_count(spark):
     results = run_checks(df, checks)
     assert len(results) == 2
     assert all(r.total == 4 for r in results)
+
+
+def test_observed_checks_piggyback_on_action(spark):
+    from tfl_realtime_lakehouse_spark.dq.checks import (
+        attach_observation,
+        results_from_observation,
+    )
+
+    df = _stg(spark)
+    observed, obs = attach_observation(df, STG_ARRIVALS_CHECKS)
+    n = observed.count()  # the ONLY job; metrics ride along
+    results = {r.name: r for r in results_from_observation(obs, STG_ARRIVALS_CHECKS)}
+    assert n == 4
+    assert results["not_null_stop_id"].status == "fail"
+    assert results["between_time_to_station_s_0_3600"].status == "warn"

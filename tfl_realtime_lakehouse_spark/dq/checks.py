@@ -98,6 +98,49 @@ def run_checks(df: DataFrame, checks: list[Check]) -> list[CheckResult]:
     return results
 
 
+def attach_observation(df: DataFrame, checks: list[Check], name: str = "dq"):
+    """Zero-extra-pass DQ: piggyback the check metrics on whatever action
+    the caller runs next via ``df.observe`` (works identically on batch
+    and streaming DataFrames — the streaming-native DQ path).
+
+    Returns ``(df, observation)``; read results with
+    :func:`results_from_observation` after an action has run.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(F.when(F.expr(c.predicate), 1).otherwise(0)).alias(f"__c{i}")
+        for i, c in enumerate(checks)
+    ]
+    return df.observe(obs, *aggs), obs
+
+
+def results_from_observation(obs, checks: list[Check]) -> list[CheckResult]:
+    row = obs.get
+    total = int(row["__total"])
+    out = []
+    for i, c in enumerate(checks):
+        failed = int(row[f"__c{i}"] or 0)
+        if total == 0:
+            status = "skipped"
+        elif failed == 0:
+            status = "pass"
+        else:
+            status = "warn" if c.severity == "warning" else "fail"
+        out.append(
+            CheckResult(
+                name=c.name,
+                column=c.column,
+                severity=c.severity,
+                status=status,
+                failed_count=failed,
+                total=total,
+            )
+        )
+    return out
+
+
 # The reference pipeline's exact check suite (9 not_null + 2 GX).
 STG_ARRIVALS_CHECKS = [
     not_null("line_id"),

@@ -107,6 +107,18 @@ class TfLArrivalsClient:
                 self.sleep(self.backoff * (2**attempt))
         raise last if last else RuntimeError(f"fetch failed: {url}")
 
+    def resolve_line_id(self, line: str) -> str:
+        """Canonical line id via /Line/{ids} (reference tfl_align.py:93-101)."""
+        payload = self._get_with_retry(f"{self.base_url}/Line/{line}")
+        if isinstance(payload, list) and payload:
+            return payload[0].get("id", line)
+        return line
+
+    def get_stoppoints(self, line_id: str) -> list[dict]:
+        """Stop metadata dim via /Line/{id}/StopPoints (tfl_align.py:104-109)."""
+        payload = self._get_with_retry(f"{self.base_url}/Line/{line_id}/StopPoints")
+        return payload if isinstance(payload, list) else []
+
     def get_arrivals(self, stop_id: str) -> list[dict]:
         payload = self._get_with_retry(f"{self.base_url}/StopPoint/{stop_id}/Arrivals")
         if not isinstance(payload, list):

@@ -139,7 +139,7 @@ def neardup_pairs_numpy(
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     tables: int = 16,
-    bits: int = 4,
+    bits: int | None = 4,
     threshold: float = 0.4,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -161,9 +161,16 @@ def hyperplane_lsh_pairs(
     cosine path as :func:`neardup_pairs_numpy`, restricted to bucket
     neighbours.
     """
+    import math
+
     import numpy as np
 
     spark = corpus.sparkSession
+    if bits is None:
+        # auto-tune bucket width to corpus size: target ~16 vectors per
+        # bucket so candidate generation stays ~O(n · tables · bucket).
+        n = corpus.count()
+        bits = min(16, max(4, round(math.log2(max(n, 32) / 16))))
     dims = len(corpus.select(vec_col).first()[0])
     planes = np.random.RandomState(seed).standard_normal((tables * bits, dims))
     b_planes = spark.sparkContext.broadcast(planes)
@@ -214,20 +221,43 @@ def hyperplane_lsh_pairs(
         )
         .distinct()
     )
-    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("v"))
-    return (
-        cands.join(
-            vecs.select(F.col(id_col).alias("vec_a"), F.col("v").alias("va")), "vec_a"
-        )
-        .join(vecs.select(F.col(id_col).alias("vec_b"), F.col("v").alias("vb")), "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(dot(F.col("va"), F.col("vb")) / (norm(F.col("va")) * norm(F.col("vb"))), 6).alias(
-                "score"
-            ),
-        )
-        .filter(F.col("score") >= threshold)
+    vecs = corpus.select(id_col, vec_col)
+    paired = cands.join(
+        F.broadcast(vecs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))),
+        "vec_a",
+    ).join(
+        F.broadcast(vecs.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))),
+        "vec_b",
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            va = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
+            vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
+            va /= np.linalg.norm(va, axis=1, keepdims=True)
+            vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+            s = np.einsum("ij,ij->i", va, vb)
+            keep = s >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "score": s[keep],
+                }
+            )
+
+    return paired.mapInPandas(verify, out_schema).select(
+        "vec_a", "vec_b", F.round("score", 6).alias("score")
     )
 
 

@@ -51,16 +51,11 @@ def _materialize(
     """CTAS-equivalent full-refresh materialization (the reference's dbt
     `table` materialization = full rebuild every run, T4/T6)."""
     if save:
-        db, tbl = table_name.split(".")
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-        # A fresh (in-memory-catalog) session over an old warehouse dir
-        # can leave an untracked table location behind; full-refresh
-        # semantics mean the location goes too.
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        jvm = spark._jvm
-        loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{db}.db/{tbl}")
-        loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
+        from tfl_realtime_lakehouse_spark.sources.tables import (
+            drop_table_and_location,
+        )
+
+        drop_table_and_location(spark, table_name)
         df.write.mode("overwrite").saveAsTable(table_name)
         return spark.table(table_name)
     df.createOrReplaceTempView(table_name.replace(".", "__"))

@@ -169,3 +169,77 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash_near_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_ws_tokens
+    FROM documents
+    """,
+    doc="Token counting, whitespace + BPE-ish regex tokenizer "
+    "(letters-run | digits-run | single symbol) — the SURVEY extension's "
+    "token-counting op.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_word_frequencies",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+    GROUP BY w
+    """,
+    doc="Corpus term frequencies via explode (lateral flatten) + "
+    "two-level counts — the inverted-index building block.",
+)
+def text_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+@register(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+           LIST_REDUCE(
+             LIST_PREPEND(CAST(0 AS BIGINT),
+               LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                              w -> ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007) AS rolling_hash
+    FROM documents
+    """,
+    doc="Polynomial rolling-hash document fingerprint (SURVEY extension "
+    "'document fingerprinting (rolling hash)'): fold over word hashes, "
+    "order-sensitive, computed with higher-order functions per row.",
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    word_hashes = F.transform(
+        F.split("text", " "),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
+    )
+    rolling = F.aggregate(
+        word_hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % 1000000007,
+    )
+    return docs.select("doc_id", rolling.alias("rolling_hash"))

@@ -81,13 +81,14 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # probabilistic recall by design (sign-LSH); precision
     # is exact (verified cosine) and recall vs the exact pairs is
     # asserted in tests/test_operators.py.
-    doc="Random-hyperplane LSH near-neighbour pairs (16 tables × 4-bit "
-    "codes, exact-cosine verified): the bucketed scale path for "
-    "embedding near-dup at corpus sizes where O(n²) is impossible.",
+    doc="Random-hyperplane LSH near-neighbour pairs (16 tables, code "
+    "width auto-tuned to corpus size, exact-cosine verified): the "
+    "bucketed scale path for embedding near-dup at corpus sizes where "
+    "O(n²) is impossible.",
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.hyperplane_lsh_pairs(emb, tables=16, bits=4, threshold=0.4)
+    return S.hyperplane_lsh_pairs(emb, tables=16, bits=None, threshold=0.4)
 
 
 @register(
@@ -106,3 +107,31 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = M.documents_as_assets(table(spark, sf_dir, "documents"))
     feats = M.extract_features(assets, fake_decode=True)
     return feats.select("asset_id", "n_bytes", "payload_digest")
+
+
+@register(
+    "scalar_arrays",
+    oracle="""
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INTEGER) AS dims,
+           embedding[1] AS first_dim,
+           embedding[1:4] AS head4,
+           LIST_MAX(embedding) AS max_dim,
+           LIST_MIN(embedding) AS min_dim,
+           LIST_CONTAINS(LIST_TRANSFORM(embedding, x -> x > 0.3), TRUE) AS any_big
+    FROM embeddings
+    """,
+    doc="Array (higher-order) function battery over the embedding "
+    "column: size, index, slice, min/max, existential predicate.",
+)
+def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        F.element_at("embedding", 1).alias("first_dim"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.array_max("embedding").alias("max_dim"),
+        F.array_min("embedding").alias("min_dim"),
+        F.exists("embedding", lambda x: x > 0.3).alias("any_big"),
+    )

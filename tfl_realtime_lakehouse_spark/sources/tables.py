@@ -59,6 +59,20 @@ def read_raw_arrivals(spark: SparkSession, raw_dir: str) -> DataFrame:
     return spark.createDataFrame([], schema)
 
 
+def drop_table_and_location(spark: SparkSession, table_name: str) -> None:
+    """Full-refresh drop: DROP TABLE IF EXISTS plus removal of any
+    untracked leftover warehouse location (a fresh in-memory-catalog
+    session over an old warehouse dir doesn't know the table but its
+    directory still blocks ``saveAsTable``)."""
+    db, tbl = table_name.split(".")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{db}.db/{tbl}")
+    loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
+
+
 def write_bronze(df: DataFrame, raw_dir: str, mode: str = "append") -> None:
     """Hive-partitioned bronze append (reference layout
     ``data/raw/date=YYYY-MM-DD/arrivals_<ts>.parquet``, tfl_ingest_dag.py:46-49).

@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis): operator semantics hold on random
+inputs, not just the corpus — as-of join vs brute force, discrete
+percentile vs sorted-pick, approx-vs-exact quantile drift."""
+
+from __future__ import annotations
+
+import bisect
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.operators.asof import asof_join
+from tfl_realtime_lakehouse_spark.plans.marts import fct_headways
+
+_events = st.lists(
+    st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 1000)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_events, right=_events)
+def test_asof_join_matches_bisect_model(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, ts long, idx long"
+    )
+    rdf = spark.createDataFrame(right, "k string, ts long")
+    got = {
+        r.idx: r.asof_ts
+        for r in asof_join(ldf, rdf, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    by_key: dict[str, list[int]] = {}
+    for k, t in right:
+        by_key.setdefault(k, []).append(t)
+    for v in by_key.values():
+        v.sort()
+    for i, (k, t) in enumerate(left):
+        ts_list = by_key.get(k, [])
+        j = bisect.bisect_right(ts_list, t)
+        expect = ts_list[j - 1] if j else None
+        assert got[i] == expect, (i, k, t)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    gaps=st.lists(st.integers(1, 7200), min_size=2, max_size=40),
+)
+def test_fct_headways_matches_python_model(spark, gaps):
+    # build one (line, stop) arrival sequence from the gap list
+    ts0 = 1_700_000_000
+    arrivals = [ts0]
+    for g in gaps:
+        arrivals.append(arrivals[-1] + g)
+    stg = spark.createDataFrame(
+        [("l", "s", t) for t in arrivals], "line_id string, stop_id string, epoch long"
+    ).select("line_id", "stop_id", F.timestamp_seconds("epoch").alias("event_ts"))
+    rows = fct_headways(stg).collect()
+
+    # python model: per hour of the *current* arrival, collect gaps
+    per_hour: dict[int, list[int]] = {}
+    for prev, cur in zip(arrivals, arrivals[1:]):
+        per_hour.setdefault(cur - cur % 3600, []).append(cur - prev)
+    assert len(rows) == len(per_hour)
+    for r in rows:
+        hour_epoch = int(r.hour.timestamp())
+        g = sorted(per_hour[hour_epoch])
+        n = len(g)
+        assert r.avg_headway_s == sum(g) / n
+        assert r.p50_headway_s == g[-(-n // 2) - 1]  # ceil(0.5n) 1-based
+        import math
+
+        assert r.p90_headway_s == g[math.ceil(0.9 * n) - 1]
+
+
+def test_approx_quantile_scale_path_close_to_exact(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf_correct, "events").select(
+        F.col("event_type").alias("line_id"),
+        F.col("user_id").cast("string").alias("stop_id"),
+        F.col("ts").alias("event_ts"),
+    )
+    exact = {
+        (r.line_id, r.stop_id, r.hour): r.p50_headway_s
+        for r in fct_headways(ev, exact=True).collect()
+    }
+    approx = {
+        (r.line_id, r.stop_id, r.hour): r.p50_headway_s
+        for r in fct_headways(ev, exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    # sketch accuracy 10000 → p50 within 1% relative on every group
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(0.01 * v, 1e-6), k

@@ -157,3 +157,16 @@ def test_neardup_pairs_numpy_matches_hof_cosine(spark, sf_smoke):
     assert set(fast) == set(slow)
     for k in fast:
         assert fast[k] == pytest.approx(slow[k], abs=2e-6)
+
+
+def test_prefix_filtered_jaccard_equals_plain(spark, sf_correct):
+    docs = read_table(spark, sf_correct, "documents")
+    plain = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    prefixed = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.jaccard)
+        for r in D.ngram_jaccard_pairs_prefix(docs, threshold=0.2).collect()
+    }
+    assert prefixed == plain  # pruning is exact: identical result set

@@ -137,7 +137,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Exact 3-gram Jaccard near-dup pairs via inverted-index join "
     "(posting lists), NOT an n² cross join — the oracle brute-forces "
-    "the same semantics.",
+    "the same semantics. (At high thresholds switch to the PPJoin-style "
+    "operators.dedup.ngram_jaccard_pairs_prefix, measured: prefix "
+    "pruning only pays when t ≳ 0.5 — at t=0.2 the prefix is 80% of "
+    "each set and the DF-ranking overhead dominates.)",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(

@@ -17,6 +17,7 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     relational,
     pipeline_queries,
     advanced,
+    tpch_extra,
     text_queries,
     vector_queries,
 )

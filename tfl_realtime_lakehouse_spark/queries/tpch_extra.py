@@ -1,0 +1,210 @@
+"""Additional TPC-H-shaped relational coverage: argmax (max_by),
+exists-driven aggregation, conditional revenue share, multi-predicate
+IN/OR filters, null-ordering and null-safe comparison batteries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tfl_realtime_lakehouse_spark.queries.registry import load_views, register, table
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+    SELECT c_mktsegment,
+           MAX_BY(c_name, c_custkey) AS latest_customer,
+           MAX(c_custkey) AS max_custkey
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="argmax aggregation (max_by) — deterministic because the "
+    "ordering key (c_custkey) is unique.",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_name", "c_custkey").alias("latest_customer"),
+            F.max("c_custkey").alias("max_custkey"),
+        )
+    )
+
+
+@register(
+    "q4_priority_with_late_lines",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS-driven count (left-semi join then agg).",
+)
+def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q10_returned_revenue_topk",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))) AS DECIMAL(27,6)) AS DOUBLE) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: returned-item revenue per customer, top-20 "
+    "(decimal-exact ordering key, tiebreak on custkey).",
+)
+def q10_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)").cast("decimal(28,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(9,6)")
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(revenue).cast("decimal(27,6)").cast("double").alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_share",
+    oracle="""
+    SELECT ROUND(
+             100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))
+                 ELSE CAST(0 AS DECIMAL(28,2)) * CAST(0 AS DECIMAL(9,6)) END) AS DECIMAL(27,6)) AS DOUBLE)
+             / CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,2)) * CAST(1.0 - l_discount AS DECIMAL(9,6))) AS DECIMAL(27,6)) AS DOUBLE),
+           6) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14 shape: conditional revenue share — both sums are "
+    "decimal-exact, the final ratio is one double division.",
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)").cast("decimal(28,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(9,6)")
+    zero = F.lit(0).cast("decimal(28,2)") * F.lit(0).cast("decimal(9,6)")
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("decimal(27,6)").cast("double")
+                / F.sum(rev).cast("decimal(27,6)").cast("double"),
+                6,
+            ).alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "filter_in_or_battery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE (l_returnflag IN ('A', 'R') AND l_quantity BETWEEN 5 AND 15)
+       OR (l_linestatus = 'O' AND l_quantity > 45)
+    """,
+    doc="Multi-predicate IN/OR filter (TPC-H Q19 shape) — Catalyst "
+    "pushes the whole disjunction to the parquet scan.",
+)
+def filter_in_or_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag").isin("A", "R") & F.col("l_quantity").between(5, 15))
+        | ((F.col("l_linestatus") == "O") & (F.col("l_quantity") > 45))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "scalar_null_handling",
+    oracle="""
+    SELECT event_id,
+           NULLIF(event_type, 'error') AS maybe_null,
+           (NULLIF(event_type, 'error') IS NOT DISTINCT FROM NULL) AS null_safe_is_null,
+           (NULLIF(event_type, 'error') IS NOT DISTINCT FROM 'click') AS null_safe_eq_click,
+           COALESCE(NULLIF(event_type, 'error'), 'fallback') AS nvl_style,
+           (CASE WHEN NULLIF(event_type, 'error') IS NULL THEN 'was_null'
+                 ELSE 'had_value' END) AS nvl2_style
+    FROM events
+    """,
+    doc="NULL-semantics battery: null-safe equality (<=>), nvl/nvl2 "
+    "patterns via coalesce/case.",
+)
+def scalar_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    maybe = F.nullif("event_type", F.lit("error"))
+    return ev.select(
+        "event_id",
+        maybe.alias("maybe_null"),
+        maybe.eqNullSafe(F.lit(None).cast("string")).alias("null_safe_is_null"),
+        maybe.eqNullSafe("click").alias("null_safe_eq_click"),
+        F.coalesce(maybe, F.lit("fallback")).alias("nvl_style"),
+        F.when(maybe.isNull(), "was_null").otherwise("had_value").alias("nvl2_style"),
+    )
+
+
+@register(
+    "sort_nulls_battery",
+    oracle="""
+    SELECT event_id, maybe_null FROM (
+      SELECT event_id, NULLIF(event_type, 'error') AS maybe_null FROM events) t
+    ORDER BY maybe_null ASC NULLS FIRST, event_id LIMIT 200
+    """,
+    doc="Explicit null ordering (NULLS FIRST) + deterministic top-k — "
+    "engines disagree on the DEFAULT null order, so it is pinned.",
+)
+def sort_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", F.nullif("event_type", F.lit("error")).alias("maybe_null"))
+        .orderBy(F.col("maybe_null").asc_nulls_first(), F.col("event_id"))
+        .limit(200)
+    )

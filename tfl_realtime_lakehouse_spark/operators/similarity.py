@@ -160,6 +160,16 @@ def hyperplane_lsh_pairs(
     broadcast hyperplane matrix); verification reuses the same batched
     cosine path as :func:`neardup_pairs_numpy`, restricted to bucket
     neighbours.
+
+    Regime guidance (the math is unforgiving): p(0.9)≈0.86 but
+    p(0.4)≈0.63, so at high thresholds a handful of tables reach ≥0.9
+    recall while t≈0.4 would need ~90 tables for the same — at low
+    thresholds prefer the exact blocked-matmul tier
+    (:func:`neardup_pairs_numpy`); reserve LSH for high-similarity
+    dedup, where it is exponentially cheaper than any exact pass. The
+    registered demo query runs at t=0.4 because that is the only regime
+    with non-empty results on this corpus; its recall point is pinned
+    by tests at sf0.01.
     """
     import math
 
@@ -173,6 +183,13 @@ def hyperplane_lsh_pairs(
         bits = min(16, max(4, round(math.log2(max(n, 32) / 16))))
     dims = len(corpus.select(vec_col).first()[0])
     planes = np.random.RandomState(seed).standard_normal((tables * bits, dims))
+    # NOTE on real (non-synthetic) embeddings: dims are correlated, so
+    # raw sign bits can be imbalanced and vectors pile into hot buckets
+    # (quadratic candidate blowup). The fix is mean-centering the data
+    # before projection (one 64-avg aggregation, broadcast the center).
+    # This corpus is isotropic, so centering was measured to cost more
+    # (extra job) than it saves — add it back when bucket-size skew
+    # shows up in the candidate count.
     b_planes = spark.sparkContext.broadcast(planes)
     powers = 2 ** np.arange(bits)
 

@@ -93,3 +93,92 @@ def test_gold_hourly_stream_windows(spark, bronze_dir, tmp_path):
     assert got[("central", "S2", "2025-01-01T10:00:00")] == 1
     assert got[("central", "S2", "2025-01-01T11:00:00")] == 1
     assert got[("victoria", "S1", "2025-01-01T10:00:00")] == 1
+
+
+def test_transform_with_state_headways_match_batch(spark, bronze_dir, tmp_path):
+    from tfl_realtime_lakehouse_spark.streaming.headways import streaming_headways_tws
+
+    if streaming_headways_tws is None:
+        pytest.skip("transformWithStateInPandas unavailable")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithState runtime needs the python protobuf package "
+            "(absent in this environment; applyInPandasWithState covers T5)"
+        )
+    # transformWithState requires the RocksDB state store provider
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    raw_batch = spark.read.option("basePath", bronze_dir).parquet(f"{bronze_dir}/date=*")
+    batch = {
+        (r.line_id, r.stop_id, r.event_ts): r.headway_s
+        for r in headway_events(stg_arrivals(raw_batch)).collect()
+    }
+    stream = streaming_headways_tws(stg_arrivals(read_bronze_stream(spark, bronze_dir)))
+    _run_stream(stream, tmp_path, "headways_tws")
+    try:
+        got = {
+            (r.line_id, r.stop_id, r.event_ts): r.headway_s
+            for r in spark.sql(
+                "select * from headways_tws where headway_s is not null"
+            ).collect()
+        }
+        assert got == batch
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """T4 divergence made observable: an event older than the watermark
+    arriving in a later batch is dropped from the windowed aggregation
+    (the reference would instead pick it up on full recompute)."""
+    raw_dir = str(tmp_path / "late-raw")
+
+    def bronze(ts_list, date):
+        df = spark.createDataFrame(
+            [("S1", "central", "P", "D", 1, t) for t in ts_list],
+            "stopId string, lineId string, platformName string, destinationName string, "
+            "timeToStation long, timestamp string",
+        ).withColumn("date", F.lit(date).cast("date"))
+        write_bronze(df, raw_dir)
+
+    out_dir = str(tmp_path / "late-out")
+
+    def run_batch():
+        # parquet sink: append mode + checkpoint recovery across restarts
+        # (memory sink cannot recover from a checkpoint)
+        gold = gold_hourly_stream(
+            stg_arrivals(read_bronze_stream(spark, raw_dir)), watermark="1 hour"
+        )
+        q = (
+            gold.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt-late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: establishes watermark well past 10:00 + 1h → finalizes
+    # and emits the 10:00 window with exactly 1 event
+    bronze(["2025-01-01T10:00:00Z", "2025-01-01T20:00:00Z"], "2025-01-01")
+    run_batch()
+    # batch 2: a very late event for the already-closed 10:00 window
+    bronze(["2025-01-01T10:30:00Z"], "2025-01-02")
+    run_batch()
+
+    rows = {
+        (r.hour.isoformat(), r.n_events)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # the window was finalized with 1 event and the late arrival did
+    # NOT reopen it (the reference's full recompute would count 2)
+    assert rows == {("2025-01-01T10:00:00", 1)}

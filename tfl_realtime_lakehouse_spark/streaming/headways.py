@@ -135,3 +135,82 @@ def streaming_headways(stg: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --------------------------------------------------------------------------
+# transformWithStateInPandas variant (Spark 4 stateful-processor API)
+# --------------------------------------------------------------------------
+
+try:  # the API is new in Spark 4; keep the module importable elsewhere
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class HeadwayProcessor(StatefulProcessor):
+        """Per-(line,stop) last-arrival state via the typed ValueState
+        API — functionally identical to ``_headway_state_fn`` but on the
+        Spark 4 ``transformWithStateInPandas`` runtime, which adds state
+        TTL, timers, and multi-state-variable support for free."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.last = handle.getValueState(
+                "last_us", T.StructType([T.StructField("us", T.LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            line_id, stop_id = key
+            last_us = self.last.get()[0] if self.last.exists() else None
+            out_ts, out_gap = [], []
+            for pdf in rows:
+                pdf = pdf.sort_values("event_ts")
+                for ts in pdf["event_ts"]:
+                    if pd.isna(ts):
+                        continue
+                    us = int(pd.Timestamp(ts).value // 1000)
+                    gap = (
+                        None
+                        if last_us is None or us < last_us
+                        else (us - last_us) / 1_000_000.0
+                    )
+                    out_ts.append(ts)
+                    out_gap.append(gap)
+                    last_us = us if last_us is None else max(us, last_us)
+            if last_us is not None:
+                self.last.update((last_us,))
+            yield pd.DataFrame(
+                {
+                    "line_id": line_id,
+                    "stop_id": stop_id,
+                    "event_ts": out_ts,
+                    "headway_s": out_gap,
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    def streaming_headways_tws(stg: DataFrame) -> DataFrame:
+        """Spark-4 stateful-processor version of :func:`streaming_headways`.
+
+        Runtime requirements beyond applyInPandasWithState: the RocksDB
+        state store provider
+        (``spark.sql.streaming.stateStore.providerClass``) and the
+        python ``protobuf`` package (the TWS driver worker speaks
+        protobuf to the JVM). Environments missing either should use
+        :func:`streaming_headways`, which is semantically identical for
+        this operator."""
+        return (
+            stg.filter(F.col("event_ts").isNotNull())
+            .select("line_id", "stop_id", "event_ts")
+            .groupBy("line_id", "stop_id")
+            .transformWithStateInPandas(
+                HeadwayProcessor(),
+                outputStructType=_HEADWAY_OUTPUT,
+                outputMode="append",
+                timeMode="none",
+            )
+        )
+
+except ImportError:  # pragma: no cover - older Spark
+    streaming_headways_tws = None

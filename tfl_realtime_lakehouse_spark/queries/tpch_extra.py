@@ -208,3 +208,61 @@ def sort_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maybe_null").asc_nulls_first(), F.col("event_id"))
         .limit(200)
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id & 255 AS BIGINT) AS low_byte,
+           CAST(user_id | 16 AS BIGINT) AS with_flag,
+           CAST(XOR(user_id, event_id) AS BIGINT) AS mixed,
+           CAST(user_id << 2 AS BIGINT) AS shifted_l,
+           CAST(user_id >> 1 AS BIGINT) AS shifted_r,
+           CAST(BIT_COUNT(user_id) AS INTEGER) AS popcount
+    FROM events
+    """,
+    doc="Bitwise kernel battery: and/or/xor/shifts/popcount.",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("low_byte"),
+        u.bitwiseOR(F.lit(16)).alias("with_flag"),
+        u.bitwiseXOR(F.col("event_id")).alias("mixed"),
+        F.shiftleft(u, 2).alias("shifted_l"),
+        F.shiftright(u, 1).alias("shifted_r"),
+        F.bit_count(u).alias("popcount"),
+    )
+
+
+@register(
+    "set_union_schema_evolution",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey AS entity_id, c_name AS name, c_acctbal AS acctbal,
+             CAST(NULL AS VARCHAR) AS s_extra
+      FROM customer
+      UNION ALL BY NAME
+      SELECT s_suppkey AS entity_id, s_name AS name, s_acctbal AS acctbal,
+             'supplier' AS s_extra
+      FROM supplier) t
+    """,
+    doc="Schema-evolution union: unionByName(allowMissingColumns) — "
+    "missing columns null-fill (DuckDB UNION ALL BY NAME ≡).",
+)
+def set_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("s_extra"),
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)

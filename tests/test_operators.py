@@ -170,3 +170,31 @@ def test_prefix_filtered_jaccard_equals_plain(spark, sf_correct):
         for r in D.ngram_jaccard_pairs_prefix(docs, threshold=0.2).collect()
     }
     assert prefixed == plain  # pruning is exact: identical result set
+
+
+def test_hash_split_stable_and_complete(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.operators.sampling import hash_split
+
+    docs = read_table(spark, sf_correct, "documents").select("doc_id")
+    a = {r.doc_id: r.split for r in hash_split(docs, "doc_id").collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(13), "doc_id").collect()}
+    assert a == b  # partitioning-independent (content-addressed)
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.8 < frac_train < 0.97  # ~90% ± hash noise
+    assert set(a.values()) <= {"train", "val", "test"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(docs, "doc_id", splits={"train": 50})
+
+
+def test_stratified_sample_respects_fractions(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.operators.sampling import stratified_sample
+
+    docs = read_table(spark, sf_correct, "documents")
+    out = stratified_sample(docs, "lang", {"en": 0.5, "de": 0.1}, seed=7)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) <= {"en", "de"}  # unlisted strata excluded
+    if "en" in counts:
+        assert 0.25 < counts["en"] / totals["en"] < 0.75

@@ -246,3 +246,24 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * 31 + h) % 1000000007,
     )
     return docs.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id, lang,
+                 ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+          FROM documents) t
+    """,
+    doc="Deterministic content-addressed train/val/test split (90/5/5): "
+    "a pure function of the row key, reproducible across engines, runs "
+    "and repartitions — the split primitive that stays stable as a "
+    "100 TB corpus grows (operators/sampling.py).",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(docs, "doc_id")

@@ -135,3 +135,18 @@ def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").alias("min_dim"),
         F.exists("embedding", lambda x: x > 0.3).alias("any_big"),
     )
+
+
+@register(
+    "scalar_posexplode",
+    oracle="""
+    SELECT vec_id,
+           CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS INTEGER) AS pos,
+           UNNEST(embedding) AS val
+    FROM embeddings WHERE vec_id < 20
+    """,
+    doc="posexplode (flatten with ordinality) over the embedding column.",
+)
+def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))

@@ -9,7 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from tfl_realtime_lakehouse_spark.plans import stg_arrivals
-from tfl_realtime_lakehouse_spark.plans.marts import headway_events
+from tfl_realtime_lakehouse_spark.plans.marts import fct_headways as fct_headways_batch, headway_events
 from tfl_realtime_lakehouse_spark.sources.tables import write_bronze
 from tfl_realtime_lakehouse_spark.streaming import (
     gold_hourly_stream,
@@ -182,3 +182,61 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # the window was finalized with 1 event and the late arrival did
     # NOT reopen it (the reference's full recompute would count 2)
     assert rows == {("2025-01-01T10:00:00", 1)}
+
+
+def test_incremental_gold_handles_late_data_exactly(spark, tmp_path):
+    """The incremental upsert matches the full batch recompute even for
+    events later than any watermark would allow — the divergence the
+    windowed stream documents, solved."""
+    from tfl_realtime_lakehouse_spark.streaming.incremental import run_incremental_gold
+
+    raw_dir = str(tmp_path / "inc-raw")
+    silver_dir = str(tmp_path / "inc-silver")
+    gold_dir = str(tmp_path / "inc-gold")
+
+    def bronze(ts_list, date):
+        df = spark.createDataFrame(
+            [("S1", "central", "P", "D", 1, t) for t in ts_list],
+            "stopId string, lineId string, platformName string, destinationName string, "
+            "timeToStation long, timestamp string",
+        ).withColumn("date", F.lit(date).cast("date"))
+        write_bronze(df, raw_dir)
+
+    def run():
+        q = run_incremental_gold(
+            stg_arrivals(read_bronze_stream(spark, raw_dir)),
+            silver_dir,
+            gold_dir,
+            str(tmp_path / "inc-ckpt"),
+        )
+        q.awaitTermination(120)
+
+    bronze(["2025-01-01T10:00:00Z", "2025-01-01T10:40:00Z", "2025-01-01T20:00:00Z"], "2025-01-01")
+    run()
+    # a VERY late event lands inside the long-closed 10:00 hour
+    bronze(["2025-01-01T10:20:00Z"], "2025-01-02")
+    run()
+
+    got = {
+        (r.line_id, r.stop_id, r.hour.isoformat()): (
+            r.avg_headway_s,
+            r.p50_headway_s,
+            r.p90_headway_s,
+        )
+        for r in spark.read.parquet(gold_dir).collect()
+    }
+    expect = {
+        (r.line_id, r.stop_id, r.hour.isoformat()): (
+            r.avg_headway_s,
+            r.p50_headway_s,
+            r.p90_headway_s,
+        )
+        for r in fct_headways_batch(
+            stg_arrivals(
+                spark.read.option("basePath", raw_dir).parquet(f"{raw_dir}/date=*")
+            )
+        ).collect()
+    }
+    assert got == expect
+    # and the late event really changed the 10:00 hour (gaps 20+20+... vs 40)
+    assert got[("central", "S1", "2025-01-01T10:00:00")][1] == 1200.0  # p50 = 20 min

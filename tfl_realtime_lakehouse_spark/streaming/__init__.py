@@ -7,5 +7,11 @@ from tfl_realtime_lakehouse_spark.streaming.headways import (
     read_bronze_stream,
     streaming_headways,
 )
+from tfl_realtime_lakehouse_spark.streaming.incremental import run_incremental_gold
 
-__all__ = ["read_bronze_stream", "gold_hourly_stream", "streaming_headways"]
+__all__ = [
+    "read_bronze_stream",
+    "gold_hourly_stream",
+    "streaming_headways",
+    "run_incremental_gold",
+]

@@ -250,7 +250,7 @@ def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LOG10(ABS(c_acctbal) + 1.0), 6) AS log10_bal,
            ROUND(POWER(c_acctbal / 1000.0, 2), 6) AS pow_bal,
            CAST(c_nationkey % 7 AS INTEGER) AS nk_mod,
-           SIGN(c_acctbal) AS bal_sign
+           CAST(SIGN(c_acctbal) AS INTEGER) AS bal_sign
     FROM customer
     """,
     doc="Math kernel battery; transcendentals rounded to 6 dp since "
@@ -270,7 +270,7 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log10(F.abs(bal) + 1.0), 6).alias("log10_bal"),
         F.round(F.pow(bal / 1000.0, 2), 6).alias("pow_bal"),
         (F.col("c_nationkey") % 7).cast("int").alias("nk_mod"),
-        F.signum(bal).alias("bal_sign"),
+        F.signum(bal).cast("int").alias("bal_sign"),
     )
 
 

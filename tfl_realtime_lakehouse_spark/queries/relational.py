@@ -572,8 +572,8 @@ def limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_range_dq",
     oracle="""
     SELECT COUNT(*) AS total,
-           SUM(CASE WHEN value BETWEEN 0 AND 180 THEN 1 ELSE 0 END) AS in_range,
-           SUM(CASE WHEN value NOT BETWEEN 0 AND 180 THEN 1 ELSE 0 END) AS violations
+           CAST(SUM(CASE WHEN value BETWEEN 0 AND 180 THEN 1 ELSE 0 END) AS BIGINT) AS in_range,
+           CAST(SUM(CASE WHEN value NOT BETWEEN 0 AND 180 THEN 1 ELSE 0 END) AS BIGINT) AS violations
     FROM events
     """,
     doc="Range-predicate DQ check (SURVEY P8 / Q3: GX between-check).",

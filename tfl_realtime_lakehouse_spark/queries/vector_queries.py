@@ -114,10 +114,10 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(LEN(embedding) AS INTEGER) AS dims,
-           embedding[1] AS first_dim,
-           embedding[1:4] AS head4,
-           LIST_MAX(embedding) AS max_dim,
-           LIST_MIN(embedding) AS min_dim,
+           CAST(embedding[1] AS DOUBLE) AS first_dim,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding[1:4], x -> CAST(x AS DOUBLE))), 8) AS head4_sum,
+           CAST(LIST_MAX(embedding) AS DOUBLE) AS max_dim,
+           CAST(LIST_MIN(embedding) AS DOUBLE) AS min_dim,
            LIST_CONTAINS(LIST_TRANSFORM(embedding, x -> x > 0.3), TRUE) AS any_big
     FROM embeddings
     """,
@@ -129,10 +129,20 @@ def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dims"),
-        F.element_at("embedding", 1).alias("first_dim"),
-        F.slice("embedding", 1, 4).alias("head4"),
-        F.array_max("embedding").alias("max_dim"),
-        F.array_min("embedding").alias("min_dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_dim"),
+        # slice exercised, but emitted as a folded scalar: nested-array
+        # output columns stringify differently across engines (numpy
+        # array vs list repr) and are hash-hostile.
+        F.round(
+            F.aggregate(
+                F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            8,
+        ).alias("head4_sum"),
+        F.array_max("embedding").cast("double").alias("max_dim"),
+        F.array_min("embedding").cast("double").alias("min_dim"),
         F.exists("embedding", lambda x: x > 0.3).alias("any_big"),
     )
 

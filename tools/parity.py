@@ -56,6 +56,14 @@ def compare(name: str, spark_df, duck_df) -> list[str]:
     a, b = normalize(spark_df.copy()), normalize(duck_df.copy())
     for c in a.columns:
         av, bv = a[c], b[c]
+        # dtype-KIND strictness: an int column on one side and a float on
+        # the other stringifies differently ('1000' vs '1000.0') and can
+        # fail the driver's schema/value hash even when numerically equal
+        # (classic cause: DuckDB SUM(int) → HUGEINT → pandas float64).
+        ka, kb = av.dtype.kind, bv.dtype.kind
+        if {ka, kb} == {"i", "f"}:
+            problems.append(f"col {c}: dtype kind mismatch spark={av.dtype} duck={bv.dtype}")
+            continue
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             av = pd.to_numeric(av, errors="coerce").astype(float)
             bv = pd.to_numeric(bv, errors="coerce").astype(float)

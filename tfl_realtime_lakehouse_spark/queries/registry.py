@@ -13,6 +13,16 @@ order-insensitively, so every query here must be value-deterministic):
   (e.g. ``(o_orderdate, o_orderkey)``), or emit only tie-invariant
   values (rank of the row's own sort key).
 - Counts/keys/strings/timestamps are exact — emitted raw.
+
+Dtype rules (pandas-level identity, verified by the vanilla-ANSI
+str-identical sweep in the verify skill):
+- DuckDB ``SUM`` over integers returns HUGEINT → pandas float64; wrap
+  such oracle sums in ``CAST(... AS BIGINT)``.
+- No DATE, DECIMAL, float32, or nested-array OUTPUT columns — each
+  converts to a different pandas dtype/repr per engine. Use timestamps,
+  doubles, and flattened/folded scalars instead.
+- Pin ambiguous function result types on both sides (``sign`` → INT,
+  ``length``/``extract``/list indexes → INT/BIGINT explicitly).
 """
 
 from __future__ import annotations

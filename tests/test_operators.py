@@ -198,3 +198,21 @@ def test_stratified_sample_respects_fractions(spark, sf_correct):
     assert set(counts) <= {"en", "de"}  # unlisted strata excluded
     if "en" in counts:
         assert 0.25 < counts["en"] / totals["en"] < 0.75
+
+
+def test_approx_count_distinct_within_tolerance(spark, sf_correct):
+    orders = read_table(spark, sf_correct, "orders")
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+        .collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) / n < 0.05, (k, n, approx[k])

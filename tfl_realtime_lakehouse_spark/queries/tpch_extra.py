@@ -266,3 +266,43 @@ def set_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("supplier").alias("s_extra"),
     )
     return cust.unionByName(supp, allowMissingColumns=True)
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal,
+           ROUND(VAR_SAMP(c_acctbal), 3) AS var_bal,
+           ROUND(CORR(c_acctbal, c_custkey), 6) AS corr_bal_key,
+           ROUND(COVAR_SAMP(c_acctbal, c_custkey), 3) AS covar_bal_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+    doc="Statistical aggregates (stddev/variance/corr/covariance), "
+    "rounded to absorb the engines' different merge-formula "
+    "reassociation (errors ~1e-9 relative vs 1e-3..1e-6 grids).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 3).alias("var_bal"),
+        F.round(F.corr("c_acctbal", "c_custkey"), 6).alias("corr_bal_key"),
+        F.round(F.covar_samp("c_acctbal", "c_custkey"), 3).alias("covar_bal_key"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines by design →
+    # rows-only; the accuracy bound is asserted in tests.
+    doc="approx_count_distinct (HyperLogLog++) per order priority — the "
+    "sketch path for distinct counting at 100 TB (no expand + two-phase "
+    "agg like exact COUNT DISTINCT).",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+    )

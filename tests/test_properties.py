@@ -95,3 +95,46 @@ def test_approx_quantile_scale_path_close_to_exact(spark, sf_correct):
     # sketch accuracy 10000 → p50 within 1% relative on every group
     for k, v in exact.items():
         assert abs(approx[k] - v) <= max(0.01 * v, 1e-6), k
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    offsets=st.lists(st.integers(0, 200), min_size=1, max_size=25),
+)
+def test_sessionization_matches_python_model(spark, offsets):
+    """events_sessionization's windowed session assignment == a simple
+    sequential fold over the sorted timestamps (30-min gap rule)."""
+    base = 1_700_000_000
+    rows = [(i, base + off * 180) for i, off in enumerate(offsets)]  # 3-min grid
+    df = spark.createDataFrame(rows, "event_id long, epoch long").select(
+        F.lit(1).alias("user_id"),
+        "event_id",
+        F.timestamp_seconds("epoch").alias("ts"),
+    )
+    # call the Spark logic directly (the registered query reads parquet)
+    from tfl_realtime_lakehouse_spark.queries.advanced import events_sessionization
+
+    import tfl_realtime_lakehouse_spark.queries.registry as reg
+
+    orig = reg.read_table
+    try:
+        reg.read_table = lambda spark_, sf_dir, name: df  # inject fixture
+        out = events_sessionization(spark, "__fixture__").collect()
+    finally:
+        reg.read_table = orig
+
+    # python model over sorted (ts, event_id)
+    events = sorted((base + off * 180, i) for i, off in enumerate(offsets))
+    sessions = []
+    last = None
+    for ts, _ in events:
+        if last is None or ts - last > 1800:
+            sessions.append([ts])
+        else:
+            sessions[-1].append(ts)
+        last = ts
+    expect = {
+        sid + 1: (len(s), s[-1] - s[0]) for sid, s in enumerate(sessions)
+    }
+    gotm = {int(r.session_id): (r.n_events, int(r.duration_s)) for r in out}
+    assert gotm == expect

@@ -216,3 +216,42 @@ def test_approx_count_distinct_within_tolerance(spark, sf_correct):
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) / n < 0.05, (k, n, approx[k])
+
+def test_neardup_oversize_guard_raises(spark, sf_smoke):
+    emb = read_table(spark, sf_smoke, "embeddings")
+    with pytest.raises(ValueError, match="max_rows"):
+        S.neardup_pairs_numpy(emb, threshold=0.4, max_rows=10, on_oversize="error")
+
+
+def test_neardup_oversize_reroutes_to_lsh(spark, sf_correct):
+    """Over the max_rows ceiling the exact tier must NOT gather the corpus;
+    it reroutes through sign-LSH (same schema, verified-precision subset)."""
+    emb = read_table(spark, sf_correct, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in S.neardup_pairs_numpy(emb, threshold=0.4).collect()
+    }
+    rerouted_df = S.neardup_pairs_numpy(emb, threshold=0.4, max_rows=10)
+    assert [f.name for f in rerouted_df.schema.fields] == ["vec_a", "vec_b", "score"]
+    rerouted = {(r.vec_a, r.vec_b) for r in rerouted_df.collect()}
+    assert rerouted  # planted near-dups exist at sf0.01; LSH recovers some
+    assert rerouted <= exact  # exact-cosine verification keeps precision 1.0
+
+
+def test_lsh_verify_plan_has_no_corpus_broadcast_hint(spark, sf_smoke):
+    """The verification rejoin must be a plain shuffle equi-join: a
+    broadcast hint on the full corpus vector table caps the operator at
+    the broadcast limit (the round-1 scale-killer). AQE may still choose
+    broadcast at runtime — what must be absent is the unconditional hint
+    in the logical plan."""
+    emb = read_table(spark, sf_smoke, "embeddings")
+    df = S.hyperplane_lsh_pairs(emb, tables=4, bits=4, threshold=0.4)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in optimized.lower()
+
+
+def test_jaccard_sizes_plan_has_no_broadcast_hint(spark, sf_smoke):
+    docs = read_table(spark, sf_smoke, "documents")
+    df = D.ngram_jaccard_pairs(docs, threshold=0.2)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "broadcast" not in optimized.lower()

@@ -77,8 +77,11 @@ def ngram_jaccard_pairs(
     )
     sizes = shingle_sizes(df, text_col, id_col, n)
     out = (
-        shared.join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_a", "n_shingles": "size_a"})), "doc_a")
-        .join(F.broadcast(sizes.withColumnsRenamed({id_col: "doc_b", "n_shingles": "size_b"})), "doc_b")
+        # Plain equi-joins on doc id: the sizes relation is O(n_docs), so a
+        # broadcast hint would ship the whole corpus's sizes to every
+        # executor. AQE still broadcasts when the relation is actually small.
+        shared.join(sizes.withColumnsRenamed({id_col: "doc_a", "n_shingles": "size_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_shingles": "size_b"}), "doc_b")
         .withColumn(
             "jaccard",
             F.round(

@@ -82,21 +82,50 @@ def neardup_pairs_numpy(
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 1_000_000,
+    on_oversize: str = "reroute",
 ) -> DataFrame:
     """All pairs (a < b) with cosine ≥ threshold, via blocked matmul.
 
     The corpus is collected once into a normalized float64 matrix and
     broadcast; each Arrow batch then computes ``batch @ matrix.T`` in
-    BLAS. Exact (not LSH). This brute-force tier is for corpora whose
-    matrix fits in executor memory (~1e6×64 ≈ 0.5 GB); beyond that,
-    compose with :func:`ivf_topk`-style bucketing first.
+    BLAS. Exact (not LSH). This brute-force tier is ONLY for corpora
+    whose matrix fits in executor memory (~1e6×64 ≈ 0.5 GB); the
+    ``max_rows`` ceiling enforces that before any gather happens:
+
+    - ``on_oversize="reroute"`` (default): oversize corpora go through
+      :func:`hyperplane_lsh_pairs` — same output schema, bucketed
+      candidate generation, no driver gather; high-recall approximate
+      rather than exact (the only honest contract at that scale).
+    - ``on_oversize="error"``: raise instead, for callers that require
+      exactness and prefer to compose bucketing themselves.
+
+    The guard costs one count() aggregate — O(metadata) with parquet
+    statistics, negligible next to the matmul it protects.
     """
     import numpy as np
 
     spark = corpus.sparkSession
+    n = corpus.count()
+    if n > max_rows:
+        if on_oversize == "reroute":
+            return hyperplane_lsh_pairs(
+                corpus,
+                bits=None,  # auto-tune bucket width from n_rows (no extra job)
+                threshold=threshold,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_rows=n,
+            )
+        raise ValueError(
+            f"neardup_pairs_numpy: corpus has {n} rows > max_rows={max_rows}; "
+            "the exact blocked-matmul tier would gather the whole corpus. "
+            "Use hyperplane_lsh_pairs / ivf_topk, or raise max_rows if the "
+            "matrix genuinely fits in memory."
+        )
     rows = (
         corpus.select(id_col, vec_col).toPandas()
-    )  # one-time model-side gather of the comparison matrix
+    )  # bounded by max_rows (checked above): one-time gather of the matrix
     ids = rows[id_col].to_numpy()
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows[vec_col]])
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
@@ -144,6 +173,8 @@ def hyperplane_lsh_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
+    dims: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane (sign) LSH near-neighbour pairs.
 
@@ -179,9 +210,11 @@ def hyperplane_lsh_pairs(
     if bits is None:
         # auto-tune bucket width to corpus size: target ~16 vectors per
         # bucket so candidate generation stays ~O(n · tables · bucket).
-        n = corpus.count()
+        # Callers that already know n pass n_rows and skip the extra job.
+        n = corpus.count() if n_rows is None else n_rows
         bits = min(16, max(4, round(math.log2(max(n, 32) / 16))))
-    dims = len(corpus.select(vec_col).first()[0])
+    if dims is None:
+        dims = len(corpus.select(vec_col).first()[0])
     planes = np.random.RandomState(seed).standard_normal((tables * bits, dims))
     # NOTE on real (non-synthetic) embeddings: dims are correlated, so
     # raw sign bits can be imbalanced and vectors pile into hot buckets
@@ -238,12 +271,17 @@ def hyperplane_lsh_pairs(
         )
         .distinct()
     )
+    # Rejoin vectors for verification with plain shuffle equi-joins on id.
+    # The vector relation is the FULL corpus — a broadcast hint here would
+    # ship every embedding to every executor and cap the operator at the
+    # broadcast limit; the candidate side is the small one, and AQE turns
+    # these into broadcast joins by itself whenever that is actually true.
     vecs = corpus.select(id_col, vec_col)
     paired = cands.join(
-        F.broadcast(vecs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))),
+        vecs.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va")),
         "vec_a",
     ).join(
-        F.broadcast(vecs.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))),
+        vecs.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb")),
         "vec_b",
     )
 

@@ -240,3 +240,36 @@ def test_incremental_gold_handles_late_data_exactly(spark, tmp_path):
     assert got == expect
     # and the late event really changed the 10:00 hour (gaps 20+20+... vs 40)
     assert got[("central", "S1", "2025-01-01T10:00:00")][1] == 1200.0  # p50 = 20 min
+
+def test_incremental_gold_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering a micro-batch with the
+    same batch_id must not duplicate silver rows or change gold, while a
+    genuinely new batch_id still lands."""
+    from tfl_realtime_lakehouse_spark.streaming.incremental import (
+        incremental_gold_writer,
+    )
+
+    silver_dir = str(tmp_path / "re-silver")
+    gold_dir = str(tmp_path / "re-gold")
+    writer = incremental_gold_writer(silver_dir, gold_dir)
+
+    def batch(ts_list, date):
+        df = spark.createDataFrame(
+            [("S1", "central", "P", "D", 1, t) for t in ts_list],
+            "stopId string, lineId string, platformName string, destinationName string, "
+            "timeToStation long, timestamp string",
+        ).withColumn("date", F.lit(date).cast("date"))
+        return stg_arrivals(df)
+
+    b0 = batch(["2025-01-01T10:00:00Z", "2025-01-01T10:40:00Z"], "2025-01-01")
+    writer(b0, 0)
+    silver_n = spark.read.parquet(silver_dir).count()
+    gold0 = sorted(map(tuple, spark.read.parquet(gold_dir).collect()))
+    assert silver_n == 2
+
+    writer(b0, 0)  # replay after a simulated failure
+    assert spark.read.parquet(silver_dir).count() == silver_n
+    assert sorted(map(tuple, spark.read.parquet(gold_dir).collect())) == gold0
+
+    writer(batch(["2025-01-01T11:20:00Z"], "2025-01-01"), 1)  # new batch appends
+    assert spark.read.parquet(silver_dir).count() == silver_n + 1

@@ -24,6 +24,12 @@ Without a transactional table format, "overwrite these keys" is
 implemented by rewriting gold as (gold − touched keys) ∪ recomputed —
 atomic enough for parquet-on-disk demos; with Delta/Iceberg it becomes
 a real MERGE on (line_id, stop_id).
+
+Replay safety: foreachBatch delivery is at-least-once, so the silver
+append is keyed by ``batch_id`` — each micro-batch writes its own
+``batch_id=N`` partition under dynamic partition overwrite, making a
+redelivered batch rewrite the same bytes instead of duplicating rows
+(the same mechanism as :mod:`~tfl_realtime_lakehouse_spark.streaming.sink`).
 """
 
 from __future__ import annotations
@@ -45,10 +51,28 @@ def incremental_gold_writer(silver_dir: str, gold_dir: str):
         try:
             if not batch_df.head(1):
                 return
-            batch_df.write.mode("append").parquet(silver_dir)
+            # foreachBatch is at-least-once: a replayed batch must not
+            # duplicate silver rows (duplicates would surface as zero
+            # headways in the recomputed gold). Idempotence the same way
+            # sink.py gets it: each micro-batch owns its batch_id
+            # partition, and dynamic partition overwrite makes a replay
+            # rewrite that partition instead of appending to it.
+            prev = spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                (
+                    batch_df.withColumn("batch_id", F.lit(batch_id))
+                    .write.mode("overwrite")
+                    .partitionBy("batch_id")
+                    .parquet(silver_dir)
+                )
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             touched = batch_df.select("line_id", "stop_id").distinct()
 
-            silver = spark.read.parquet(silver_dir)
+            silver = spark.read.parquet(silver_dir).drop("batch_id")
             recomputed = fct_headways(
                 silver.join(F.broadcast(touched), ["line_id", "stop_id"])
             )

@@ -88,3 +88,66 @@ def test_ingest_zero_rows_writes_nothing(spark, tmp_path):
     raw_dir = str(tmp_path / "bronze")
     assert ingest_snapshot(spark, [], raw_dir) is None
     assert read_raw_arrivals(spark, raw_dir).count() == 0
+
+
+def _write_fixture(tmp_path, payloads):
+    import json
+
+    path = tmp_path / "arrivals_fixture.json"
+    path.write_text(json.dumps(payloads))
+    return str(path)
+
+
+def test_datasource_batch_snapshot(spark, tmp_path):
+    """spark.read.format('tfl_arrivals') == one client snapshot."""
+    from tfl_realtime_lakehouse_spark.sources import datasource as DS
+
+    DS.register(spark)
+    s2 = dict(ARRIVAL, naptanId="S2", timeToStation=60)
+    fixture = _write_fixture(tmp_path, {"S1": [ARRIVAL], "S2": [s2]})
+    df = (
+        spark.read.format("tfl_arrivals")
+        .option("stops", "S1, S2, S1")  # dup + whitespace: dedup path
+        .option("fixture", fixture)
+        .load()
+    )
+    rows = {r.stopId: r.timeToStation for r in df.collect()}
+    assert rows == {"S1": 120, "S2": 60}
+    assert [f.name for f in df.schema.fields] == [
+        "stopId", "lineId", "platformName", "destinationName",
+        "timeToStation", "timestamp",
+    ]
+
+
+def test_datasource_streaming_ingest_to_bronze(spark, tmp_path):
+    """readStream.format('tfl_arrivals') → parquet bronze: the S1 ingest
+    path as a real Spark streaming source (one poll per micro-batch,
+    bounded by max_polls for hermetic runs)."""
+    from tfl_realtime_lakehouse_spark.sources import datasource as DS
+
+    DS.register(spark)
+    fixture = _write_fixture(
+        tmp_path, {"S1": [ARRIVAL], "MISSING": []}
+    )
+    df = (
+        spark.readStream.format("tfl_arrivals")
+        .option("stops", "S1,MISSING")
+        .option("fixture", fixture)
+        .option("max_polls", 2)
+        .load()
+    )
+    out = str(tmp_path / "ds-bronze")
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ds-ckpt"))
+        .start()
+    )
+    # drain until the source stops advancing (max_polls reached)
+    q.processAllAvailable()
+    q.stop()
+    back = spark.read.parquet(out).collect()
+    # 2 polls × 1 row (MISSING contributes zero rows, isolated not fatal)
+    assert len(back) == 2
+    assert {r.stopId for r in back} == {"S1"}
+    assert all(r.timeToStation == 120 for r in back)

@@ -48,3 +48,54 @@ def test_real_decode_is_explicitly_stubbed(spark):
     )
     with pytest.raises(Exception):  # surfaced through the Spark task
         M.extract_features(assets, fake_decode=False).collect()
+
+
+@pytest.mark.parametrize(
+    "make,fmt",
+    [(M.synth_png, "png"), (M.synth_jpeg, "jpeg"), (M.synth_gif, "gif")],
+)
+@pytest.mark.parametrize("dims", [(1, 1), (8, 13), (300, 200), (65535, 1)])
+def test_parse_image_dims_roundtrip(make, fmt, dims):
+    w, h = dims
+    assert M.parse_image_dims(make(w, h)) == (fmt, w, h)
+
+
+def test_parse_image_dims_large_png():
+    # PNG dims are 32-bit big-endian — exercise past the 16-bit range
+    assert M.parse_image_dims(M.synth_png(70000, 3)) == ("png", 70000, 3)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [None, b"", b"not an image at all", b"\x89PNG\r\n\x1a\n trunc",
+     b"\xff\xd8\xff", b"GIF8"],
+)
+def test_parse_image_dims_garbage_yields_nulls(payload):
+    assert M.parse_image_dims(payload) == (None, None, None)
+
+
+def test_decode_image_meta_end_to_end(spark):
+    rows = [
+        (1, M.synth_png(10, 20)),
+        (2, M.synth_jpeg(30, 40)),
+        (3, M.synth_gif(50, 60)),
+        (4, b"corrupt"),
+    ]
+    df = spark.createDataFrame(rows, M.SYNTH_SCHEMA)
+    got = {
+        r.asset_id: (r.img_format, r.width, r.height, r.n_bytes)
+        for r in M.decode_image_meta(df).collect()
+    }
+    assert got[1] == ("png", 10, 20, len(rows[0][1]))
+    assert got[2] == ("jpeg", 30, 40, len(rows[1][1]))
+    assert got[3] == ("gif", 50, 60, len(rows[2][1]))
+    assert got[4] == (None, None, None, 7)
+
+
+def test_synth_assets_decode_recovers_planted_dims(spark, sf_smoke):
+    docs = read_table(spark, sf_smoke, "documents")
+    meta = M.decode_image_meta(M.synth_image_assets(docs))
+    for r in meta.limit(50).collect():
+        i = r.asset_id
+        assert r.img_format == ("png", "jpeg", "gif")[i % 3]
+        assert (r.width, r.height) == (8 + i % 21, 8 + i % 13)

@@ -1,10 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns + typed metadata, processed with Arrow-batched ``mapInPandas``.
 
-The decode kernels themselves are STUBBED (the image/audio libraries are
-not available in this environment — see ``decode_image``); everything
-Spark-side is real and tested: schemas, batch shapes, partitioning, and
-the UDF signatures a production decode would drop into.
+Two decode tiers:
+
+- **Header metadata decode is REAL**: :func:`parse_image_dims` reads
+  width/height/format straight from PNG / JPEG / GIF header bytes with
+  stdlib ``struct`` parsing only (no imaging libraries), and
+  :func:`decode_image_meta` runs it over Arrow batches. Synthetic but
+  fully-valid payloads come from :func:`synth_png` /
+  :func:`synth_jpeg` / :func:`synth_gif` (PNG includes a correct
+  zlib-compressed IDAT and CRCs), so the path is tested end-to-end:
+  synthesize with planted dims → parse the bytes → recover the dims.
+- **Pixel decode stays STUBBED** (``decode_image``): turning payloads
+  into pixel arrays needs Pillow/libvips, absent in this environment;
+  the surrounding Spark plumbing (schemas, batch shapes, partitioning,
+  UDF signatures) is identical either way.
 """
 
 from __future__ import annotations
@@ -46,14 +56,162 @@ def decode_image(payload: bytes) -> "object":
     """Decode an image payload into a pixel array.
 
     STUB: real deployments plug Pillow/libvips here; this container has
-    no imaging libraries, so the decode step raises and callers must use
-    :func:`extract_features` with ``fake_decode=True`` (a deterministic
-    digest-based feature) to exercise the full Spark plumbing.
+    no imaging libraries, so the pixel-decode step raises and callers
+    must use :func:`extract_features` with ``fake_decode=True`` (a
+    deterministic digest-based feature) to exercise the full Spark
+    plumbing. Header METADATA decode does not need this stub — see
+    :func:`parse_image_dims` / :func:`decode_image_meta`.
     """
     raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use fake_decode=True for plumbing tests"
+        "pixel decoding requires an imaging library not present in this "
+        "environment; use fake_decode=True for plumbing tests (header "
+        "metadata decode is real: parse_image_dims)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real header parsing (pure stdlib struct — no imaging libraries)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG frame-header (SOFn) markers carry dimensions; C4/C8/CC are
+# huffman/arithmetic tables, not frames.
+_JPEG_NON_FRAME = {0xC4, 0xC8, 0xCC}
+
+
+def _png_dims(b: bytes) -> tuple[int, int] | None:
+    import struct
+
+    if len(b) >= 24 and b[:8] == _PNG_SIG and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return w, h
+    return None
+
+
+def _gif_dims(b: bytes) -> tuple[int, int] | None:
+    import struct
+
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])  # logical screen descriptor
+        return w, h
+    return None
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int] | None:
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    n = len(b)
+    while i + 4 <= n:
+        if b[i] != 0xFF:
+            return None  # lost marker sync — corrupt stream
+        marker = b[i + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_FRAME:
+            if i + 9 > n:
+                return None
+            h = int.from_bytes(b[i + 5 : i + 7], "big")
+            w = int.from_bytes(b[i + 7 : i + 9], "big")
+            return w, h
+        i += 2 + seg_len
+    return None
+
+
+def parse_image_dims(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from header bytes; (None,)*3 if unknown.
+
+    Formats: PNG (IHDR, big-endian), GIF 87a/89a (logical screen
+    descriptor, little-endian), JPEG (marker walk to the first SOFn
+    frame header). Truncated or foreign payloads yield nulls, never
+    exceptions — at 100 TB a corrupt asset must not kill the stage.
+    """
+    b = payload or b""
+    for fmt, parse in (("png", _png_dims), ("gif", _gif_dims), ("jpeg", _jpeg_dims)):
+        try:
+            dims = parse(b)
+        except Exception:
+            dims = None
+        if dims:
+            return fmt, dims[0], dims[1]
+    return None, None, None
+
+
+# ---------------------------------------------------------------------------
+# Valid synthetic payloads (deterministic; PNG carries real zlib + CRCs)
+
+
+def synth_png(width: int, height: int, color: int = 128) -> bytes:
+    """A fully-valid grayscale PNG of the given dimensions."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([color]) * width for _ in range(height))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_jpeg(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + APP0(JFIF) + SOF0 frame header + EOI."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def synth_gif(width: int, height: int) -> bytes:
+    """Minimal GIF89a: header + logical screen descriptor + trailer."""
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + b"\x3b"
+
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("img_format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_image_meta(assets: DataFrame) -> DataFrame:
+    """Arrow-batched REAL metadata decode: header-parse every payload
+    into (format, width, height). Corrupt/unknown payloads yield nulls."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parsed = [parse_image_dims(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "img_format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "n_bytes": pdf["payload"].map(lambda b: len(b or b"")).astype("int64"),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, META_SCHEMA)
 
 
 def _fake_feature(payload: bytes, dims: int = 8) -> list[float]:
@@ -95,6 +253,36 @@ def extract_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
             )
 
     return assets.mapInPandas(run, FEATURE_SCHEMA)
+
+
+SYNTH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_image_assets(documents: DataFrame) -> DataFrame:
+    """Deterministic image assets derived from the documents table.
+
+    ``doc_id`` picks the container format round-robin (png/jpeg/gif) and
+    plants the dimensions through a fixed formula (w = 8 + id % 21,
+    h = 8 + id % 13), so a downstream header decode can be verified
+    end-to-end against arithmetic on the id alone."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        makers = (synth_png, synth_jpeg, synth_gif)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [
+                makers[int(i) % 3](8 + int(i) % 21, 8 + int(i) % 13)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, SYNTH_SCHEMA)
 
 
 def documents_as_assets(documents: DataFrame) -> DataFrame:

@@ -87,6 +87,7 @@ DRIVER_WINDOW = [
     "embedding_ann_ivf",
     "embedding_ann_lsh",
     "multimodal_binary_meta",
+    "multimodal_decode_dims",
 ]
 
 

@@ -110,6 +110,30 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_dims",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+               AS img_format,
+           CAST(8 + doc_id % 21 AS INTEGER) AS width,
+           CAST(8 + doc_id % 13 AS INTEGER) AS height
+    FROM documents
+    """,
+    doc="REAL image metadata decode, end-to-end: synthesize valid "
+    "PNG/JPEG/GIF payloads with dims planted from doc_id "
+    "(operators/multimodal.py:synth_image_assets), then header-parse the "
+    "bytes back with pure-struct parsing (parse_image_dims) over Arrow "
+    "batches. The oracle recomputes the planted dims from id arithmetic, "
+    "so a hash match proves the parser recovered them from the payloads.",
+)
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.synth_image_assets(table(spark, sf_dir, "documents"))
+    return M.decode_image_meta(assets).select(
+        "asset_id", "img_format", "width", "height"
+    )
+
+
+@register(
     "scalar_arrays",
     oracle="""
     SELECT vec_id,

@@ -117,3 +117,60 @@ def test_streaming_sink_idempotent_under_replay(spark, tmp_path):
     # overwrite rewrites the same date partitions: no duplicates
     run("ckpt2")
     assert spark.read.parquet(out_dir).count() == first == 2
+
+
+def test_stop_shingle_filter_bounds_hot_candidates(spark):
+    """Zipf-head stress: when every document shares boilerplate shingles
+    (df = n_docs), the naive posting self-join goes quadratic — all
+    n·(n-1)/2 pairs become candidates. The stop-shingle filter
+    (max_doc_freq) must collapse that to the documented bound while
+    keeping genuinely-similar pairs findable."""
+    import random
+
+    from tfl_realtime_lakehouse_spark.operators.dedup import (
+        _shingle_postings,
+        ngram_jaccard_pairs,
+    )
+
+    rnd = random.Random(7)
+    n_docs = 200
+    boiler = "terms of service boilerplate header common to all documents here"
+    rows = [
+        (i, boiler + " " + " ".join(f"tok{rnd.randrange(10**9)}" for _ in range(10)))
+        for i in range(n_docs)
+    ]
+    # two planted near-dups sharing a distinctive body besides the boilerplate
+    body = " ".join(f"signal{j}" for j in range(30))
+    rows += [(1000, boiler + " " + body), (1001, boiler + " " + body + " extra")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def n_candidates(max_doc_freq):
+        posts = _shingle_postings(docs, "text", "doc_id", 3, max_doc_freq=max_doc_freq)
+        a, b = posts.alias("a"), posts.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+
+    naive = n_candidates(None)
+    capped = n_candidates(20)
+    n_total = n_docs + 2
+    assert naive >= n_total * (n_total - 1) // 2  # quadratic blowup is real
+    # documented bound: per-shingle posting lists are ≤ max_doc_freq, so
+    # candidates ≤ n_shingles·max_doc_freq²; on this corpus only the
+    # planted pair (and hash-collision noise) survives
+    assert capped <= n_total
+    # and the filter keeps recall on the planted high-similarity pair
+    # (jaccard is a lower bound under the cap: precision preserved)
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.2, max_doc_freq=20).collect()
+    }
+    assert (1000, 1001) in found
+    assert all(a == 1000 and b == 1001 for a, b in found)

@@ -37,11 +37,32 @@ def exact_dedup_groups(
     )
 
 
-def _shingle_postings(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return df.select(
+def _shingle_postings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    posts = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
     )
+    if max_doc_freq is not None:
+        # Stop-shingle filter: a shingle appearing in d documents emits
+        # O(d²) candidate pairs in the posting self-join, so one hot
+        # shingle (boilerplate, license headers, Zipf-head phrases) turns
+        # the plan quadratic. Dropping shingles with document frequency
+        # above the cap bounds every posting list — the hot relation is
+        # tiny (only pathological shingles) so AQE broadcasts the anti-join.
+        hot = (
+            posts.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > max_doc_freq)
+            .select("sh")
+        )
+        posts = posts.join(hot, "sh", "left_anti")
+    return posts
 
 
 def shingle_sizes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
@@ -57,17 +78,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
     Inverted-index plan: explode distinct shingles → self equi-join on
     the shingle (posting-list join) → count shared shingles per pair →
     Jaccard from per-doc set sizes. At 100 TB the hot-shingle skew is
-    the risk: AQE skew-join handles moderate skew, and stop-shingle
-    filtering (dropping shingles with pathological document frequency)
-    bounds the worst case without changing high-similarity results.
+    the risk: AQE skew-join handles moderate skew; for pathological
+    document frequencies pass ``max_doc_freq`` to drop stop-shingles
+    before the join, bounding every posting list (candidate generation
+    becomes O(n · max_doc_freq) instead of O(hot_df²)).
+
+    With the filter on, ``n_shared`` no longer counts dropped shingles,
+    so the emitted jaccard is a LOWER bound — precision stays exact
+    (every surviving pair clears the true threshold too, since the true
+    intersection is ≥ the counted one while sizes stay full), and recall
+    loss is bounded: a pair loses at most (dropped shingles it shared)
+    from its intersection, negligible for high-similarity pairs whose
+    overlap is dominated by non-boilerplate content.
     """
-    posts = _shingle_postings(df, text_col, id_col, n)
+    posts = _shingle_postings(df, text_col, id_col, n, max_doc_freq=max_doc_freq)
     a = posts.alias("a")
     b = posts.alias("b")
     shared = (

@@ -138,3 +138,37 @@ def test_sessionization_matches_python_model(spark, offsets):
     }
     gotm = {int(r.session_id): (r.n_events, int(r.duration_s)) for r in out}
     assert gotm == expect
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_events, right=_events)
+def test_asof_join_strict_mode_and_carried_values(spark, left, right):
+    """allow_exact_match=False (strictly-before semantics) plus payload
+    carry: the matched row's value column must come from the same right
+    row as the matched timestamp. Right (k, ts) pairs are deduped so the
+    carried payload is well-defined at equal right timestamps."""
+    runiq = sorted(set(right))
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, ts long, idx long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, f"{k}@{t}") for k, t in runiq], "k string, ts long, val string"
+    )
+    got = {
+        r.idx: (r.asof_ts, r.val)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts",
+            right_values=["val"], allow_exact_match=False,
+        ).collect()
+    }
+    by_key: dict[str, list[int]] = {}
+    for k, t in runiq:
+        by_key.setdefault(k, []).append(t)
+    for i, (k, t) in enumerate(left):
+        ts_list = by_key.get(k, [])
+        j = bisect.bisect_left(ts_list, t)  # strict: equal ts NOT visible
+        if j:
+            expect = (ts_list[j - 1], f"{k}@{ts_list[j - 1]}")
+        else:
+            expect = (None, None)
+        assert got[i] == expect, (i, k, t)

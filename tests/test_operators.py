@@ -255,3 +255,21 @@ def test_jaccard_sizes_plan_has_no_broadcast_hint(spark, sf_smoke):
     df = D.ngram_jaccard_pairs(docs, threshold=0.2)
     optimized = df._jdf.queryExecution().optimizedPlan().toString()
     assert "broadcast" not in optimized.lower()
+
+
+def test_blocked_neardup_equals_numpy_tier(spark, sf_correct):
+    """The fully-distributed block-pair plan must reproduce the exact
+    tier bit-for-bit: same pairs, same 6-dp scores, no driver gather."""
+    emb = read_table(spark, sf_correct, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.score
+        for r in S.neardup_pairs_numpy(emb, threshold=0.4).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        blocked = {
+            (r.vec_a, r.vec_b): r.score
+            for r in S.blocked_neardup_pairs(
+                emb, threshold=0.4, n_blocks=n_blocks
+            ).collect()
+        }
+        assert blocked == exact, f"n_blocks={n_blocks}"

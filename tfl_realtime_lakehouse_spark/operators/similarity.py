@@ -165,6 +165,107 @@ def neardup_pairs_numpy(
     return scored.select("vec_a", "vec_b", F.round("score", 6).alias("score"))
 
 
+def blocked_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver gather — the
+    fully-distributed tier above :func:`neardup_pairs_numpy`.
+
+    Block plan: each vector hashes to one of ``n_blocks`` blocks; every
+    unordered block pair {i, j} becomes one task that receives both
+    blocks' vectors (via an equi-join on a small replicated block-pair
+    relation) and BLAS-multiplies them executor-side in ``applyInPandas``.
+    A vector pair lands in exactly one block-pair group, so no dedup
+    pass is needed.
+
+    Scale math: data is shuffled O(n · n_blocks) (each vector joins the
+    ≤ n_blocks block-pairs containing its block), compute is the
+    unavoidable exact O(n²/2) spread over n_blocks·(n_blocks+1)/2
+    independent tasks, and per-task memory is 2·(n/n_blocks)·dims
+    doubles — pick ``n_blocks`` so a block fits an executor core's
+    memory. Same output contract as the other tiers.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    # block assignment: stable hash of the id, uniform across blocks
+    src = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))).alias("_blk"),
+    )
+    # tiny replicated relation: every unordered block pair {bi, bj}, and
+    # which side each member block plays; bi == bj pairs carry one side.
+    pair_rows = [
+        (bi, bj, side)
+        for bi in range(n_blocks)
+        for bj in range(bi, n_blocks)
+        for side in ([0] if bi == bj else [0, 1])
+    ]
+    sides = spark.createDataFrame(
+        [
+            ((bi if side == 0 else bj), bi, bj, side)
+            for bi, bj, side in pair_rows
+        ],
+        "_blk int, _bi int, _bj int, _side int",
+    )
+    replicated = src.join(F.broadcast(sides), "_blk")  # sides is O(n_blocks²) rows
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    empty = pd.DataFrame(
+        {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+         "score": pd.Series(dtype="float64")}
+    )
+
+    def block_pair(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi, bj = keys
+        left = pdf[pdf["_side"] == 0]
+        if left.empty:
+            return empty
+        ids_l = left[id_col].to_numpy()
+        mat_l = np.stack([np.asarray(v, dtype=np.float64) for v in left["_v"]])
+        mat_l /= np.linalg.norm(mat_l, axis=1, keepdims=True)
+        if bi == bj:
+            sims = mat_l @ mat_l.T
+            ai, bk = np.nonzero(sims >= threshold)
+            a, b = ids_l[ai], ids_l[bk]
+        else:
+            right = pdf[pdf["_side"] == 1]
+            if right.empty:
+                return empty
+            ids_r = right[id_col].to_numpy()
+            mat_r = np.stack([np.asarray(v, dtype=np.float64) for v in right["_v"]])
+            mat_r /= np.linalg.norm(mat_r, axis=1, keepdims=True)
+            sims = mat_l @ mat_r.T
+            ai, bk = np.nonzero(sims >= threshold)
+            # cross-block: ids are unordered across blocks — normalize to
+            # (min, max); every pair occurs exactly once, nothing to drop
+            a = np.minimum(ids_l[ai], ids_r[bk])
+            b = np.maximum(ids_l[ai], ids_r[bk])
+            return pd.DataFrame({"vec_a": a, "vec_b": b, "score": sims[ai, bk]})
+        keep = a < b  # same-block: drop self-pairs + one of each ordering
+        return pd.DataFrame(
+            {
+                "vec_a": a[keep],
+                "vec_b": b[keep],
+                "score": sims[ai, bk][keep],
+            }
+        )
+
+    scored = replicated.groupBy("_bi", "_bj").applyInPandas(block_pair, out_schema)
+    return scored.select("vec_a", "vec_b", F.round("score", 6).alias("score"))
+
+
 def hyperplane_lsh_pairs(
     corpus: DataFrame,
     tables: int = 16,

@@ -63,6 +63,23 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_blocked",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COSINE_DOUBLE.format(a="a.embedding", b="b.embedding")}, 6) AS score
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COSINE_DOUBLE.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+    doc="Exact near-dup pairs via the fully-distributed block-pair plan "
+    "(operators/similarity.py:blocked_neardup_pairs): no driver gather, "
+    "per-block-pair BLAS in applyInPandas — the 100 TB exact tier.",
+)
+def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.blocked_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+
+
+@register(
     "embedding_ann_ivf",
     oracle=None,  # approximate by design (probes 3 of 10 cells) →
     # rows-only check; recall vs exact top-k asserted in tests.

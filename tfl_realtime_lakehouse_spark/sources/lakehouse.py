@@ -1,0 +1,115 @@
+"""Transactional-upsert adapter: one MERGE interface, two backends.
+
+SURVEY T6 maps the reference's idempotent re-runs to "Delta +
+foreachBatch idempotent MERGE"; this environment ships no lakehouse
+format, so the engine implements MERGE semantics twice behind one
+function:
+
+- **delta** backend (used automatically when ``delta-spark`` imports
+  and the table is Delta): a real ``MERGE INTO`` — atomic, concurrent-
+  writer-safe, the 100 TB answer.
+- **parquet** backend (this environment): key-scoped rewrite —
+  ``(target − matching keys) ∪ updates`` written to a temp location and
+  renamed over the target. Atomic enough for a single-writer demo.
+
+Callers never branch: ``merge_upsert(spark, path, updates, keys)``.
+The incremental-gold stream (:mod:`..streaming.incremental`) is the
+in-repo consumer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _delta_available() -> bool:
+    try:  # pragma: no cover — delta not shipped in this environment
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _is_delta_table(spark: SparkSession, path: str) -> bool:
+    if not _delta_available():
+        return False
+    from delta.tables import DeltaTable  # pragma: no cover
+
+    return DeltaTable.isDeltaTable(spark, path)  # pragma: no cover
+
+
+def _atomic_swap(spark: SparkSession, new_table: DataFrame, target_path: str) -> None:
+    """Write-new-then-rename: the parquet stand-in for a transactional
+    commit (single-writer safe; a lakehouse format replaces this)."""
+    tmp = target_path + ".tmp"
+    new_table.write.mode("overwrite").parquet(tmp)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    dst = jvm.org.apache.hadoop.fs.Path(target_path)
+    src = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = dst.getFileSystem(conf)
+    fs.delete(dst, True)
+    fs.rename(src, dst)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    delete_keys: DataFrame | None = None,
+) -> None:
+    """Upsert ``updates`` into the table at ``target_path``: target rows
+    matching ``delete_keys`` (default: the distinct keys of ``updates``)
+    are removed, then ``updates`` rows take their place; new keys append.
+
+    ``delete_keys`` matters when a key's recomputation legitimately
+    yields ZERO rows (e.g. a group that no longer clears a having-
+    filter): passing the touched-key set deletes its stale rows even
+    though ``updates`` carries nothing for it.
+
+    Delta backend: ``MERGE`` (delete-matched) + append, atomic.
+    Parquet backend: key-scoped rewrite behind an atomic rename.
+    """
+    if delete_keys is None:
+        delete_keys = updates.select(*keys).distinct()
+    else:
+        delete_keys = delete_keys.select(*keys).distinct()
+
+    if _is_delta_table(spark, target_path):  # pragma: no cover — no delta in env
+        from delta.tables import DeltaTable
+
+        tgt = DeltaTable.forPath(spark, target_path)
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        tgt.alias("t").merge(delete_keys.alias("s"), cond).whenMatchedDelete().execute()
+        updates.write.format("delta").mode("append").save(target_path)
+        return
+
+    try:
+        target = spark.read.parquet(target_path)
+        kept = target.join(delete_keys, keys, "left_anti")
+        new_table = kept.unionByName(updates)
+    except Exception:  # first write: no target yet
+        new_table = updates
+    _atomic_swap(spark, new_table, target_path)
+
+
+def merge_delete(
+    spark: SparkSession,
+    target_path: str,
+    predicate: str,
+) -> None:
+    """Delete rows matching a SQL predicate (``DELETE FROM`` on Delta;
+    anti-materialization behind an atomic rename on parquet). Rows where
+    the predicate is NULL are kept, matching SQL DELETE semantics."""
+    if _is_delta_table(spark, target_path):  # pragma: no cover
+        from delta.tables import DeltaTable
+
+        DeltaTable.forPath(spark, target_path).delete(predicate)
+        return
+    target = spark.read.parquet(target_path)
+    cond = F.expr(predicate)
+    remaining = target.filter(~F.coalesce(cond, F.lit(False)))
+    _atomic_swap(spark, remaining, target_path)

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from tfl_realtime_lakehouse_spark.plans.marts import fct_headways
+from tfl_realtime_lakehouse_spark.sources.lakehouse import merge_upsert
 
 
 def incremental_gold_writer(silver_dir: str, gold_dir: str):
@@ -77,25 +78,16 @@ def incremental_gold_writer(silver_dir: str, gold_dir: str):
                 silver.join(F.broadcast(touched), ["line_id", "stop_id"])
             )
 
-            try:
-                gold = spark.read.parquet(gold_dir)
-                kept = gold.join(
-                    F.broadcast(touched), ["line_id", "stop_id"], "left_anti"
-                )
-                new_gold = kept.unionByName(recomputed)
-            except Exception:  # first batch: no gold yet
-                new_gold = recomputed
-
-            # write-new-then-swap (stand-in for a transactional MERGE)
-            tmp = gold_dir + ".tmp"
-            new_gold.write.mode("overwrite").parquet(tmp)
-            jvm = spark._jvm
-            conf = spark._jsc.hadoopConfiguration()
-            dst = jvm.org.apache.hadoop.fs.Path(gold_dir)
-            src = jvm.org.apache.hadoop.fs.Path(tmp)
-            fs = dst.getFileSystem(conf)
-            fs.delete(dst, True)
-            fs.rename(src, dst)
+            # MERGE through the lakehouse adapter: delete_keys=touched
+            # (not recomputed's keys) so a key whose recompute yields
+            # zero rows still has its stale gold rows removed.
+            merge_upsert(
+                spark,
+                gold_dir,
+                recomputed,
+                keys=["line_id", "stop_id"],
+                delete_keys=touched,
+            )
         finally:
             batch_df.unpersist()
 

@@ -273,3 +273,14 @@ def test_blocked_neardup_equals_numpy_tier(spark, sf_correct):
             ).collect()
         }
         assert blocked == exact, f"n_blocks={n_blocks}"
+
+
+def test_dedup_representatives_keeps_min_id_per_text(spark):
+    from tfl_realtime_lakehouse_spark.operators.dedup import dedup_representatives
+
+    df = spark.createDataFrame(
+        [(1, "x"), (5, "x"), (3, "x"), (2, "y"), (7, "z"), (4, "z")],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_id, r.text) for r in dedup_representatives(df).collect()}
+    assert got == {(1, "x"), (2, "y"), (4, "z")}

@@ -37,6 +37,24 @@ def exact_dedup_groups(
     )
 
 
+def dedup_representatives(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative row (minimum id) per exact-duplicate group.
+
+    The standard first stage of a dedup pipeline: run this BEFORE any
+    near-dup operator. Exact duplicates multiply near-dup work
+    quadratically — k copies of a document inflate its posting lists k×
+    and its candidate pairs k² — so collapsing them first keeps the
+    expensive stages sized by UNIQUE content (measured at 10× replicated
+    corpus: jaccard wall time drops from ~293 s to ~1 s, see SCALE.md).
+    """
+    reps = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("first_doc").alias(id_col)
+    )
+    return df.join(reps, id_col, "left_semi")
+
+
 def _shingle_postings(
     df: DataFrame,
     text_col: str,

@@ -35,13 +35,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        from pyspark.sql import functions as F
+
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # physical TIMESTAMP(NANOS): arrived as long under the legacy
             # conf — rebuild at microsecond precision (zero ns remainder
             # in the corpus). A µs-typed file reads as timestamp directly.
-            from pyspark.sql import functions as F
-
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(df.schema["ts"].dataType, T.TimestampNTZType):
+            # µs file with isAdjustedToUTC=0 (e.g. DuckDB output): same
+            # instants under the pinned UTC session — cast to LTZ so
+            # downstream unix_micros/windowing sees one timestamp type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -63,6 +63,58 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_neardup_docs_bridge",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COSINE_DOUBLE.format(a="a.embedding", b="b.embedding")}, 6) AS score,
+           da.lang AS lang_a, db.lang AS lang_b,
+           (da.source = db.source) AS same_source
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    JOIN documents da ON da.doc_id = a.vec_id
+    JOIN documents db ON db.doc_id = b.vec_id
+    WHERE {_COSINE_DOUBLE.format(a="a.embedding", b="b.embedding")} >= 0.4
+    """,
+    doc="Cross-modal enrichment: embedding near-dup pairs joined back to "
+    "document metadata on both sides (vec_id aligns with doc_id in this "
+    "corpus) — the 'which texts are semantic dups, and do they come from "
+    "the same source' step of a dedup pipeline. Pair generation uses the "
+    "fully-distributed block plan; the metadata joins are plain equi-joins "
+    "AQE can broadcast.",
+)
+def embedding_neardup_docs_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    pairs = S.blocked_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+    return (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("vec_a"),
+                F.col("lang").alias("lang_a"),
+                F.col("source").alias("source_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("vec_b"),
+                F.col("lang").alias("lang_b"),
+                F.col("source").alias("source_b"),
+            ),
+            "vec_b",
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "score",
+            "lang_a",
+            "lang_b",
+            (F.col("source_a") == F.col("source_b")).alias("same_source"),
+        )
+    )
+
+
+@register(
     "embedding_neardup_blocked",
     oracle=f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -284,3 +284,52 @@ def test_dedup_representatives_keeps_min_id_per_text(spark):
     )
     got = {(r.doc_id, r.text) for r in dedup_representatives(df).collect()}
     assert got == {(1, "x"), (2, "y"), (4, "z")}
+
+
+def test_kmeans_train_is_deterministic_and_balanced(spark, sf_smoke):
+    emb = read_table(spark, sf_smoke, "embeddings")
+    c1 = {r.cell: tuple(r.centroid) for r in S.kmeans_train(emb, k=5, iters=2).collect()}
+    c2 = {r.cell: tuple(r.centroid) for r in S.kmeans_train(emb, k=5, iters=2).collect()}
+    assert c1 == c2  # hash-seeded init: reproducible across runs
+    assigned = S.kmeans_assign(emb, S.kmeans_train(emb, k=5, iters=2))
+    sizes = {r.cell: r["count"] for r in assigned.groupBy("cell").count().collect()}
+    assert sum(sizes.values()) == emb.count()  # every vector assigned once
+    assert len(sizes) >= 2  # non-degenerate clustering
+
+
+def test_kmeans_iterations_reduce_within_cell_variance(spark, sf_smoke):
+    emb = read_table(spark, sf_smoke, "embeddings")
+
+    def inertia(iters):
+        cents = S.kmeans_train(emb, k=5, iters=iters)
+        assigned = S.kmeans_assign(emb, cents)
+        scored = assigned.join(
+            F.broadcast(cents.select(F.col("cell"), "centroid")), "cell"
+        ).withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.col("centroid"),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        return scored.agg(F.sum("d")).collect()[0][0]
+
+    assert inertia(3) <= inertia(1) + 1e-9  # Lloyd is monotone
+
+
+def test_ivf_trained_full_probe_equals_exact(spark, sf_smoke):
+    """Same invariant as label-IVF: probing ALL trained cells must equal
+    brute-force top-k exactly."""
+    emb = read_table(spark, sf_smoke, "embeddings")
+    cents = S.kmeans_train(emb, k=5, iters=2)
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = S.ivf_topk(emb, queries, k=5, nprobe=5, centroids=cents).collect()
+    exact = {
+        (r.query_id, r.vec_id) for r in S.cosine_topk(emb, queries, k=5).collect()
+    }
+    assert {(r.query_id, r.vec_id) for r in got} == exact

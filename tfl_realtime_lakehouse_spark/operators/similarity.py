@@ -439,6 +439,84 @@ def label_centroids(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2): broadcast
+    the k centroids, score k candidates per row, reduce with a
+    ``min_by`` argmin — partial aggregation keeps the shuffle at one row
+    per vector, not per (vector, centroid). Ties break on cell id."""
+    scored = corpus.join(
+        F.broadcast(centroids.select(F.col("cell").alias("_c"), "centroid"))
+    ).withColumn(
+        "_d",
+        F.aggregate(
+            F.zip_with(
+                _as_double(F.col(vec_col)), F.col("centroid"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(F.col("_c"), F.col(vec_col)), F.struct("_d", "_c")
+            ).alias("_best")
+        )
+        .select(
+            id_col,
+            F.col(f"_best.{vec_col}").alias(vec_col),
+            F.col("_best._c").alias(cell_col),
+        )
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd iterations, pure DataFrame ops — the IVF
+    training step when no cell assignment exists.
+
+    Init: k seed vectors chosen by a deterministic hash order (spread,
+    reproducible, no driver math). Each iteration: assign (broadcast-k
+    argmin, no shuffle) → update (posexplode + two-level groupBy avg —
+    one shuffle keyed by (cell, dim), same shape as
+    :func:`label_centroids`). Convergence to a local optimum is
+    monotone in within-cell variance; ``iters`` of 3-5 is the standard
+    IVF budget since cells only need to be balanced, not optimal.
+    Returns (cell, centroid array<double>).
+    """
+    seeds = (
+        corpus.select(F.col(vec_col))
+        .withColumn("_h", F.xxhash64(F.col(vec_col).cast("string")))
+        .orderBy("_h")
+        .limit(k)
+        .withColumn(
+            "cell",
+            (F.row_number().over(Window.orderBy("_h")) - 1).cast("int"),
+        )
+        .select("cell", _as_double(F.col(vec_col)).alias("centroid"))
+    )
+    cents = seeds
+    for _ in range(iters):
+        assigned = kmeans_assign(corpus, cents, id_col, vec_col, cell_col="cell")
+        cents = label_centroids(assigned, cell_col="cell", vec_col=vec_col).select(
+            "cell", "centroid"
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -448,14 +526,25 @@ def ivf_topk(
     vec_col: str = "embedding",
     cell_col: str = "label",
     query_id_col: str = "query_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: probe only the ``nprobe`` cells whose
     centroids are closest to each query, then exact-score within them.
 
     Candidate generation is an equi-join on the cell id — at scale the
     corpus is stored partitioned by cell, making the probe a partition-
-    pruned scan rather than a full pass."""
-    cents = label_centroids(corpus, cell_col, vec_col)
+    pruned scan rather than a full pass.
+
+    Cell assignment comes from the corpus's ``cell_col`` by default;
+    pass ``centroids`` (cell, centroid — e.g. from :func:`kmeans_train`)
+    to assign the corpus to trained cells instead (the real IVF build
+    path when no natural partitioning exists)."""
+    if centroids is not None:
+        corpus = kmeans_assign(corpus, centroids, id_col, vec_col, cell_col="cell")
+        cell_col = "cell"
+        cents = centroids
+    else:
+        cents = label_centroids(corpus, cell_col, vec_col)
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec"))
     probe_w = Window.partitionBy(query_id_col).orderBy(
         F.col("cdist").desc(), F.col(cell_col)

@@ -146,6 +146,23 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ann_ivf_trained",
+    oracle=None,  # approximate by design; invariants pinned by pytest
+    doc="IVF over TRAINED cells: distributed Lloyd k-means "
+    "(operators/similarity.py:kmeans_train — hash-seeded init, "
+    "broadcast-k argmin assign with map-side-combinable min_by, "
+    "posexplode-groupBy centroid update), then nprobe cell probing. "
+    "The real IVF build path when no natural partitioning exists; "
+    "full-probe ≡ brute-force is pytest-pinned.",
+)
+def embedding_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_train(emb, k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=5, nprobe=3, centroids=cents)
+
+
+@register(
     "embedding_ann_lsh",
     oracle=None,  # probabilistic recall by design (sign-LSH); precision
     # is exact (verified cosine) and recall vs the exact pairs is

@@ -333,3 +333,28 @@ def test_ivf_trained_full_probe_equals_exact(spark, sf_smoke):
         (r.query_id, r.vec_id) for r in S.cosine_topk(emb, queries, k=5).collect()
     }
     assert {(r.query_id, r.vec_id) for r in got} == exact
+
+
+def test_hll_sketch_union_is_merge_invariant(spark, sf_correct):
+    """The property that makes sketches the 100 TB distinct path: the
+    union of per-group sketches estimates (almost) the same value as one
+    global sketch, and both land within the published error bound of the
+    true distinct count."""
+    orders = read_table(spark, sf_correct, "orders")
+    unioned = (
+        orders.groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    direct = orders.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("n")
+    ).collect()[0].n
+    true = orders.select("o_custkey").distinct().count()
+    # Not bit-identical: Datasketches may promote sparse→dense during
+    # union, shifting the estimator slightly. Both must sit within the
+    # published error bound of truth and within 1% of each other.
+    assert abs(unioned - direct) / true < 0.01
+    assert abs(unioned - true) / true < 0.05
+    assert abs(direct - true) / true < 0.05

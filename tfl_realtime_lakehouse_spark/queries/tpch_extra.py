@@ -306,3 +306,31 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
     )
+
+
+@register(
+    "agg_hll_mergeable",
+    oracle=None,  # Spark's Datasketches HLL ≠ DuckDB's HLL → rows-only;
+    # merge-invariance + accuracy are asserted in tests.
+    doc="MERGEABLE HLL sketches (hll_sketch_agg → hll_union_agg → "
+    "estimate): per-priority sketches of the customer set, plus the "
+    "union-of-sketches overall estimate as a grand-total row. This is "
+    "the re-aggregatable distinct path at 100 TB — per-partition/day "
+    "sketches stored once, any rollup answered by sketch union instead "
+    "of a re-scan (approx_count_distinct can't re-aggregate).",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sketches = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.hll_sketch_agg("o_custkey").alias("sk"))
+    )
+    per_group = sketches.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    overall = sketches.agg(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+    )
+    return per_group.unionByName(overall)

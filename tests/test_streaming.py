@@ -16,6 +16,7 @@ from tfl_realtime_lakehouse_spark.streaming import (
     read_bronze_stream,
     streaming_headways,
 )
+from tfl_realtime_lakehouse_spark.streaming.sink import run_silver_stream
 
 ROWS = [
     ("S1", "central", "P1", "D", 100, "2025-01-01T10:00:00Z"),
@@ -273,3 +274,73 @@ def test_incremental_gold_replay_is_idempotent(spark, tmp_path):
 
     writer(batch(["2025-01-01T11:20:00Z"], "2025-01-01"), 1)  # new batch appends
     assert spark.read.parquet(silver_dir).count() == silver_n + 1
+
+
+def test_datasource_to_gold_medallion_pipeline(spark, tmp_path):
+    """End-to-end composition: the tfl_arrivals streaming DataSource
+    feeds bronze, the bronze file-stream feeds the staged silver sink,
+    and the batch gold recompute matches the staged rows — proving the
+    round-2 source plugs into the existing medallion path unchanged."""
+    import json as _json
+
+    from tfl_realtime_lakehouse_spark.sources import datasource as DS
+    from tfl_realtime_lakehouse_spark.sources.tables import write_bronze
+
+    DS.register(spark)
+    fixture = tmp_path / "fx.json"
+    fixture.write_text(
+        _json.dumps(
+            {
+                "S1": [
+                    {
+                        "naptanId": "S1",
+                        "lineId": "central",
+                        "platformName": "P1",
+                        "destinationName": "Epping",
+                        "timeToStation": 120,
+                        "timestamp": "2025-01-01T10:00:00Z",
+                    },
+                    {
+                        "naptanId": "S1",
+                        "lineId": "central",
+                        "platformName": "P1",
+                        "destinationName": "Epping",
+                        "timeToStation": 60,
+                        "timestamp": "2025-01-01T10:40:00Z",
+                    },
+                ]
+            }
+        )
+    )
+    # stage 1: DataSource stream → date-partitioned bronze
+    raw_dir = str(tmp_path / "bronze")
+    stream = (
+        spark.readStream.format("tfl_arrivals")
+        .option("stops", "S1")
+        .option("fixture", str(fixture))
+        .option("max_polls", 1)
+        .load()
+    )
+    q = stream.writeStream.foreachBatch(
+        lambda batch, _bid: write_bronze(
+            batch.withColumn("date", F.to_date(F.substring("timestamp", 1, 10))),
+            raw_dir,
+        )
+    ).option("checkpointLocation", str(tmp_path / "ck1")).start()
+    q.processAllAvailable()
+    q.stop()
+
+    # stage 2: bronze file-stream → staged silver (idempotent sink)
+    silver_dir = str(tmp_path / "silver")
+    run_silver_stream(
+        stg_arrivals(read_bronze_stream(spark, raw_dir)),
+        silver_dir,
+        str(tmp_path / "ck2"),
+    ).awaitTermination(120)
+
+    # stage 3: batch gold over silver == expected headway
+    silver = spark.read.parquet(silver_dir)
+    gold = fct_headways_batch(silver).collect()
+    assert len(gold) == 1
+    assert (gold[0].line_id, gold[0].stop_id) == ("central", "S1")
+    assert gold[0].avg_headway_s == 2400.0  # the 40-minute gap

@@ -267,3 +267,55 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
     return hash_split(docs, "doc_id")
+
+
+@register(
+    "curation_pipeline_summary",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text, n_chars FROM documents
+      WHERE LEN(STRING_SPLIT(text, ' ')) >= 64
+        AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a'))) > 0
+        AND LEN(LIST_FILTER(STRING_SPLIT(text, ' '), w -> w IN ('the', 'a')))::DOUBLE
+            / LEN(STRING_SPLIT(text, ' ')) >= 0.02
+    ),
+    dedup AS (
+      SELECT k.doc_id, k.n_chars FROM kept k
+      JOIN (SELECT MIN(doc_id) AS m FROM kept GROUP BY MD5(text)) r
+        ON r.m = k.doc_id
+    ),
+    assigned AS (
+      SELECT n_chars,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT n_chars,
+                   ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+            FROM dedup) t
+    )
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+    doc="The full curation pipeline as ONE composed plan: quality gate "
+    "(length + stopword presence) AND lang-id filter -> exact-dedup "
+    "representative pass -> deterministic hash split -> per-split "
+    "volume summary. Every stage is an engine operator "
+    "(operators/text.py, dedup.py, sampling.py); Catalyst fuses the "
+    "filters into the scan and the whole job is two shuffles (dedup "
+    "groupBy + final aggregate).",
+)
+def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.dedup import dedup_representatives
+    from tfl_realtime_lakehouse_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    nstop = X.stopword_count("text")
+    ntok = X.token_count("text")
+    kept = docs.filter(
+        (ntok >= 64) & (nstop > 0) & (X.lang_id("text") == F.lit("en"))
+    )
+    reps = dedup_representatives(kept)
+    assigned = hash_split(reps.select("doc_id", "n_chars"), "doc_id")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

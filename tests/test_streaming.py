@@ -344,3 +344,41 @@ def test_datasource_to_gold_medallion_pipeline(spark, tmp_path):
     assert len(gold) == 1
     assert (gold[0].line_id, gold[0].stop_id) == ("central", "S1")
     assert gold[0].avg_headway_s == 2400.0  # the 40-minute gap
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup: dropDuplicatesWithinWatermark removes
+    redelivered events while the key is inside the watermark window —
+    the streaming face of the exact-dedup operator (state is bounded by
+    the watermark, unlike a global dropDuplicates)."""
+    import json as _json
+
+    src = tmp_path / "dedup-src"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2025-01-01T10:00:00Z", "v": "a"},
+        {"event_id": 2, "ts": "2025-01-01T10:05:00Z", "v": "b"},
+        {"event_id": 1, "ts": "2025-01-01T10:00:00Z", "v": "a"},  # dup delivery
+        {"event_id": 3, "ts": "2025-01-01T10:10:00Z", "v": "c"},
+        {"event_id": 2, "ts": "2025-01-01T10:05:00Z", "v": "b"},  # dup delivery
+    ]
+    (src / "batch.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts string, v string")
+        .json(str(src))
+        .withColumn("event_ts", F.to_timestamp("ts"))
+        .withWatermark("event_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = str(tmp_path / "dedup-out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dedup-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.event_id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c")]

@@ -358,3 +358,63 @@ def test_hll_sketch_union_is_merge_invariant(spark, sf_correct):
     assert abs(unioned - direct) / true < 0.01
     assert abs(unioned - true) / true < 0.05
     assert abs(direct - true) / true < 0.05
+
+
+def test_session_window_builtin_matches_custom_sessionization(spark):
+    """Spark's session_window must reproduce the custom lag/cumsum
+    sessionization on non-boundary data, including the exact-boundary
+    case: an event at precisely last+gap extends the session in BOTH
+    (session_window merges on `<=` window end, matching the custom
+    operator's strict `> gap` new-session test)."""
+    gap = "30 minutes"
+    base = 1_700_000_000
+
+    def sessions_builtin(rows):
+        df = spark.createDataFrame(rows, "user_id long, epoch long").select(
+            "user_id", F.timestamp_seconds("epoch").alias("ts")
+        )
+        return sorted(
+            (r.user_id, r.n, r.s.isoformat())
+            for r in df.groupBy("user_id", F.session_window("ts", gap))
+            .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("s"))
+            .collect()
+        )
+
+    def sessions_custom(rows):
+        df = spark.createDataFrame(rows, "user_id long, epoch long").select(
+            "user_id", F.timestamp_seconds("epoch").alias("ts")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts")
+        wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        sess = (
+            df.withColumn("prev", F.lag("ts").over(w))
+            .withColumn(
+                "new",
+                F.when(
+                    F.col("prev").isNull()
+                    | (F.unix_micros("ts") - F.unix_micros("prev") > 1800 * 1_000_000),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn("sid", F.sum("new").over(wsum))
+        )
+        return sorted(
+            (r.user_id, r.n, r.s.isoformat())
+            for r in sess.groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("s"))
+            .collect()
+        )
+
+    # non-boundary gaps: 10 min (same session), 31 min (new session)
+    rows = [
+        (1, base), (1, base + 600), (1, base + 600 + 1860),
+        (2, base), (2, base + 100),
+    ]
+    assert sessions_builtin(rows) == sessions_custom(rows)
+
+    # boundary: exactly 30 min apart — both keep the session open
+    edge = [(1, base), (1, base + 1800)]
+    assert sessions_builtin(edge) == sessions_custom(edge)
+    assert len(sessions_custom(edge)) == 1

@@ -418,3 +418,26 @@ def test_session_window_builtin_matches_custom_sessionization(spark):
     edge = [(1, base), (1, base + 1800)]
     assert sessions_builtin(edge) == sessions_custom(edge)
     assert len(sessions_custom(edge)) == 1
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from tfl_realtime_lakehouse_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text.split(" "))
+        for r in chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    }
+    # 100 tokens, stride 48: starts 0/48/96 with 64/52/4 tokens
+    assert got[(1, 0)][0] == 64 and got[(1, 0)][1][0] == "t0"
+    assert got[(1, 1)][0] == 52 and got[(1, 1)][1][0] == "t48"
+    assert got[(1, 2)] == (4, ["t96", "t97", "t98", "t99"])
+    # overlap: chunk 1 repeats tokens 48..63 of chunk 0
+    assert got[(1, 0)][1][48:] == got[(1, 1)][1][:16]
+    # short docs yield exactly one chunk
+    assert got[(2, 0)] == (3, ["a", "b", "c"])
+    assert got[(3, 0)] == (1, ["solo"])
+    assert len(got) == 5

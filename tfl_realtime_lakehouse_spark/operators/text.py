@@ -70,3 +70,49 @@ def fingerprint(text: Column | str, prefix_words: int = 8) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     head = F.concat_ws(" ", F.slice(tokens(F.lower(col)), 1, prefix_words))
     return F.md5(head)
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    training-sample preparation step (chunk_tokens window, stride <
+    chunk_tokens gives chunk overlap for context continuity).
+
+    Pure higher-order functions: per row, build the chunk-start sequence
+    (0, stride, 2·stride, … while a full-or-final window remains), slice
+    the token array per start, and posexplode — zero Python, zero
+    shuffle; output rows ∝ n_tokens/stride. A document shorter than one
+    window yields exactly one chunk.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # last start: largest multiple of stride that still begins a
+    # non-empty window strictly inside the document
+    last_start = F.greatest(
+        F.lit(0), F.floor((n - 1) / F.lit(stride)).cast("int") * stride
+    )
+    starts = F.filter(
+        F.sequence(F.lit(0), last_start, F.lit(stride)),
+        lambda s: s < n,
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), n - s).cast("int").alias("n_tokens"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "c"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )

@@ -319,3 +319,36 @@ def curation_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "text_chunking",
+    oracle="""
+    WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, LEN(toks) AS n,
+                 LIST_FILTER(
+                   RANGE(0, GREATEST(0, CAST(FLOOR((LEN(toks)-1)/48) AS INT)*48)+1, 48),
+                   x -> x < LEN(toks)) AS starts
+          FROM t),
+    c AS (SELECT doc_id, toks, n,
+                 UNNEST(LIST_TRANSFORM(RANGE(1, LEN(starts)+1),
+                        i -> {'chunk_id': i-1, 's': starts[i]})) AS ch
+          FROM s)
+    SELECT doc_id, CAST(ch.chunk_id AS INTEGER) AS chunk_id,
+           ARRAY_TO_STRING(toks[ch.s+1 : ch.s+64], ' ') AS chunk_text,
+           CAST(LEAST(64, n - ch.s) AS INTEGER) AS n_tokens
+    FROM c
+    """,
+    doc="Document chunking into overlapping token windows (64-token "
+    "chunks, stride 48 -> 16-token overlap) — the training-sample "
+    "preparation op (operators/text.py:chunk_documents). Pure "
+    "higher-order functions: sequence -> filter -> transform -> "
+    "posexplode, zero Python and zero shuffle; rows scale with "
+    "n_tokens/stride.",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
+    )

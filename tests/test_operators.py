@@ -441,3 +441,53 @@ def test_chunk_documents_windows_and_overlap(spark):
     assert got[(2, 0)] == (3, ["a", "b", "c"])
     assert got[(3, 0)] == (1, ["solo"])
     assert len(got) == 5
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(spark):
+    import random
+
+    rng = random.Random(13)
+    cases = [
+        [(1, 2), (2, 3), (3, 4), (4, 5)],          # chain (worst case for
+        [(5, 1), (9, 5), (3, 9), (7, 3)],          #  plain label propagation)
+        [(1, 2), (1, 3), (2, 3), (10, 11)],        # clique + island pair
+    ]
+    for _ in range(3):
+        n = rng.randint(2, 40)
+        cases.append(
+            [(rng.randint(0, n), rng.randint(0, n)) for _ in range(rng.randint(1, 60))]
+        )
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r["node"]: r["component"] for r in D.connected_components(df).collect()}
+        assert got == _uf_components(edges, nodes)
+
+
+def test_cluster_assignments_singletons_and_reps(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 5), (5, 7), (2, 3)], "doc_a long, doc_b long")
+    rows = {r["doc_id"]: r for r in D.cluster_assignments(docs, pairs).collect()}
+    assert rows[1]["cluster_id"] == 1 and rows[5]["cluster_id"] == 1 and rows[7]["cluster_id"] == 1
+    assert rows[2]["cluster_id"] == 2 and rows[3]["cluster_id"] == 2
+    for i in (0, 4, 6):  # singletons keep their own id, size 1, kept
+        assert rows[i]["cluster_id"] == i and rows[i]["cluster_size"] == 1 and rows[i]["is_rep"] == 1
+    assert rows[1]["cluster_size"] == 3 and rows[1]["is_rep"] == 1 and rows[5]["is_rep"] == 0
+    assert sum(r["is_rep"] for r in rows.values()) == 5  # one rep per cluster

@@ -393,3 +393,122 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into CLUSTERS: distributed connected
+    components via alternating large-star / small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    This is the stage every pair-producing dedup operator (jaccard,
+    MinHash-LSH, SimHash, embedding near-dup) needs before anything can
+    be dropped: near-duplication is not transitive pairwise, so "keep
+    one per pair" over-deletes — the industry-standard policy is "keep
+    one representative per connected component" of the similarity graph.
+
+    Why this algorithm at 100 TB: plain min-label propagation needs
+    O(graph diameter) rounds; star contraction converges in O(log n)
+    rounds with each round a bounded set of shuffles on the node id
+    (window-min + equi-joins — no collect, no driver state beyond a
+    2-value convergence statistic per round). Lineage is cut every
+    round with localCheckpoint so the plan does not grow with the
+    iteration count.
+
+    Returns (node, component) for every node appearing in ``pairs``,
+    where component = the minimum node id of its cluster. Nodes not in
+    any pair are absent (join back with a left join + coalesce).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _stat(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["c"], row["h"])
+
+    prev = _stat(edges)
+    if prev[0] == 0:
+        return edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+
+    for _ in range(max_iters):
+        # Large-star: key each undirected edge on BOTH endpoints; per key
+        # u, link every strictly-larger neighbour to the minimum of the
+        # neighbourhood (window min — no neighbour-list materialisation).
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        lg = (
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: key each edge on its LARGER endpoint; link the key
+        # and all its (smaller) neighbours to the neighbourhood minimum.
+        e2 = lg.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        w2 = Window.partitionBy("u")
+        sm = e2.withColumn("m", F.min("v").over(w2))
+        new_edges = (
+            sm.select(F.col("v").alias("n"), F.col("m"))
+            .union(sm.select(F.col("u").alias("n"), F.col("m")).distinct())
+            .where(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = _stat(new_edges)
+        edges = new_edges
+        if cur == prev:
+            # Fixpoint: the edge set is a star forest (node -> root).
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+
+    return (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(edges.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .distinct()
+    )
+
+
+def cluster_assignments(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Per-row cluster assignment from a near-dup pair list: every row of
+    ``df`` gets its connected-component id (singletons keep their own id),
+    the cluster size, and an ``is_rep`` flag marking the one row per
+    cluster (minimum id) a dedup pipeline would keep."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    out = (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_rep"),
+    )

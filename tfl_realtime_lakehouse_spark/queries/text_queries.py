@@ -352,3 +352,48 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         table(spark, sf_dir, "documents"), chunk_tokens=64, stride=48
     )
+
+
+@register(
+    "dedup_cluster_resolution",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+            / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INTEGER) AS is_rep
+    FROM assigned
+    """,
+    doc="Near-dup CLUSTER resolution: jaccard pairs -> connected "
+    "components (alternating large-star/small-star, O(log n) shuffle "
+    "rounds) -> one representative per cluster. The stage that turns "
+    "any pairwise dedup operator's output into a keep/drop decision "
+    "(near-duplication is not transitive, so per-pair deletion "
+    "over-deletes); the oracle resolves the same graph with a "
+    "recursive CTE.",
+)
+def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    return D.cluster_assignments(docs, pairs)

@@ -491,3 +491,44 @@ def test_cluster_assignments_singletons_and_reps(spark):
         assert rows[i]["cluster_id"] == i and rows[i]["cluster_size"] == 1 and rows[i]["is_rep"] == 1
     assert rows[1]["cluster_size"] == 3 and rows[1]["is_rep"] == 1 and rows[5]["is_rep"] == 0
     assert sum(r["is_rep"] for r in rows.values()) == 5  # one rep per cluster
+
+
+def test_repetition_metrics_flags_looped_text(spark):
+    from tfl_realtime_lakehouse_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham " * 50),                 # one bigram dominates
+            (2, " ".join(f"w{i}" for i in range(100))),  # all-distinct
+            (3, "solo"),                            # < 2 tokens
+        ],
+        "doc_id long, text string",
+    )
+    docs = docs.selectExpr("doc_id", "trim(text) AS text")
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert rows[1]["dup_token_fraction"] == 0.98
+    assert rows[1]["top_bigram_fraction"] > 0.4
+    assert rows[2]["dup_token_fraction"] == 0.0
+    assert rows[2]["top_bigram_count"] == 1
+    assert rows[3]["n_tokens"] == 1 and rows[3]["top_bigram_count"] == 0
+    assert rows[3]["top_bigram_fraction"] == 0.0
+
+
+def test_redact_pii_categories_and_order(spark):
+    from tfl_realtime_lakehouse_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "x bob.smith+t@foo-bar.co.uk y"),
+            (2, "ip 10.0.255.3 run 12345678"),
+            (3, "no pii here"),
+            (4, "short digits 123456 stay"),  # 6 digits: below the run floor
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["clean_text"] == "x <EMAIL> y"
+    assert rows[2]["n_ip"] == 1 and rows[2]["n_digit_run"] == 1
+    assert rows[2]["clean_text"] == "ip <IP> run <DIGIT_RUN>"
+    assert rows[3]["clean_text"] == "no pii here"
+    assert rows[4]["n_digit_run"] == 0 and "123456" in rows[4]["clean_text"]

@@ -116,3 +116,78 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").alias("n_tokens"),
     )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition features per document (Rae et al. 2021,
+    §A1.1): duplicate-token fraction and the share of the most common
+    bigram. Repetitious documents are a strong low-quality signal for
+    pre-training corpora.
+
+    The duplicate-token fraction is pure per-row HOF work. The
+    most-common-bigram share is computed by explode + two-level
+    aggregation — the scalable way to take a per-document mode (the
+    shuffle key is (doc, bigram); no per-row O(n²) HOF scan, no
+    collect). Documents with fewer than 2 tokens get zero metrics.
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    bg = df.where(F.size(tokens(text_col)) >= 2).select(
+        F.col(id_col), F.explode(shingles(text_col, 2)).alias("bigram")
+    )
+    counts = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.groupBy(id_col).agg(
+        F.max("cnt").alias("top_bigram_count"),
+        F.sum("cnt").alias("n_bigrams"),
+    )
+    out = base.join(top, id_col, "left")
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+    )
+    top_frac = F.coalesce(
+        F.round(
+            F.col("top_bigram_count").cast("double") / F.col("n_bigrams"), 6
+        ),
+        F.lit(0.0),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        dup_frac.alias("dup_token_fraction"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).alias("top_bigram_count"),
+        top_frac.alias("top_bigram_fraction"),
+    )
+
+
+# PII patterns: RE2- and java.util.regex-compatible (no backrefs, no
+# lookaround) so the Spark plan and any SQL oracle agree byte-for-byte.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "digit_run": r"\d{7,}",
+}
+PII_ORDER = ("email", "ip", "digit_run")  # ip before digit_run: an IP's
+# octets are short digit runs; an unredacted 7+-digit run is never an IP.
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "clean_text"
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4s, long digit runs) with typed
+    placeholders and count redactions per category. Pure JVM regex
+    (regexp_count / regexp_replace) — zero Python in the hot path, fully
+    codegen'd, trivially data-parallel."""
+    counts = {
+        f"n_{name}": F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[name]))
+        for name in PII_ORDER
+    }
+    cleaned = F.col(text_col)
+    for name in PII_ORDER:
+        cleaned = F.regexp_replace(cleaned, PII_PATTERNS[name], f"<{name.upper()}>")
+    return df.withColumns({**counts, out_col: cleaned})

@@ -397,3 +397,92 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
     return D.cluster_assignments(docs, pairs)
+
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(LEN(STRING_SPLIT(text,' ')) AS INTEGER) AS n_tokens,
+             CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text,' '))) AS INTEGER) AS n_distinct
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' '))),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+1], ' '))) AS bigram
+      FROM documents WHERE LEN(STRING_SPLIT(text,' ')) >= 2
+    ), counts AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram
+    ), top AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_count, SUM(cnt) AS n_bigrams
+      FROM counts GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           ROUND(1.0 - b.n_distinct::DOUBLE / b.n_tokens, 6) AS dup_token_fraction,
+           COALESCE(t.top_bigram_count, 0) AS top_bigram_count,
+           COALESCE(ROUND(t.top_bigram_count::DOUBLE / t.n_bigrams, 6), 0.0)
+             AS top_bigram_fraction,
+           CAST(ROUND(1.0 - b.n_distinct::DOUBLE / b.n_tokens, 6) <= 0.6
+                AND COALESCE(ROUND(t.top_bigram_count::DOUBLE / t.n_bigrams, 6), 0.0) <= 0.05
+                AS INTEGER) AS keep
+    FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+    """,
+    doc="Gopher-style repetition quality filter (Rae et al. 2021 §A1.1): "
+    "duplicate-token fraction (per-row HOF) + most-common-bigram share "
+    "(explode + two-level agg — the scalable per-doc mode) + keep flag. "
+    "The pre-training corpus filter that removes boilerplate/looped text.",
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = X.repetition_metrics(table(spark, sf_dir, "documents"))
+    keep = (
+        (F.col("dup_token_fraction") <= 0.6) & (F.col("top_bigram_fraction") <= 0.05)
+    ).cast("int")
+    return m.withColumn("keep", keep)
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                     THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' from 10.' || (doc_id % 256) || '.0.' || (doc_id % 254 + 1) ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                     THEN ' ref ' || (1000000 + doc_id * 9973) ELSE '' END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+           CAST(LEN(regexp_extract_all(text, '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INTEGER) AS n_ip,
+           CAST(LEN(regexp_extract_all(text, '\\d{7,}')) AS INTEGER) AS n_digit_run,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+             '\\d{7,}', '<DIGIT_RUN>', 'g') AS clean_text
+    FROM aug
+    """,
+    doc="PII scrubbing over documents: emails / IPv4s / long digit runs "
+    "redacted with typed placeholders + per-category counts, all JVM "
+    "regex (regexp_count/regexp_replace, RE2-compatible patterns so the "
+    "oracle agrees byte-for-byte). The corpus has no PII, so the query "
+    "deterministically injects doc_id-derived spans on BOTH engines "
+    "before scrubbing — redaction behavior is exercised on ~1/3 of rows "
+    "with zero-count rows kept as negatives.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0."), (d % 254 + 1).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.concat(F.lit(" ref "), (F.lit(1000000) + d * 9973).cast("string"))).otherwise(F.lit("")),
+    )
+    return X.redact_pii(
+        docs.select("doc_id", aug.alias("text"))
+    ).select("doc_id", "n_email", "n_ip", "n_digit_run", "clean_text")

@@ -532,3 +532,55 @@ def test_redact_pii_categories_and_order(spark):
     assert rows[2]["clean_text"] == "ip <IP> run <DIGIT_RUN>"
     assert rows[3]["clean_text"] == "no pii here"
     assert rows[4]["n_digit_run"] == 0 and "123456" in rows[4]["clean_text"]
+
+
+def test_contamination_check_flags_overlap(spark):
+    from tfl_realtime_lakehouse_spark.operators.text import contamination_check
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon zeta"),  # benchmark member: excluded
+            (1, "x alpha beta gamma delta y"),             # shares one 4-gram
+            (2, "totally different words here now"),       # clean
+            (3, "one two"),                                # shorter than n -> 0 grams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in contamination_check(docs, bench, n=4, frac_threshold=0.3).collect()}
+    assert 100 not in rows
+    assert rows[1]["n_overlap"] == 1 and rows[1]["is_contaminated"] == 1
+    assert rows[2]["n_overlap"] == 0 and rows[2]["is_contaminated"] == 0
+    assert rows[3]["n_grams"] == 0 and rows[3]["overlap_frac"] == 0.0
+
+
+def test_pack_sequences_shard_local_invariants(spark):
+    from tfl_realtime_lakehouse_spark.operators.text import chunk_documents, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range(10 + (i * 37) % 150))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_tokens=16, stride=16)
+    packed = pack_sequences(chunks, context_tokens=64, num_shards=4)
+    rows = packed.collect()
+    # every chunk assigned exactly once; shard = doc_id % 4
+    assert len(rows) == chunks.count()
+    assert all(r["shard"] == r["doc_id"] % 4 for r in rows)
+    # windows fill: chunk starts at the window its cumulative offset falls in,
+    # so a window never holds more than context + (chunk - 1) extra tokens
+    from collections import defaultdict
+
+    per_window = defaultdict(int)
+    for r in rows:
+        per_window[(r["shard"], r["window_id"])] += r["n_tokens"]
+    for (shard, wid), tot in per_window.items():
+        assert tot <= 64 + 15
+    # window ids are dense from 0 within each shard
+    by_shard = defaultdict(set)
+    for (shard, wid), _ in per_window.items():
+        by_shard[shard].add(wid)
+    for shard, wids in by_shard.items():
+        assert wids == set(range(len(wids)))

@@ -6,7 +6,7 @@ whole-stage-codegen) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny function-word list used by the quality / lang-id heuristics. The
@@ -27,12 +27,17 @@ def token_count(text: Column | str) -> Column:
 
 def shingles(text: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (higher-order functions;
-    computed per-row with zero shuffle)."""
+    computed per-row with zero shuffle). Documents shorter than n tokens
+    yield an empty array (guarded: F.sequence(0, negative) would count
+    DOWN and emit garbage slices, not an empty sequence)."""
     toks = tokens(text)
-    return F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def stopword_count(text: Column | str, stopwords=EN_STOPWORDS) -> Column:
@@ -191,3 +196,87 @@ def redact_pii(
     for name in PII_ORDER:
         cleaned = F.regexp_replace(cleaned, PII_PATTERNS[name], f"<{name.upper()}>")
     return df.withColumns({**counts, out_col: cleaned})
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    frac_threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents whose
+    n-gram overlap with an eval/benchmark set clears a threshold (the
+    GPT-3-style decontamination step; n=8..13 in published pipelines).
+
+    Plan shape for 100 TB: the benchmark gram set is BOUNDED (eval
+    suites are thousands of items, not a fraction of the corpus), so a
+    broadcast semi-join against the exploded training grams is the
+    correct strategy — the corpus side streams through map-side with no
+    shuffle; the only aggregation is the per-doc hit count, keyed on
+    the document id.
+
+    Benchmark members are excluded from the scored side (anti-join).
+    Returns per-doc gram totals, hit counts, overlap fraction, and the
+    contamination flag.
+    """
+    grams_expr = F.array_distinct(shingles(text_col, n))
+    bench_grams = (
+        benchmark.select(F.explode(grams_expr).alias("gram")).distinct()
+    )
+    train = df.join(benchmark.select(id_col), id_col, "left_anti")
+    totals = train.select(F.col(id_col), F.size(grams_expr).alias("n_grams"))
+    hits = (
+        train.select(F.col(id_col), F.explode(grams_expr).alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("double")
+        / F.greatest(F.col("n_grams"), F.lit(1)),
+        6,
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            frac.alias("overlap_frac"),
+            (frac >= frac_threshold).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    context_tokens: int = 256,
+    num_shards: int = 32,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign token chunks to fixed-size training context windows
+    ("concat-then-split" packing, no straddling: each chunk lands in the
+    window where its start offset falls).
+
+    Packing is SHARD-LOCAL by design: a global concatenation order would
+    serialize the whole corpus through one window partition — the
+    classic scale-killer. Training needs full windows, not one global
+    order, so we shard by hash of the document id and pack within each
+    shard: num_shards independent window partitions, each a parallel
+    cumulative sum over a deterministic (doc, chunk) order. Window ids
+    are (shard, window_id) pairs.
+    """
+    shard = (F.col(id_col) % num_shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    return chunks.withColumn("shard", shard).withColumn(
+        "window_id", F.floor(cum_before / context_tokens)
+    )

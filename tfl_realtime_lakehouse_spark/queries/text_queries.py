@@ -486,3 +486,74 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.redact_pii(
         docs.select("doc_id", aug.alias("text"))
     ).select("doc_id", "n_email", "n_ip", "n_digit_run", "clean_text")
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 2),
+             i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+3], ' '))) AS grams
+      FROM documents
+    ), bench AS (
+      SELECT DISTINCT UNNEST(grams) AS gram FROM g WHERE doc_id % 97 = 0
+    ), train AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM (SELECT doc_id, UNNEST(grams) AS gram FROM train) t
+      JOIN bench USING (gram) GROUP BY t.doc_id
+    )
+    SELECT t.doc_id, CAST(LEN(t.grams) AS INTEGER) AS n_grams,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0)::DOUBLE / GREATEST(LEN(t.grams), 1), 6) AS overlap_frac,
+           CAST(ROUND(COALESCE(h.n_overlap, 0)::DOUBLE / GREATEST(LEN(t.grams), 1), 6) >= 0.02
+                AS INTEGER) AS is_contaminated
+    FROM train t LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark-contamination detection (GPT-3-style decontamination): "
+    "4-gram overlap of every training document against a benchmark set "
+    "(docs with doc_id % 97 = 0 stand in for the eval suite). The "
+    "benchmark gram set is bounded, so it broadcasts; the corpus side "
+    "streams map-side with the per-doc hit count as the only shuffle.",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return X.contamination_check(docs, bench, n=4, frac_threshold=0.02)
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (SELECT doc_id, LEN(STRING_SPLIT(text,' ')) AS n FROM documents),
+    chunks AS (
+      SELECT doc_id, s.i AS start, LEAST(64, n - s.i) AS ct
+      FROM toks, UNNEST(RANGE(0, CAST(n AS BIGINT), 64)) AS s(i)
+    ), assigned AS (
+      SELECT doc_id, ct, CAST(doc_id % 32 AS INTEGER) AS shard,
+             CAST(FLOOR(COALESCE(SUM(ct) OVER (PARTITION BY doc_id % 32 ORDER BY doc_id, start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT) AS window_id
+      FROM chunks
+    )
+    SELECT shard, window_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(ct) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM assigned GROUP BY shard, window_id
+    """,
+    doc="Sequence packing for training: 64-token chunks concatenated "
+    "into 256-token context windows, SHARD-LOCAL by doc-id hash so the "
+    "cumulative-sum window runs as 32 independent parallel partitions "
+    "instead of one global serial order (the classic packing "
+    "scale-killer). Emits per-window fill statistics.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    chunks = X.chunk_documents(docs, chunk_tokens=64, stride=64)
+    packed = X.pack_sequences(chunks, context_tokens=256, num_shards=32)
+    return packed.groupBy("shard", "window_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -584,3 +584,36 @@ def test_pack_sequences_shard_local_invariants(spark):
         by_shard[shard].add(wid)
     for shard, wids in by_shard.items():
         assert wids == set(range(len(wids)))
+
+
+def test_mixture_sample_deterministic_and_monotone(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.operators.sampling import mixture_sample
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_correct, "documents")
+    rates = {"en": 1.0, "de": 0.5, "es": 0.1}
+    a = {r["doc_id"] for r in mixture_sample(docs, "lang", rates, "doc_id").select("doc_id").collect()}
+    b = {r["doc_id"] for r in mixture_sample(docs.repartition(13), "lang", rates, "doc_id").select("doc_id").collect()}
+    assert a == b  # repartition-invariant
+    # rate=1.0 keeps every row of the stratum; unlisted strata drop out
+    en_total = docs.where(F.col("lang") == "en").count()
+    kept = docs.join(spark.createDataFrame([(i,) for i in a], "doc_id long"), "doc_id", "left_semi")
+    assert kept.where(F.col("lang") == "en").count() == en_total
+    assert kept.where(F.col("lang") == "fr").count() == 0
+    # halving a rate only removes rows (nested-subset property)
+    half = {r["doc_id"] for r in mixture_sample(docs, "lang", {"en": 0.5}, "doc_id").select("doc_id").collect()}
+    full_en = {r["doc_id"] for r in docs.where(F.col("lang") == "en").select("doc_id").collect()}
+    assert half <= full_en
+
+
+def test_quantize_embeddings_roundtrip_error_bound(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.operators.similarity import quantize_embeddings
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    vecs = read_table(spark, sf_correct, "embeddings").limit(100)
+    out = quantize_embeddings(vecs).collect()
+    assert len(out) == 100
+    for r in out:
+        assert all(-127 <= x <= 127 for x in r["q"])
+        # symmetric int8: per-element error is at most half a quant step
+        assert r["max_abs_err"] <= 0.5 / r["scale"] + 1e-12

@@ -56,3 +56,36 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-stratum Bernoulli sample (approximate fractions, seeded)."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    buckets: int = 10000,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep a row iff its
+    content-addressed hash bucket falls under the stratum's target rate
+    — the "mix 50% web, 25% code, ..." step of training-corpus assembly.
+
+    Unlike ``sampleBy`` (seeded Bernoulli), membership is a pure
+    function of the row key: reproducible across engines, runs,
+    repartitions, and corpus growth (adding documents never flips an
+    existing row's decision). Rates are converted to integer bucket
+    thresholds driver-side, so the executor-side predicate is an exact
+    integer comparison — no float-truncation edge at rate boundaries.
+    A stratum absent from ``rates`` gets ``default_rate``.
+    """
+    thresholds = {k: int(round(v * buckets)) for k, v in rates.items()}
+    default_thresh = int(round(default_rate * buckets))
+    bucket = hash_bucket(key_col, buckets)
+    thresh = None
+    for name, t in thresholds.items():
+        cond = F.col(strata_col) == name
+        thresh = F.when(cond, t) if thresh is None else thresh.when(cond, t)
+    thresh = (
+        thresh.otherwise(default_thresh) if thresh is not None else F.lit(default_thresh)
+    )
+    return df.where(bucket < thresh)

@@ -557,3 +557,48 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("n_docs"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "domain_mixture_sample",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS bkt
+      FROM documents
+    ), r AS (
+      SELECT lang, bkt,
+             CASE lang WHEN 'en' THEN 10000 WHEN 'fr' THEN 7500 WHEN 'de' THEN 5000
+                       WHEN 'zh' THEN 2500 WHEN 'es' THEN 1000 ELSE 0 END AS thresh
+      FROM b
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bkt < thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           ROUND(SUM(CASE WHEN bkt < thresh THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 4)
+             AS realized_rate
+    FROM r GROUP BY lang
+    """,
+    doc="Domain-mixture assembly: deterministic per-stratum sampling to "
+    "target language proportions (en 100% / fr 75% / de 50% / zh 25% / "
+    "es 10%). Membership is a pure function of the row key (md5 bucket "
+    "< integer threshold), so the mixture is reproducible across "
+    "engines and stable as the corpus grows — unlike seeded Bernoulli "
+    "sampling. Emits per-stratum realized rates.",
+)
+def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.sampling import mixture_sample
+
+    docs = table(spark, sf_dir, "documents")
+    rates = {"en": 1.0, "fr": 0.75, "de": 0.5, "zh": 0.25, "es": 0.1}
+    sampled = mixture_sample(docs, "lang", rates, key_col="doc_id").groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(sampled, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        F.round(
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("double") / F.col("n_total"), 4
+        ).alias("realized_rate"),
+    )

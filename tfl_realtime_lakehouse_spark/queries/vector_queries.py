@@ -270,3 +270,44 @@ def scalar_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
     return emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             127.0 / GREATEST(LIST_MAX(LIST_TRANSFORM(v, x -> ABS(x))), 1e-30) AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, v, scale,
+             LIST_TRANSFORM(v, x -> CAST(ROUND(x * scale) AS INTEGER)) AS q
+      FROM s
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           q[1] AS q0, q[2] AS q1, q[3] AS q2, q[4] AS q3,
+           ROUND(LIST_MAX(LIST_TRANSFORM(RANGE(1, LEN(v) + 1),
+                 i -> ABS(v[i] - q[i]::DOUBLE / scale))), 9) AS max_abs_err
+    FROM q
+    """,
+    doc="Symmetric int8 embedding quantization (scale = 127/max|x|): the "
+    "vector-store compression step, pure HOF map-only stage — zero "
+    "shuffle, zero Python. Emits scale, leading quantized values, and "
+    "the worst-case dequantization error (a MAX reduction, chosen over "
+    "a float SUM so the result is evaluation-order deterministic).",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = table(spark, sf_dir, "embeddings")
+    out = S.quantize_embeddings(vecs)
+    return out.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.element_at("q", 1).alias("q0"),
+        F.element_at("q", 2).alias("q1"),
+        F.element_at("q", 3).alias("q2"),
+        F.element_at("q", 4).alias("q3"),
+        F.round("max_abs_err", 9).alias("max_abs_err"),
+    )

@@ -34,19 +34,15 @@ DRIVER_WINDOW = [
     "fct_headways",
     "stg_events_contract",
     "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_segment_revenue_topk",
     "agg_count_distinct",
     "agg_rollup",
     "agg_quantile_per_group",
-    "agg_pivot_status",
     "agg_argmax",
     "agg_stats",
     "agg_approx_distinct",
     # Joins / subqueries / sets
     "join_semi_big_spenders",
     "join_broadcast_dim_chain",
-    "join_full_outer",
     "subquery_correlated_count",
     "set_union_all",
     "set_union_schema_evolution",
@@ -55,15 +51,12 @@ DRIVER_WINDOW = [
     "window_frames_battery",
     "sort_nulls_battery",
     "filter_in_or_battery",
-    "filter_range_dq",
     "not_null_audit",
-    "empty_relation_fallback",
     # Temporal operators
     "asof_last_error_before_click",
     "range_join_events_per_order_week",
     "events_sessionization",
     # Scalar batteries (representatives; rest demoted, r01-green)
-    "scalar_datetime",
     "scalar_bitwise",
     "scalar_arrays",
     "scalar_posexplode",
@@ -88,6 +81,15 @@ DRIVER_WINDOW = [
     "embedding_ann_lsh",
     "multimodal_binary_meta",
     "multimodal_decode_dims",
+    # Round-2 additions (novel ops, not yet driver-verified; displaced
+    # entries all have a green CORRECTNESS_r01 row)
+    "dedup_cluster_resolution",
+    "text_repetition_filter",
+    "pii_redaction",
+    "contamination_check",
+    "sequence_packing",
+    "domain_mixture_sample",
+    "embedding_quantize",
 ]
 
 

@@ -617,3 +617,23 @@ def test_quantize_embeddings_roundtrip_error_bound(spark, sf_correct):
         assert all(-127 <= x <= 127 for x in r["q"])
         # symmetric int8: per-element error is at most half a quant step
         assert r["max_abs_err"] <= 0.5 / r["scale"] + 1e-12
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.operators.sampling import hash_split
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_correct, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    clusters = D.cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    split = hash_split(clusters, "cluster_id")
+    # every cluster maps to exactly one split -> no near-dup pair straddles
+    violations = (
+        split.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .where(F.col("n_splits") > 1)
+        .count()
+    )
+    assert violations == 0
+    # and the planted near-dups do form multi-doc clusters (non-vacuous)
+    assert split.groupBy("cluster_id").count().where("count > 1").count() > 0

@@ -602,3 +602,51 @@ def domain_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_sampled"), F.lit(0)).cast("double") / F.col("n_total"), 4
         ).alias("realized_rate"),
     )
+
+
+@register(
+    "leakage_safe_split",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+            / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 ('0x' || SUBSTR(MD5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+          FROM assigned) t
+    """,
+    doc="Leakage-safe train/val/test split: hash-split by near-dup "
+    "CLUSTER id, not document id, so near-duplicate documents can never "
+    "straddle the train/eval boundary (the contamination mode a plain "
+    "per-doc split leaves open). Composition: jaccard pairs -> connected "
+    "components -> content-addressed 90/5/5 split on the cluster "
+    "representative's id.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    clusters = D.cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    return hash_split(clusters, "cluster_id")

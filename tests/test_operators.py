@@ -637,3 +637,56 @@ def test_leakage_safe_split_keeps_clusters_together(spark, sf_correct):
     assert violations == 0
     # and the planted near-dups do form multi-doc clusters (non-vacuous)
     assert split.groupBy("cluster_id").count().where("count > 1").count() > 0
+
+
+def test_dedup_clusters_contraction_equals_raw_pairs(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_correct, "documents")
+    # replicate a slice to plant exact duplicates (ids offset past corpus)
+    dups = docs.where(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = docs.unionByName(dups)
+    raw_pairs = D.ngram_jaccard_pairs(corpus, n=3, threshold=0.2)
+    raw = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.cluster_assignments(corpus, raw_pairs).collect()
+    }
+    contracted = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dedup_clusters(corpus, n=3, threshold=0.2).collect()
+    }
+    assert raw == contracted
+
+
+def _physical_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_quantize_plan_is_map_only(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.operators.similarity import quantize_embeddings
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    plan = _physical_plan(quantize_embeddings(read_table(spark, sf_correct, "embeddings")))
+    assert "Exchange" not in plan  # pure per-row HOF work: zero shuffle
+
+
+def test_contamination_plan_broadcasts_only_benchmark(spark, sf_correct):
+    from tfl_realtime_lakehouse_spark.operators.text import contamination_check
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_correct, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    plan = _physical_plan(contamination_check(docs, bench, n=4))
+    # the corpus-side gram stream joins the (bounded, broadcast) benchmark
+    # gram set map-side: the semi join must be a BroadcastHashJoin, never a
+    # SortMergeJoin that would shuffle the whole exploded corpus on the gram
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "SortMergeJoin LeftSemi" not in plan
+    # the only gram-keyed exchange allowed is the benchmark set's distinct
+    # (small side, pre-broadcast); the corpus side shuffles only on doc_id
+    # for the per-doc hit count
+    assert plan.count("hashpartitioning(gram") <= 1

@@ -394,9 +394,10 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recursive CTE.",
 )
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
-    return D.cluster_assignments(docs, pairs)
+    # Exact-first contraction: identical clusters to raw-pairs CC (the
+    # oracle's formulation) at a fraction of the cost on duplicated
+    # corpora — see operators.dedup.dedup_clusters.
+    return D.dedup_clusters(table(spark, sf_dir, "documents"), n=3, threshold=0.2)
 
 
 @register(
@@ -647,6 +648,5 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfl_realtime_lakehouse_spark.operators.sampling import hash_split
 
     docs = table(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
-    clusters = D.cluster_assignments(docs, pairs).select("doc_id", "cluster_id")
+    clusters = D.dedup_clusters(docs, n=3, threshold=0.2).select("doc_id", "cluster_id")
     return hash_split(clusters, "cluster_id")

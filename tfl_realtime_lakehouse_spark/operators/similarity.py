@@ -587,17 +587,36 @@ def quantize_embeddings(
     the scale, and the worst-case dequantization error (max |x - q/scale|,
     an order-independent reduction — deliberately not a float SUM, so
     the value is deterministic under any evaluation order).
+
+    The scale is STAGED in its own projection before the per-element
+    lambdas reference it: HOF lambdas are interpreted (no whole-stage
+    codegen / subexpression elimination), so an inline scale subtree —
+    itself an O(dims) array_max — would be re-evaluated per element,
+    turning a linear pass into O(dims²) per row (measured 7× slower at
+    the 20k×64 corpus).
     """
     v = _as_double(F.col(vec_col))
-    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = F.lit(127.0) / F.greatest(amax, F.lit(1e-30))
-    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
-    max_err = F.array_max(
-        F.zip_with(v, q, lambda a, b: F.abs(a - b.cast("double") / scale))
+    staged = df.select(F.col(id_col), v.alias("_v")).select(
+        id_col,
+        "_v",
+        (
+            F.lit(127.0)
+            / F.greatest(
+                F.array_max(F.transform("_v", lambda x: F.abs(x))), F.lit(1e-30)
+            )
+        ).alias("scale"),
     )
-    return df.select(
+    quantized = staged.select(
+        id_col,
+        "_v",
+        "scale",
+        F.transform("_v", lambda x: F.round(x * F.col("scale")).cast("int")).alias("q"),
+    )
+    return quantized.select(
         F.col(id_col),
-        scale.alias("scale"),
-        q.alias("q"),
-        max_err.alias("max_abs_err"),
+        F.col("scale"),
+        F.col("q"),
+        F.array_max(
+            F.zip_with("_v", "q", lambda a, b: F.abs(a - b.cast("double") / F.col("scale")))
+        ).alias("max_abs_err"),
     )

@@ -690,3 +690,40 @@ def test_contamination_plan_broadcasts_only_benchmark(spark, sf_correct):
     # (small side, pre-broadcast); the corpus side shuffles only on doc_id
     # for the per-doc hit count
     assert plan.count("hashpartitioning(gram") <= 1
+
+
+def test_bm25_matches_python_reference(spark):
+    import math
+
+    from tfl_realtime_lakehouse_spark.operators.text import bm25_scores
+
+    corpus = {
+        1: "spark join window spark",
+        2: "spark table scan",
+        3: "nothing relevant here at all",
+        4: "join join join join window",
+    }
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    terms = ["spark", "join", "window"]
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, terms).collect()}
+
+    n = len(corpus)
+    avgdl = sum(len(t.split()) for t in corpus.values()) / n
+    dfreq = {t: sum(1 for d in corpus.values() if t in d.split()) for t in terms}
+    k1, b = 1.2, 0.75
+    want = {}
+    for doc_id, text in corpus.items():
+        toks = text.split()
+        score = 0.0
+        for t in terms:
+            tf = toks.count(t)
+            if not tf:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            score += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        if score:
+            want[doc_id] = round(score, 6)
+    assert set(got) == set(want)          # doc 3 matches nothing -> absent
+    for doc_id in want:
+        assert abs(got[doc_id] - want[doc_id]) < 1e-6
+    assert got[4] > got[2]                # heavier term mass outranks

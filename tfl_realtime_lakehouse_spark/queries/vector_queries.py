@@ -321,9 +321,12 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-k is floor-asserted there.
     doc="Product-quantization ANN (the compression half of IVF-PQ, the "
     "billion-vector standard): per-subspace k-means codebooks (8 sub x "
-    "16 codes, distributed Lloyd), corpus encoded to 4 small ints per "
-    "vector, queries scored via broadcast ADC lookup tables — a "
-    "map-only O(m) pass over the codes, no decompression.",
+    "16 codes) trained JOINTLY in one distributed Lloyd loop (the "
+    "codebook is bounded O(m·codes) state, so assignment is a zero-"
+    "shuffle literal-argmin map — m× fewer corpus passes than per-"
+    "subspace training), corpus encoded to 8 small ints per vector, "
+    "queries scored via broadcast ADC lookup tables — a map-only O(m) "
+    "pass over the codes, no decompression.",
 )
 def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

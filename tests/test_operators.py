@@ -810,3 +810,48 @@ def test_chunk_udtf_matches_jvm_operator(spark, sf_correct):
     a = {tuple(r) for r in via_udtf.collect()}
     b = {tuple(r) for r in via_hof.collect()}
     assert a == b and len(a) > 100
+
+
+def test_importance_weights_rank_target_like_docs(spark):
+    """DSIR weights must rank documents by target-likeness: docs made of
+    target-only vocabulary outscore mixed docs outscore background-only
+    docs; and the weight is repartition-invariant (decimal per-doc sum,
+    content-addressed hashing — no RNG, no partition-order float sums)."""
+    from tfl_realtime_lakehouse_spark.operators.sampling import (
+        gumbel_topk_sample,
+        importance_weights,
+    )
+
+    tgt_vocab = "alpha beta gamma delta"
+    bg_vocab = "zork quux blarg fnord"
+    rows = []
+    # target corpus: pure target vocabulary
+    for i in range(20):
+        rows.append((i, tgt_vocab + " " + tgt_vocab, "en"))
+    # background corpus: pure background vocabulary
+    for i in range(20, 40):
+        rows.append((i, bg_vocab + " " + bg_vocab, "xx"))
+    # scored docs (not in target): one target-like, one mixed, one bg-like
+    rows.append((100, tgt_vocab, "xx"))
+    rows.append((101, "alpha beta zork quux", "xx"))
+    rows.append((102, bg_vocab, "xx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    w = importance_weights(docs, is_target=F.col("lang") == "en", buckets=64)
+    got = {r.doc_id: r.weight for r in w.collect()}
+    assert got[100] > got[101] > got[102]
+    assert got[100] > 0 > got[102]
+
+    w2 = importance_weights(
+        docs.repartition(13), is_target=F.col("lang") == "en", buckets=64
+    )
+    got2 = {r.doc_id: r.weight for r in w2.collect()}
+    assert got == got2  # bit-identical, not approximately equal
+
+    # Gumbel top-k: deterministic, k rows, and monotone enough that the
+    # pure-target scored doc beats the pure-background one when both
+    # share the same hash-derived noise scale.
+    top = gumbel_topk_sample(w, k=5).collect()
+    assert len(top) == 5
+    again = [r.doc_id for r in gumbel_topk_sample(w.repartition(7), k=5).collect()]
+    assert [r.doc_id for r in top] == again

@@ -58,6 +58,90 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions, seed=seed)
 
 
+def importance_weights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the log-likelihood ratio of its hashed bag-of-words
+    under a TARGET subcorpus distribution vs the full-corpus background
+    distribution. Documents that look like the target domain get
+    positive weight; generic documents get ~0; anti-target negative.
+
+    Distributed shape (all JVM expressions, two shuffles):
+    tokenize → md5-hash each token into ``buckets`` cells → one
+    groupBy(bucket) builds BOTH distributions in a single pass
+    (conditional count for the target, total count for the background;
+    Laplace +1 smoothing over the bucket count) → per-token log-ratio
+    joins back via a broadcast of the O(buckets) score table → per-doc
+    sum. The per-doc SUM is taken in DECIMAL(27,12) so it is
+    evaluation-order-free — the per-token log-ratio is a pure scalar
+    (identical on any engine), making the whole weight deterministic
+    and oracle-checkable.
+
+    At 100 TB: the score table is `buckets` rows regardless of corpus
+    size (THE point of hashed features — no vocabulary to fit anywhere),
+    the token explode is map-side, and the two aggregations shuffle
+    fixed-width keys.
+    """
+    toks = df.select(
+        F.col(id_col),
+        is_target.alias("_t"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(id_col, "_t", hash_bucket(F.col("tok"), buckets).alias("b"))
+    counts = toks.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("n_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("n_all").alias("na"), F.sum("n_tgt").alias("nt")
+    )
+    scores = counts.join(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("n_tgt") + 1.0) / (F.col("nt") + float(buckets)))
+            - F.log((F.col("n_all") + 1.0) / (F.col("na") + float(buckets)))
+        ).alias("llr"),
+    )
+    return (
+        toks.join(F.broadcast(scores), "b")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("llr").cast("decimal(27,12)")).alias("_w"))
+        .select(F.col(id_col), F.col("_w").cast("double").alias("weight"))
+    )
+
+
+def gumbel_topk_sample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "weight",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Sample ``k`` rows WITHOUT replacement, proportionally to
+    exp(weight/temperature), via the Gumbel-top-k trick — but fully
+    deterministic: the per-row uniform comes from the md5 hash of the
+    row id, not an RNG, so the sample is reproducible across runs,
+    engines, and repartitions (the same content-addressing contract as
+    :func:`hash_split`).
+
+    sample_key = weight/temperature + Gumbel(hash(id));  take top-k.
+    Top-k is a TakeOrdered (per-partition heads + driver merge), not a
+    global sort — the scale-safe way to cut k rows from 100 TB.
+    """
+    u = (hash_bucket(F.col(id_col), 100_000) + 0.5) / 100_000.0
+    key = F.col(weight_col) / temperature - F.log(-F.log(u))
+    return (
+        weights.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     strata_col: str,

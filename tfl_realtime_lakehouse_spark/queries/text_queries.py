@@ -689,3 +689,60 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bm25_scores(
         table(spark, sf_dir, "documents"), query_terms=["spark", "join", "window"]
     )
+
+
+@register(
+    "importance_resample",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang = 'en' AS t,
+             ('0x' || SUBSTR(MD5(tok), 1, 8))::BIGINT % 256 AS b
+      FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents) x
+    ), counts AS (
+      SELECT b, COUNT(*) AS n_all,
+             SUM(CASE WHEN t THEN 1 ELSE 0 END) AS n_tgt
+      FROM toks GROUP BY b
+    ), tot AS (
+      SELECT SUM(n_all) AS na, SUM(n_tgt) AS nt FROM counts
+    ), scores AS (
+      SELECT b, LN((n_tgt + 1.0) / (nt + 256.0))
+                - LN((n_all + 1.0) / (na + 256.0)) AS llr
+      FROM counts CROSS JOIN tot
+    ), w AS (
+      SELECT doc_id, CAST(SUM(CAST(llr AS DECIMAL(27,12))) AS DOUBLE) AS weight
+      FROM toks JOIN scores USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(weight, 6) AS weight, ROUND(skey, 6) AS sample_key
+    FROM (
+      SELECT doc_id, weight,
+             weight - LN(-LN(
+               ((('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100000) + 0.5) / 100000.0)) AS skey
+      FROM w) s
+    ORDER BY skey DESC, doc_id
+    LIMIT 100
+    """,
+    doc="DSIR-style importance resampling (Xie et al. 2023): hashed "
+    "bag-of-words log-likelihood ratio of the lang='en' target vs the "
+    "full-corpus background (Laplace-smoothed, 256 hash cells — the "
+    "feature table is O(cells) regardless of corpus size), summed "
+    "per-doc as exact decimals, then a deterministic Gumbel-top-k "
+    "sample of 100 docs keyed on md5(doc_id) — reproducible across "
+    "engines and repartitions. The selection stage of a "
+    "domain-targeted pretraining-data pipeline.",
+)
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.sampling import (
+        gumbel_topk_sample,
+        importance_weights,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    w = importance_weights(docs, is_target=F.col("lang") == "en", buckets=256)
+    out = gumbel_topk_sample(w, k=100)
+    return out.select(
+        "doc_id",
+        F.round("weight", 6).alias("weight"),
+        F.round("sample_key", 6).alias("sample_key"),
+    )

@@ -443,3 +443,71 @@ def test_streaming_neardup_suppression_across_batches(spark, tmp_path):
     # exact copy must collide on ALL bands, not just one
     band_rows = spark.read.parquet(out)
     assert band_rows.where("doc_id = 2 AND NOT is_new").count() == 4
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join == the batch join of the
+    same finite data: every arrival pairs with the status messages of
+    its line posted within the preceding 15 minutes, and rows outside
+    the interval or on other lines never appear."""
+    from tfl_realtime_lakehouse_spark.streaming.joins import stream_interval_join
+
+    arr_dir = str(tmp_path / "ssj-arrivals")
+    st_dir = str(tmp_path / "ssj-status")
+    arrivals = spark.createDataFrame(
+        [
+            ("central", "A1", "2025-01-01T10:10:00Z"),
+            ("central", "A2", "2025-01-01T10:30:00Z"),
+            ("victoria", "A3", "2025-01-01T10:10:00Z"),
+        ],
+        "line_id string, arrival_id string, ts string",
+    ).select("line_id", "arrival_id", F.col("ts").cast("timestamp").alias("event_ts"))
+    statuses = spark.createDataFrame(
+        [
+            ("central", "minor delays", "2025-01-01T10:00:00Z"),   # in window of A1, not A2
+            ("central", "severe delays", "2025-01-01T10:25:00Z"),  # in window of A2 only
+            ("central", "good service", "2025-01-01T10:40:00Z"),   # after every arrival
+            ("victoria", "part closure", "2025-01-01T10:05:00Z"),  # victoria A3
+        ],
+        "line_id string, status string, ts string",
+    ).select("line_id", "status", F.col("ts").cast("timestamp").alias("status_ts"))
+    arrivals.write.parquet(arr_dir)
+    statuses.write.parquet(st_dir)
+
+    def stream_of(path, schema_df):
+        return spark.readStream.schema(schema_df.schema).parquet(path)
+
+    joined = stream_interval_join(
+        stream_of(arr_dir, arrivals),
+        stream_of(st_dir, statuses),
+        key="line_id",
+        left_ts="event_ts",
+        right_ts="status_ts",
+        lookback="15 minutes",
+    )
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt-ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.arrival_id, r.status)
+        for r in spark.sql("select arrival_id, status from ssj").collect()
+    }
+
+    batch = stream_interval_join(
+        arrivals, statuses, key="line_id",
+        left_ts="event_ts", right_ts="status_ts", lookback="15 minutes",
+    )
+    want = {(r.arrival_id, r.status) for r in batch.collect()}
+    assert got == want
+    assert want == {
+        ("A1", "minor delays"),
+        ("A2", "severe delays"),
+        ("A3", "part closure"),
+    }

@@ -99,3 +99,42 @@ def test_synth_assets_decode_recovers_planted_dims(spark, sf_smoke):
         i = r.asset_id
         assert r.img_format == ("png", "jpeg", "gif")[i % 3]
         assert (r.width, r.height) == (8 + i % 21, 8 + i % 13)
+
+
+def test_resize_plan_never_upscales_and_floors_at_one(spark):
+    from tfl_realtime_lakehouse_spark.operators.multimodal import resize_plan
+
+    meta = spark.createDataFrame(
+        [
+            (1, 32, 16),    # downscale, width-bound
+            (2, 8, 8),      # already fits: scale 1.0, dims unchanged
+            (3, 2000, 2),   # extreme aspect: height floors to 1, not 0
+            (4, None, None),  # undecodable: null plan, no error
+        ],
+        "asset_id long, width int, height int",
+    )
+    got = {
+        r.asset_id: (r.scale, r.target_w, r.target_h)
+        for r in resize_plan(meta, 16, 16).collect()
+    }
+    assert got[1] == (0.5, 16, 8)
+    assert got[2] == (1.0, 8, 8)           # no upscale
+    assert got[3][1:] == (16, 1)           # 1-px floor
+    assert got[4] == (None, None, None)    # nulls propagate
+
+
+def test_frame_sample_plan_counts_and_degenerate_durations(spark):
+    from tfl_realtime_lakehouse_spark.operators.multimodal import frame_sample_plan
+
+    vids = spark.createDataFrame(
+        [(1, 2000), (2, 750), (3, 1), (4, 0), (5, None)],
+        "asset_id long, duration_ms long",
+    )
+    rows = frame_sample_plan(vids, interval_ms=750).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append((r.frame_idx, r.frame_ts_ms))
+    assert sorted(by_asset[1]) == [(0, 0), (1, 750), (2, 1500)]  # < 2000
+    assert sorted(by_asset[2]) == [(0, 0)]                       # 750 > 749
+    assert sorted(by_asset[3]) == [(0, 0)]
+    assert 4 not in by_asset and 5 not in by_asset               # guarded, no rows

@@ -285,6 +285,81 @@ def synth_image_assets(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(run, SYNTH_SCHEMA)
 
 
+def resize_plan(
+    meta: DataFrame,
+    max_width: int,
+    max_height: int,
+    width_col: str = "width",
+    height_col: str = "height",
+) -> DataFrame:
+    """Aspect-preserving resize PLANNING: for each decoded asset, the
+    target dimensions that fit a ``max_width × max_height`` box without
+    upscaling (scale capped at 1.0) and without distortion (one shared
+    scale factor), floored to integers with a 1-px floor.
+
+    This is the distributable half of a resize stage: the per-asset
+    target geometry is pure JVM arithmetic over the decoded metadata
+    (no Python, pipelines into the scan), and the pixel resample kernel
+    — the part that needs an imaging library — consumes (payload,
+    target_w, target_h) rows downstream with no further planning logic.
+    Null dims (undecodable payloads) pass through as null plans rather
+    than errors.
+    """
+    w = F.col(width_col).cast("double")
+    h = F.col(height_col).cast("double")
+    # least()/greatest() SKIP nulls in Spark (unlike arithmetic), so an
+    # undecodable asset would get a fabricated (1.0, 1, 1) plan; gate
+    # every output on both dims being present instead.
+    ok = w.isNotNull() & h.isNotNull()
+    scale = F.least(
+        F.lit(float(max_width)) / w, F.lit(float(max_height)) / h, F.lit(1.0)
+    )
+    return meta.select(
+        "*",
+        F.when(ok, F.round(scale, 8)).alias("scale"),
+        F.when(ok, F.greatest(F.lit(1), F.floor(w * scale).cast("int"))).alias(
+            "target_w"
+        ),
+        F.when(ok, F.greatest(F.lit(1), F.floor(h * scale).cast("int"))).alias(
+            "target_h"
+        ),
+    )
+
+
+def frame_sample_plan(
+    assets: DataFrame,
+    interval_ms: int,
+    id_col: str = "asset_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Uniform video frame-sampling PLAN: explode each asset into one
+    row per sampled frame timestamp (every ``interval_ms`` from 0 up to
+    the duration). Output: (asset_id, frame_idx, frame_ts_ms).
+
+    The explode is the point: it turns per-video work into per-frame
+    work items that distribute across the cluster (a 2-hour video and a
+    10-second clip stop being the same task). The actual frame EXTRACT
+    at each timestamp needs a video decoder (absent here — same stub
+    boundary as :func:`decode_image`); everything up to handing
+    (payload, frame_ts) pairs to that kernel is real Spark plumbing.
+    """
+    dur = F.col(duration_col).cast("long")
+    # Guard dur < 1: sequence(0, negative) would raise/count down (the
+    # same footgun shingles() guards); an empty array explodes to no rows.
+    seq = F.when(
+        dur >= 1,
+        F.sequence(
+            F.lit(0).cast("long"), dur - 1, F.lit(int(interval_ms)).cast("long")
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return assets.select(
+        F.col(id_col),
+        F.posexplode(seq).alias("frame_idx", "frame_ts_ms"),
+    ).select(
+        id_col, F.col("frame_idx").cast("int").alias("frame_idx"), "frame_ts_ms"
+    )
+
+
 def documents_as_assets(documents: DataFrame) -> DataFrame:
     """Adapter: treat the text corpus as binary assets so the multimodal
     path has real data to flow through in tests/benchmarks."""

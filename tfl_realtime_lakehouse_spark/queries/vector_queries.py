@@ -220,6 +220,69 @@ def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS asset_id,
+             CAST(8 + doc_id % 21 AS DOUBLE) AS w,
+             CAST(8 + doc_id % 13 AS DOUBLE) AS h
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           ROUND(LEAST(16.0 / w, 16.0 / h, 1.0), 8) AS scale,
+           CAST(GREATEST(1, FLOOR(w * LEAST(16.0 / w, 16.0 / h, 1.0))) AS INTEGER)
+               AS target_w,
+           CAST(GREATEST(1, FLOOR(h * LEAST(16.0 / w, 16.0 / h, 1.0))) AS INTEGER)
+               AS target_h
+    FROM meta
+    """,
+    doc="Aspect-preserving resize planning over REAL header-decoded "
+    "dims: synthesize valid image payloads (dims planted from doc_id), "
+    "header-parse them back, then compute the 16x16-box fit (shared "
+    "scale, no upscale, 1-px floor) as pure JVM arithmetic. The oracle "
+    "recomputes the whole chain from id arithmetic, so a hash match "
+    "proves decode -> plan end-to-end. The pixel resample kernel itself "
+    "is the stub boundary (no imaging libs in env).",
+)
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.synth_image_assets(table(spark, sf_dir, "documents"))
+    meta = M.decode_image_meta(assets)
+    return M.resize_plan(meta, max_width=16, max_height=16).select(
+        "asset_id", "width", "height", "scale", "target_w", "target_h"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id AS asset_id,
+             1000 + (doc_id % 40) * 500 AS duration_ms
+      FROM documents
+    )
+    SELECT asset_id,
+           CAST(ts // 750 AS INTEGER) AS frame_idx,
+           CAST(ts AS BIGINT) AS frame_ts_ms
+    FROM vids, UNNEST(GENERATE_SERIES(0, duration_ms - 1, 750)) AS t(ts)
+    """,
+    doc="Uniform video frame-sampling plan: explode each asset into one "
+    "work item per sampled timestamp (every 750 ms over a duration "
+    "planted from doc_id) — per-video work becomes per-frame work that "
+    "distributes evenly regardless of clip length. Frame extraction at "
+    "the timestamps is the documented decoder stub boundary; the "
+    "fan-out plumbing is real and oracle-checked.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    vids = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.lit(1000) + (F.col("doc_id") % 40) * 500).alias("duration_ms"),
+    )
+    return M.frame_sample_plan(vids, interval_ms=750)
+
+
+@register(
     "scalar_arrays",
     oracle="""
     SELECT vec_id,

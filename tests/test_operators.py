@@ -855,3 +855,65 @@ def test_importance_weights_rank_target_like_docs(spark):
     assert len(top) == 5
     again = [r.doc_id for r in gumbel_topk_sample(w.repartition(7), k=5).collect()]
     assert [r.doc_id for r in top] == again
+
+
+def test_bpe_train_matches_python_model_and_both_apply_paths_agree(spark):
+    """BPE training must learn the same rules as a pure-Python reference
+    implementation (count-desc, pair-asc tiebreak), and the two apply
+    paths — JVM HOF folds vs the Arrow-batched Python kernel — must
+    produce identical token counts."""
+    from collections import Counter
+
+    from tfl_realtime_lakehouse_spark.operators import bpe as B
+
+    texts = [
+        "low low low lower lower newest newest newest newest widest",
+        "low newest widest widest newest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # --- pure-python reference trainer (same algorithm, no Spark) ---
+    freqs = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {w: list(w) + [B.END] for w in freqs}
+
+    def ref_train(k):
+        rules = []
+        for _ in range(k):
+            counts = Counter()
+            for w, syms in vocab.items():
+                for pair in zip(syms, syms[1:]):
+                    counts[pair] += freqs[w]
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            rules.append(best)
+            for w in vocab:
+                out = []
+                for s in vocab[w]:
+                    if out and out[-1] == best[0] and s == best[1]:
+                        out[-1] = best[0] + best[1]
+                    else:
+                        out.append(s)
+                vocab[w] = out
+        return rules
+
+    want_rules = ref_train(8)
+    got_rules = B.bpe_train(docs, num_merges=8)
+    assert got_rules == want_rules
+    assert B.bpe_train_counts(docs, num_merges=8) == want_rules
+
+    jvm = {r.doc_id: (r.n_bpe_tokens, r.n_words)
+           for r in B.bpe_tokenize_jvm(docs, got_rules).collect()}
+    py = {r.doc_id: (r.n_bpe_tokens, r.n_words)
+          for r in B.bpe_tokenize_counts(docs, got_rules).collect()}
+    assert jvm == py
+
+    # sanity: merging strictly reduces token counts vs raw chars+marker
+    raw = {i: sum(len(w) + 1 for w in t.split(" ") if w) for i, t in enumerate(texts)}
+    for i in jvm:
+        assert jvm[i][0] < raw[i]
+
+    # greedy-left overlap semantics: aaa under (a,a) -> [aa, a]
+    assert B.apply_merges_py("aaa", [("a", "a")]) == ["aa", "a", B.END]

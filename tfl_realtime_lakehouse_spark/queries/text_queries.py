@@ -746,3 +746,27 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("weight", 6).alias("weight"),
         F.round("sample_key", 6).alias("sample_key"),
     )
+
+
+@register(
+    "bpe_train_tokenize",
+    oracle=None,  # iterative merge learning is not SQL-expressible; the
+    # trainer is pinned against a pure-Python reference implementation
+    # and the two apply paths (JVM folds vs Arrow kernel) are tested
+    # identical in tests/test_operators.py.
+    doc="REAL BPE (Sennrich et al. 2016), not the regex approximation: "
+    "learn 12 merge rules by iterative pair counting on the contracted "
+    "distinct-word table: one distributed pass counts words, the "
+    "standard frequency truncation bounds the vocab, and the merge loop "
+    "runs on that bounded state (deterministic count-desc/pair-asc "
+    "argmax; identical rules to the all-Spark round loop, tested). Then "
+    "tokenize every "
+    "document by replaying the rules in rank order through an "
+    "Arrow-batched kernel with a per-batch word cache.",
+)
+def bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators import bpe as B
+
+    docs = table(spark, sf_dir, "documents")
+    merges = B.bpe_train_counts(docs, num_merges=12)
+    return B.bpe_tokenize_counts(docs, merges)

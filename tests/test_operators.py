@@ -917,3 +917,47 @@ def test_bpe_train_matches_python_model_and_both_apply_paths_agree(spark):
 
     # greedy-left overlap semantics: aaa under (a,a) -> [aa, a]
     assert B.apply_merges_py("aaa", [("a", "a")]) == ["aa", "a", B.END]
+
+
+def test_scd2_build_episodes_and_single_shuffle(spark):
+    """SCD2 semantics: repeated writes of the same value extend the
+    episode; null<->value transitions are changes; exactly one open
+    episode per key; intervals chain without gaps. Plan: one exchange
+    on the key serves change detection AND interval construction."""
+    from tfl_realtime_lakehouse_spark.operators.scd import scd2_build
+
+    rows = [
+        (1, "a", 100, 1),
+        (1, "a", 200, 2),   # repeat -> extends episode, no new row
+        (1, "b", 300, 3),
+        (1, None, 400, 4),  # value -> null IS a change
+        (1, "b", 500, 5),   # null -> value IS a change
+        (2, "x", 100, 6),   # single-episode key
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, ts long, seq long")
+    out = scd2_build(df, "k", "v", "ts", "seq")
+    got = sorted(
+        ((r.k, r.state, r.valid_from, r.valid_to, r.is_current) for r in out.collect()),
+        key=lambda t: (t[0], t[2]),
+    )
+    assert got == [
+        (1, "a", 100, 300, 0),
+        (1, "b", 300, 400, 0),
+        (1, None, 400, 500, 0),
+        (1, "b", 500, None, 1),
+        (2, "x", 100, None, 1),
+    ]
+    # intervals chain: each non-current valid_to equals the next valid_from
+    by_key = {}
+    for k, _, vf, vt, cur in got:
+        by_key.setdefault(k, []).append((vf, vt, cur))
+    for eps in by_key.values():
+        for (vf, vt, cur), (nvf, _, _) in zip(eps, eps[1:]):
+            assert vt == nvf and cur == 0
+        assert eps[-1][1] is None and eps[-1][2] == 1
+
+    # AQE's toString repeats the tree under "Initial Plan" — count the
+    # final section only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]
+    assert final.count("Exchange hashpartitioning") == 1

@@ -361,3 +361,45 @@ def range_join_events_per_order_week(spark: SparkSession, sf_dir: str) -> DataFr
     return orders.join(F.broadcast(per_window), "w_start").select(
         "o_orderkey", "n_events"
     )
+
+
+@register(
+    "scd2_user_status",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events
+    ), changes AS (
+      SELECT * FROM ordered
+      WHERE prev_ts IS NULL OR NOT (event_type IS NOT DISTINCT FROM prev)
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_current
+    FROM changes
+    """,
+    doc="SCD2 dimension build over the events mutation log: change "
+    "detection (null-safe lag inequality — repeated writes of the same "
+    "value extend the episode) then validity intervals via lead, with "
+    "(ts, event_id) as the total per-key order. Both window passes and "
+    "the filter share one exchange on user_id — a single-shuffle plan. "
+    "The point-in-time-join primitive the reference's full-refresh "
+    "snapshots imply but cannot serve.",
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.scd import scd2_build
+
+    return scd2_build(
+        table(spark, sf_dir, "events"),
+        key_col="user_id",
+        attr_col="event_type",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )

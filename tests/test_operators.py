@@ -961,3 +961,41 @@ def test_scd2_build_episodes_and_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("Initial Plan")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_nb_classifier_separates_planted_vocabularies(spark):
+    """NB over hashed features must perfectly separate disjoint
+    vocabularies, score held-out docs with smoothed unseen-bucket
+    defaults (not zero), and be repartition-deterministic."""
+    from tfl_realtime_lakehouse_spark.operators.classifier import (
+        nb_confusion,
+        nb_score,
+        nb_train,
+    )
+
+    pos = "alpha beta gamma delta epsilon"
+    neg = "zork quux blarg fnord grue"
+    rows = [(i, pos, True) for i in range(20)] + [
+        (i, neg, False) for i in range(20, 40)
+    ]
+    # held-out docs, one per class, plus one with an unseen token
+    rows += [(100, "alpha beta", True), (101, "zork fnord", False),
+             (102, "alpha UNSEENTOKEN", True)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    train = docs.where(F.col("doc_id") < 40)
+    test = docs.where(F.col("doc_id") >= 100)
+
+    w, s = nb_train(train, label=F.col("y"), buckets=64)
+    scores = {r.doc_id: r.score for r in nb_score(test, w, s, buckets=64).collect()}
+    assert scores[100] > 0 and scores[101] < 0 and scores[102] > 0
+
+    conf = {(r.actual, r.predicted): r.n
+            for r in nb_confusion(nb_score(test, w, s, buckets=64),
+                                  test.select("doc_id", "y")).collect()}
+    assert conf == {(1, 1): 2, (0, 0): 1}
+
+    scores2 = {
+        r.doc_id: r.score
+        for r in nb_score(test.repartition(7), w, s, buckets=64).collect()
+    }
+    assert scores == scores2  # bit-identical decimal-exact scoring

@@ -770,3 +770,72 @@ def bpe_train_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     merges = B.bpe_train_counts(docs, num_merges=12)
     return B.bpe_tokenize_counts(docs, merges)
+
+
+@register(
+    "nb_quality_classifier",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    test AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+    ttoks AS (
+      SELECT doc_id, lang = 'en' AS y,
+             ('0x' || SUBSTR(MD5(tok), 1, 8))::BIGINT % 256 AS b
+      FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+            FROM train) x
+    ), counts AS (
+      SELECT b, SUM(CASE WHEN y THEN 1 ELSE 0 END) AS n1,
+                SUM(CASE WHEN NOT y THEN 1 ELSE 0 END) AS n0
+      FROM ttoks GROUP BY b
+    ), tot AS (
+      SELECT SUM(n1) AS n1_tot, SUM(n0) AS n0_tot FROM counts
+    ), dcnt AS (
+      SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS d1,
+             SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS d0
+      FROM train
+    ), wts AS (
+      SELECT b, LN((n1 + 1.0) / (n1_tot + 256.0))
+                - LN((n0 + 1.0) / (n0_tot + 256.0)) AS w
+      FROM counts CROSS JOIN tot
+    ), stoks AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(tok), 1, 8))::BIGINT % 256 AS b
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM test) x
+    ), scored AS (
+      SELECT s.doc_id,
+             LN(CAST(d1 AS DOUBLE) / CAST(d0 AS DOUBLE))
+               + CAST(SUM(CAST(COALESCE(w,
+                   LN((n0_tot + 256.0) / (n1_tot + 256.0)))
+                 AS DECIMAL(27,12))) AS DOUBLE) AS score
+      FROM stoks s
+      LEFT JOIN wts USING (b) CROSS JOIN tot CROSS JOIN dcnt
+      GROUP BY s.doc_id, d1, d0
+    )
+    SELECT CAST(t.lang = 'en' AS INTEGER) AS actual,
+           CAST(score > 0 AS INTEGER) AS predicted,
+           COUNT(*) AS n
+    FROM scored JOIN test t USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    doc="Model-based quality/domain filtering (the CCNet-style "
+    "classifier stage): multinomial Naive Bayes over 256 hashed "
+    "bag-of-words cells, trained in ONE aggregation pass on the 80% "
+    "doc_id-fold (closed form — no optimizer loop, O(buckets) model "
+    "broadcast), evaluated on the held-out fold with Laplace-smoothed "
+    "unseen-bucket defaults. Per-doc scores sum token log-odds as "
+    "exact decimals so predictions are evaluation-order deterministic; "
+    "the oracle replays train+eval end-to-end and the confusion matrix "
+    "must hash-match.",
+)
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.classifier import (
+        nb_confusion,
+        nb_score,
+        nb_train,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    weights, stats = nb_train(train, label=F.col("lang") == "en", buckets=256)
+    scores = nb_score(test, weights, stats, buckets=256)
+    truth = test.select("doc_id", (F.col("lang") == "en").alias("y"))
+    return nb_confusion(scores, truth)

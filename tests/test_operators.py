@@ -999,3 +999,33 @@ def test_nb_classifier_separates_planted_vocabularies(spark):
         for r in nb_score(test.repartition(7), w, s, buckets=64).collect()
     }
     assert scores == scores2  # bit-identical decimal-exact scoring
+
+
+def test_longest_common_span_finds_planted_paste(spark):
+    """A verbatim 10-token paragraph pasted into an otherwise-different
+    document must surface with exactly span=10 (run of 3 matched 8-token
+    windows); two docs sharing only scattered tokens must not pair; and
+    a doc shorter than the window size produces no postings."""
+    from tfl_realtime_lakehouse_spark.operators.dedup import longest_common_span
+
+    para = "one two three four five six seven eight nine ten"  # 10 tokens
+    filler_a = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    filler_b = "mm nn oo pp qq rr ss tt uu vv ww xx"
+    rows = [
+        (1, filler_a + " " + para + " " + filler_b),
+        (2, filler_b + " " + para + " " + filler_a),   # shares para + fillers, far apart
+        (3, "one zz two yy three xx four ww five vv"), # scattered overlap only
+        (4, "short doc"),                              # < w tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared_windows, r.max_span_tokens)
+        for r in longest_common_span(docs, w=8, min_span_tokens=10).collect()
+    }
+    assert (1, 2) in got
+    n_windows, span = got[(1, 2)]
+    assert span >= 10                       # the pasted paragraph
+    assert all(3 not in pair and 4 not in pair for pair in got)
+    # the 10-token paragraph alone yields a run of 3 windows; fillers on
+    # opposite sides cannot extend the same diagonal
+    assert n_windows >= 3

@@ -560,3 +560,99 @@ def dedup_clusters(
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).cast("int").alias("is_rep"),
     )
+
+
+def longest_common_span(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+    min_span_tokens: int = 8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Longest shared CONSECUTIVE token span per document pair — the
+    cross-document substring-duplication signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): near-
+    dup METRICS like Jaccard miss a verbatim paragraph pasted into an
+    otherwise-different document; a long common span catches exactly
+    that.
+
+    Suffix arrays (the paper's tool) are sequential; the distributed
+    formulation here is positional shingle matching + diagonal run
+    detection:
+
+    1. ``w``-token window shingles WITH POSITIONS, md5-hashed to
+       fixed-width join keys (same digest both engines — a collision
+       would be identical cross-engine, and at 2^60 key space it is
+       astronomically unlikely).
+    2. Posting self-join on the span hash (doc_a < doc_b): each match is
+       a dot on the (pos_a, pos_b) alignment matrix.
+    3. Consecutive shared windows lie on one DIAGONAL (pos_a − pos_b
+       constant) with pos_a stepping by 1 — the classic islands trick
+       (pos_a − row_number per (pair, diagonal) groups each maximal run)
+       turns run length into a count: a run of L matched windows is a
+       common span of w + L − 1 tokens.
+
+    Output: (doc_a, doc_b, n_shared_windows, max_span_tokens), filtered
+    to pairs whose maximal span ≥ ``min_span_tokens``. One posting-list
+    shuffle + one window — the jaccard plan shape plus a diagonal
+    window; ``max_doc_freq`` bounds hot-window posting lists exactly as
+    in :func:`ngram_jaccard_pairs`.
+    """
+    # Stage the tokenization in its OWN projection: HOF lambdas have no
+    # CSE, so an inline split() subtree would re-tokenize the document
+    # once PER WINDOW (measured 3.1 s → 0.6 s on the sf0.1 postings).
+    toks = F.col("_toks")
+    staged = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    spans = F.when(
+        F.size(toks) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (w - 1)),
+            lambda i: F.array_join(F.slice(toks, i, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    posts = staged.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    ).select(
+        id_col,
+        "pos",
+        # 15 hex chars = 60 bits: fits BIGINT signed on both engines
+        F.conv(F.substring(F.md5("span"), 1, 15), 16, 10).cast("bigint").alias("h"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            posts.groupBy("h")
+            .agg(F.countDistinct(id_col).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("h")
+        )
+        posts = posts.join(F.broadcast(hot), "h", "left_anti")
+    # Both sides of the self-join reference the postings — materialize
+    # them once (the window-string building is the expensive part;
+    # recomputing it doubles the operator's cost).
+    posts = posts.localCheckpoint()
+    a = posts.select(
+        F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "h"
+    )
+    b = posts.select(
+        F.col(id_col).alias("doc_b"), F.col("pos").alias("pb"), "h"
+    )
+    matches = a.join(b, "h").where(F.col("doc_a") < F.col("doc_b"))
+    run_w = Window.partitionBy(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb"))
+    ).orderBy("pa")
+    runs = (
+        matches.withColumn("_isl", F.col("pa") - F.row_number().over(run_w))
+        .groupBy("doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("_diag"), "_isl")
+        .agg(F.count(F.lit(1)).alias("_run"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("_run").cast("bigint").alias("n_shared_windows"),
+            (F.max("_run") + (w - 1)).cast("int").alias("max_span_tokens"),
+        )
+        .where(F.col("max_span_tokens") >= min_span_tokens)
+    )

@@ -839,3 +839,48 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = nb_score(test, weights, stats, buckets=256)
     truth = test.select("doc_id", (F.col("lang") == "en").alias("y"))
     return nb_confusion(scores, truth)
+
+
+@register(
+    "common_span_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents
+    ), posts AS (
+      SELECT doc_id, i AS pos,
+             ('0x' || SUBSTR(MD5(ARRAY_TO_STRING(ws[i:i+7], ' ')), 1, 15))::BIGINT
+                 AS h
+      FROM toks, UNNEST(RANGE(1, LEN(ws) - 6)) AS t(i)
+      WHERE LEN(ws) >= 8
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM posts a JOIN posts b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, pa - pb AS diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS isl
+      FROM m
+    ), rl AS (
+      SELECT doc_a, doc_b, diag, isl, COUNT(*) AS run
+      FROM runs GROUP BY doc_a, doc_b, diag, isl
+    )
+    SELECT doc_a, doc_b,
+           CAST(SUM(run) AS BIGINT) AS n_shared_windows,
+           CAST(MAX(run) + 7 AS INTEGER) AS max_span_tokens
+    FROM rl GROUP BY doc_a, doc_b
+    HAVING MAX(run) + 7 >= 12
+    """,
+    doc="Longest shared consecutive token span per doc pair (the "
+    "substring-duplication signal of Lee et al. 2022, distributed): "
+    "positional 8-token window shingles -> md5 posting-list self-join "
+    "-> diagonal island detection (pos_a - pos_b constant, pos_a - "
+    "row_number groups maximal runs) -> max run + w - 1 = span length, "
+    "pairs with spans >= 12 tokens. Catches a verbatim paragraph pasted "
+    "into an otherwise-different document, which set-based Jaccard "
+    "dilutes away. Same skew guard (max_doc_freq stop-windows) as the "
+    "jaccard operator at scale.",
+)
+def common_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return D.longest_common_span(docs, w=8, min_span_tokens=12)

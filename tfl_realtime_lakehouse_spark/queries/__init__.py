@@ -32,28 +32,12 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
 # cap) are all verified every round by tools/parity.py + tools/str_identity.py
 # (the same DuckDB-oracle compare, strict string equality).
 DRIVER_WINDOW = [
-    # Flagship pipeline + core aggregation
-    "fct_headways",
-    "stg_events_contract",
-    "q1_pricing_summary",
-    "agg_rollup",
-    "agg_quantile_per_group",
-    "agg_argmax",
+    # Core aggregation (non-r01-verified representatives)
     "agg_stats",
     "agg_approx_distinct",
-    # Joins / subqueries / sets
-    "join_semi_big_spenders",
-    "join_broadcast_dim_chain",
-    "subquery_correlated_count",
-    "set_union_all",
+    # Sets / ordering
     "set_union_schema_evolution",
-    # Windows / ordering / filters
-    "window_frames_battery",
     "sort_nulls_battery",
-    # Temporal operators
-    "asof_last_error_before_click",
-    "range_join_events_per_order_week",
-    "events_sessionization",
     # Scalar batteries (representatives; rest demoted, r01-green)
     "scalar_bitwise",
     "scalar_arrays",
@@ -92,6 +76,27 @@ DRIVER_WINDOW = [
     "bm25_search",
     "dataset_profile",
     "embedding_ann_pq",
+    # Round-2 session-3 additions (novel ops, not yet driver-verified;
+    # displaced entries all have a green CORRECTNESS_r01 row:
+    # fct_headways, stg_events_contract, q1_pricing_summary, agg_rollup,
+    # agg_quantile_per_group, agg_argmax, join_semi_big_spenders,
+    # join_broadcast_dim_chain, subquery_correlated_count, set_union_all,
+    # window_frames_battery, asof_last_error_before_click,
+    # range_join_events_per_order_week, events_sessionization)
+    "scd2_user_status",
+    "importance_resample",
+    "bpe_train_tokenize",
+    "nb_quality_classifier",
+    "common_span_pairs",
+    "text_chunking",
+    "curation_pipeline_summary",
+    "embedding_neardup_docs_bridge",
+    "embedding_neardup_blocked",
+    "embedding_ann_ivf_trained",
+    "multimodal_resize_plan",
+    "multimodal_frame_sample",
+    "q2_min_supply_price",
+    "q21_waiting_suppliers",
 ]
 
 

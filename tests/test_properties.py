@@ -172,3 +172,46 @@ def test_asof_join_strict_mode_and_carried_values(spark, left, right):
         else:
             expect = (None, None)
         assert got[i] == expect, (i, k, t)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(left=_events, right=_events)
+def test_asof_join_forward_and_nearest_match_bisect_model(spark, left, right):
+    """direction='forward' must return the earliest right ts at/after
+    each left ts; direction='nearest' the closer of backward/forward
+    with ties resolved backward. Verified against a Python bisect model
+    on random key/ts lists (right deduped so payloads are defined)."""
+    runiq = sorted(set(right))
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k string, ts long, idx long"
+    )
+    rdf = spark.createDataFrame(runiq, "k string, ts long")
+    fwd = {
+        r.idx: r.asof_ts
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", direction="forward"
+        ).collect()
+    }
+    near = {
+        r.idx: r.asof_ts
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", direction="nearest"
+        ).collect()
+    }
+    by_key: dict[str, list[int]] = {}
+    for k, t in runiq:
+        by_key.setdefault(k, []).append(t)
+    for i, (k, t) in enumerate(left):
+        ts_list = by_key.get(k, [])
+        j_fwd = bisect.bisect_left(ts_list, t)  # first ts >= t
+        e_fwd = ts_list[j_fwd] if j_fwd < len(ts_list) else None
+        j_back = bisect.bisect_right(ts_list, t)  # last ts <= t
+        e_back = ts_list[j_back - 1] if j_back else None
+        assert fwd[i] == e_fwd, ("forward", i, k, t)
+        if e_back is None:
+            e_near = e_fwd
+        elif e_fwd is None:
+            e_near = e_back
+        else:
+            e_near = e_back if (t - e_back) <= (e_fwd - t) else e_fwd
+        assert near[i] == e_near, ("nearest", i, k, t)

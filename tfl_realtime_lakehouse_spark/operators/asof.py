@@ -26,59 +26,109 @@ def asof_join(
     value_alias: str = "asof_ts",
     right_values: list[str] | None = None,
     allow_exact_match: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join in three directions.
+
+    - ``backward`` (default): most recent right row at/before the left
+      timestamp — the classic as-of.
+    - ``forward``: earliest right row at/after the left timestamp
+      (e.g. "the next click after each error").
+    - ``nearest``: whichever of the two is closer in absolute time,
+      ties resolved backward.
 
     Returns ``left`` plus:
       - ``value_alias``: the matched right row's timestamp (NULL if no
-        right row at/before the left timestamp exists for the key);
+        matching right row exists for the key in the given direction);
       - each column in ``right_values`` carried from that same right row.
+
+    All directions keep the single-exchange plan: the union is hashed
+    once on the key and each window is an in-partition sort frame.
+    ``nearest`` unions the right side twice (one copy visible to the
+    backward frame, one to the forward frame) — 2× the right rows
+    through the one shuffle, still no range-join blow-up. Equal-ts
+    visibility is encoded purely in the (ts, side) sort: a right copy
+    sorted before left at the same ts is inside the backward frame and
+    outside the forward frame, and vice versa. If several right rows
+    share one (key, ts), which one's payload is carried is unspecified —
+    pre-aggregate the right side to make it unique.
     """
     right_values = right_values or []
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
 
     payload = F.struct(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_values]
     )
-    # side ordering at equal ts: right first (0) if exact matches count,
-    # else right sorts after left so equal-ts rows are not visible.
-    right_side = 0 if allow_exact_match else 2
+    ptype = right.select(payload.alias("p")).schema["p"].dataType
+    null_p = F.lit(None).cast(ptype)
+    # side ordering at equal ts (left is always 1): a right copy at side
+    # 0 sorts before left — visible to backward frames, invisible to
+    # forward frames; side 2 is the mirror. allow_exact_match=False
+    # swaps the sides, hiding equal-ts rows from their own direction.
+    back_side = 0 if allow_exact_match else 2
+    fwd_side = 2 if allow_exact_match else 0
 
     left_cols = left.columns
+    l_pad = [
+        F.lit(None).cast(left.schema[c].dataType).alias(c)
+        for c in left_cols
+        if c != on
+    ]
+
+    def _right(side: int, pb, pf) -> DataFrame:
+        return right.select(
+            F.col(on),
+            F.col(right_ts).alias("__evt_ts"),
+            F.lit(side).alias("__side"),
+            pb.alias("__pb"),
+            pf.alias("__pf"),
+            *l_pad,
+        ).select(*left_cols, "__evt_ts", "__side", "__pb", "__pf")
+
     l2 = left.select(
         *left_cols,
         F.col(left_ts).alias("__evt_ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(
-            right.select(payload.alias("p")).schema["p"].dataType
-        ).alias("__payload"),
+        null_p.alias("__pb"),
+        null_p.alias("__pf"),
     )
-    r2 = right.select(
-        F.col(on),
-        F.col(right_ts).alias("__evt_ts"),
-        F.lit(right_side).alias("__side"),
-        payload.alias("__payload"),
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left_cols
-            if c != on
-        ],
-    ).select(
-        *left_cols, "__evt_ts", "__side", "__payload"
-    )
+    parts = [l2]
+    if direction in ("backward", "nearest"):
+        parts.append(_right(back_side, payload, null_p))
+    if direction in ("forward", "nearest"):
+        parts.append(_right(fwd_side, null_p, payload))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
 
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__evt_ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        l2.unionByName(r2)
-        .withColumn("__m", F.last("__payload", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
-    out = matched.select(
+    base = Window.partitionBy(on).orderBy("__evt_ts", "__side")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    m = u
+    if direction in ("backward", "nearest"):
+        m = m.withColumn("__b", F.last("__pb", ignorenulls=True).over(wb))
+    if direction in ("forward", "nearest"):
+        m = m.withColumn("__f", F.first("__pf", ignorenulls=True).over(wf))
+    m = m.filter(F.col("__side") == 1)
+
+    if direction == "backward":
+        m = m.withColumn("__m", F.col("__b"))
+    elif direction == "forward":
+        m = m.withColumn("__m", F.col("__f"))
+    else:
+        is_ts = left.schema[left_ts].dataType.typeName().startswith("timestamp")
+
+        def _us(c):
+            return F.unix_micros(c) if is_ts else c.cast("long")
+
+        db = _us(F.col("__evt_ts")) - _us(F.col("__b.__ts"))
+        df_ = _us(F.col("__f.__ts")) - _us(F.col("__evt_ts"))
+        pick_b = F.col("__f").isNull() | (F.col("__b").isNotNull() & (db <= df_))
+        m = m.withColumn("__m", F.when(pick_b, F.col("__b")).otherwise(F.col("__f")))
+
+    return m.select(
         *left_cols,
         F.col("__m.__ts").alias(value_alias),
         *[F.col(f"__m.{c}").alias(c) for c in right_values],
     )
-    return out

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from tfl_realtime_lakehouse_spark.plans.marts import fct_headways, headway_events
 from tfl_realtime_lakehouse_spark.operators.asof import asof_join
-from tfl_realtime_lakehouse_spark.queries.registry import register, table
+from tfl_realtime_lakehouse_spark.queries.registry import load_views, register, table
 
 
 def _events_as_arrivals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -101,6 +101,55 @@ def stg_events_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props").try_cast("int").alias("malformed_int"),
         F.date_trunc("day", "ts").alias("event_day"),
         F.col("ts").alias("event_ts"),
+    )
+
+
+@register(
+    "events_multires_rollup",
+    oracle="""
+    SELECT CASE WHEN GROUPING(m) = 0 THEN 'minute'
+                WHEN GROUPING(h) = 0 THEN 'hour'
+                ELSE 'day' END AS grain,
+           COALESCE(m, h, d) AS bucket_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE), 6) AS sum_value
+    FROM (
+      SELECT user_id, value,
+             DATE_TRUNC('minute', ts) AS m,
+             DATE_TRUNC('hour', ts) AS h,
+             DATE_TRUNC('day', ts) AS d
+      FROM events WHERE ts IS NOT NULL) t
+    GROUP BY GROUPING SETS ((m), (h), (d))
+    """,
+    doc="Multi-resolution time rollup (the TimescaleDB continuous-"
+    "aggregate / downsampling pattern): minute, hour, and day grains "
+    "computed in ONE scan via GROUPING SETS — Spark expands each row "
+    "into its three grain memberships (Expand operator) and aggregates "
+    "them in one shuffle, instead of three scans or a re-aggregation "
+    "chain. Sum is decimal-exact; the COUNT(DISTINCT) forces the "
+    "standard second shuffle keyed by (bucket, user) — at 100 TB swap "
+    "it for the mergeable HLL sketch (see agg_hll_mergeable).",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CASE WHEN GROUPING(m) = 0 THEN 'minute'
+                    WHEN GROUPING(h) = 0 THEN 'hour'
+                    ELSE 'day' END AS grain,
+               COALESCE(m, h, d) AS bucket_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE), 6) AS sum_value
+        FROM (
+          SELECT user_id, value,
+                 DATE_TRUNC('minute', ts) AS m,
+                 DATE_TRUNC('hour', ts) AS h,
+                 DATE_TRUNC('day', ts) AS d
+          FROM events WHERE ts IS NOT NULL) t
+        GROUP BY GROUPING SETS ((m), (h), (d))
+        """
     )
 
 
@@ -304,6 +353,93 @@ def asof_last_error_before_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="ts",
         value_alias="last_error_ts",
+    )
+
+
+@register(
+    "asof_forward_next_error",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), errs AS (
+      SELECT user_id, ts, MAX(value) AS err_value
+      FROM events WHERE event_type = 'error' GROUP BY user_id, ts
+    ), nxt AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             (SELECT MIN(e.ts) FROM errs e
+              WHERE e.user_id = c.user_id AND e.ts >= c.ts) AS next_error_ts
+      FROM clicks c
+    )
+    SELECT n.event_id, n.user_id, n.ts, n.next_error_ts, e.err_value
+    FROM nxt n LEFT JOIN errs e
+      ON e.user_id = n.user_id AND e.ts = n.next_error_ts
+    """,
+    doc="FORWARD as-of join: for each click, the earliest error at/after "
+    "it for the same user, carrying that error's value (right side "
+    "pre-aggregated to unique (user, ts) so the payload is "
+    "well-defined). Same union+single-window plan as backward — the "
+    "frame direction flips, the shuffle count does not.",
+)
+def asof_forward_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_value"))
+    )
+    return asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_alias="next_error_ts",
+        right_values=["err_value"],
+        direction="forward",
+    )
+
+
+@register(
+    "asof_nearest_error",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), bf AS (
+      SELECT c.event_id, c.user_id, c.ts,
+             (SELECT MAX(e.ts) FROM events e
+              WHERE e.user_id = c.user_id AND e.event_type = 'error'
+                AND e.ts <= c.ts) AS b,
+             (SELECT MIN(e.ts) FROM events e
+              WHERE e.user_id = c.user_id AND e.event_type = 'error'
+                AND e.ts >= c.ts) AS f
+      FROM clicks c
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN b IS NULL THEN f
+                WHEN f IS NULL THEN b
+                WHEN EPOCH_US(ts) - EPOCH_US(b) <= EPOCH_US(f) - EPOCH_US(ts)
+                     THEN b
+                ELSE f END AS nearest_error_ts
+    FROM bf
+    """,
+    doc="NEAREST as-of join: for each click, the error closest in "
+    "absolute time (ties backward). One shuffle: the right side rides "
+    "the union twice — a side-tagged copy per frame direction — and "
+    "backward/forward windows share the same exchange + sort.",
+)
+def asof_nearest_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_alias="nearest_error_ts",
+        direction="nearest",
     )
 
 

@@ -884,3 +884,61 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def common_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return D.longest_common_span(docs, w=8, min_span_tokens=12)
+
+
+@register(
+    "text_c4_quality_rules",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_words,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')), 4) AS mean_word_len,
+           CAST(LEN(STRING_SPLIT(text, ' ')) >= 20 AS INTEGER) AS rule_min_words,
+           CAST(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')) BETWEEN 2.0 AND 12.0
+                AS INTEGER) AS rule_word_len,
+           CAST(RIGHT(text, 1) IN ('.', '!', '?') AS INTEGER) AS rule_terminal_punct,
+           CAST(NOT CONTAINS(text, '{') AS INTEGER) AS rule_no_braces,
+           CAST(NOT CONTAINS(LOWER(text), 'lorem ipsum') AS INTEGER) AS rule_no_lorem,
+           CAST(LEN(STRING_SPLIT(text, ' ')) >= 20
+                AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                    / LEN(STRING_SPLIT(text, ' ')) BETWEEN 2.0 AND 12.0
+                AND RIGHT(text, 1) IN ('.', '!', '?')
+                AND NOT CONTAINS(text, '{')
+                AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+                AS INTEGER) AS keep
+    FROM documents
+    """,
+    doc="C4-style rule-based quality filter battery (Raffel et al. 2020 "
+    "heuristics re-expressed over the documents table): minimum word "
+    "count, mean-word-length band, terminal punctuation, code-brace "
+    "exclusion, boilerplate ('lorem ipsum') exclusion, and the "
+    "conjunctive keep decision. Pure JVM expressions (split/translate/"
+    "substring) — zero Python, fully pushdown-friendly, embarrassingly "
+    "parallel at any scale.",
+)
+def text_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wl = F.length(F.translate("text", " ", "")).cast("double") / n_words
+    last_ch = F.substring(F.col("text"), -1, 1)
+    r_min = (n_words >= 20).cast("int")
+    r_wl = mean_wl.between(2.0, 12.0).cast("int")
+    r_punct = last_ch.isin(".", "!", "?").cast("int")
+    r_brace = (~F.col("text").contains("{")).cast("int")
+    r_lorem = (~F.lower(F.col("text")).contains("lorem ipsum")).cast("int")
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        r_min.alias("rule_min_words"),
+        r_wl.alias("rule_word_len"),
+        r_punct.alias("rule_terminal_punct"),
+        r_brace.alias("rule_no_braces"),
+        r_lorem.alias("rule_no_lorem"),
+        (
+            (r_min == 1) & (r_wl == 1) & (r_punct == 1)
+            & (r_brace == 1) & (r_lorem == 1)
+        ).cast("int").alias("keep"),
+    )

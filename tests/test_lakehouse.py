@@ -3,6 +3,8 @@ delta-spark which this environment doesn't ship)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tfl_realtime_lakehouse_spark.sources.lakehouse import merge_delete, merge_upsert
 
 SCHEMA = "k long, g string, v double"
@@ -48,3 +50,25 @@ def test_merge_delete_predicate_null_semantics(spark, tmp_path):
     )
     merge_delete(spark, path, "v > 10")  # NULL predicate rows are KEPT
     assert _rows(spark, path) == {1: ("a", 1.0), 3: ("c", None)}
+
+
+def test_compact_files_packs_small_files_and_preserves_rows(spark, tmp_path):
+    """40 tiny files must compact to the bin-packed count with identical
+    content; a second invocation is a no-op (already compact)."""
+    from tfl_realtime_lakehouse_spark.sources.lakehouse import compact_files
+
+    path = str(tmp_path / "snap")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.mode("overwrite").parquet(path)
+
+    import glob
+    assert len(glob.glob(path + "/*.parquet")) == 40
+    stats = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 40 and stats["files_after"] == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 10000
+    assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(10000))
+
+    again = compact_files(spark, path, target_file_bytes=1 << 30)
+    assert again["files_before"] == 1 and again["files_after"] == 1

@@ -1029,3 +1029,30 @@ def test_longest_common_span_finds_planted_paste(spark):
     # the 10-token paragraph alone yields a run of 3 windows; fillers on
     # opposite sides cannot extend the same diagonal
     assert n_windows >= 3
+
+
+def test_bloom_semi_join_equals_plain_and_prunes(spark):
+    """bloom_semi_join must return exactly the plain left_semi result
+    (no false negatives; false positives removed by the exact stage),
+    and the bloom pre-filter must actually prune: with a 1%-selective
+    dim, survivors entering the exact join stay well under the fact
+    count."""
+    from tfl_realtime_lakehouse_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_prune,
+        bloom_semi_join,
+    )
+
+    fact = spark.range(0, 20000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 20000, 100).select(F.col("id").alias("k"))  # 200 keys
+
+    got = sorted(r.k for r in bloom_semi_join(fact, dim, "k").collect())
+    want = sorted(r.k for r in fact.join(dim, "k", "left_semi").collect())
+    assert got == want
+    assert len(got) == 200
+
+    bitmap = bloom_bitmap(dim, "k")
+    assert bitmap.count() <= (1 << 17) // 64  # fixed-size sketch, not O(dim)
+    survivors = bloom_prune(fact, bitmap, "k").count()
+    # all 200 true matches survive; false positives stay ~1% of 19800
+    assert 200 <= survivors < 200 + 0.05 * 19800

@@ -511,3 +511,65 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         ("A2", "severe delays"),
         ("A3", "part closure"),
     }
+
+
+def test_streaming_session_window_matches_batch_gap_model(spark, tmp_path):
+    """Spark's built-in session_window must produce the same sessions as
+    the batch gap-sessionization model (30-min inactivity): per-user
+    event runs separated by >30 min land in separate windows, runs
+    within 30 min merge. Gap == exactly 30 min is intentionally absent
+    from the fixture: the batch rule (strictly-greater starts a session)
+    and session_window (merge iff next_ts < prev_ts + gap) disagree only
+    on that boundary."""
+    import json as _json
+
+    src = tmp_path / "sess-src"
+    src.mkdir()
+    base = "2025-01-01T10:{m:02d}:00Z"
+    rows = [
+        # user 1: burst of 3 within minutes, then a 45-min gap, then 2 more
+        {"user_id": 1, "ts": "2025-01-01T10:00:00Z"},
+        {"user_id": 1, "ts": "2025-01-01T10:05:00Z"},
+        {"user_id": 1, "ts": "2025-01-01T10:10:00Z"},
+        {"user_id": 1, "ts": "2025-01-01T10:55:00Z"},
+        {"user_id": 1, "ts": "2025-01-01T11:00:00Z"},
+        # user 2: single event
+        {"user_id": 2, "ts": "2025-01-01T10:20:00Z"},
+        # sentinel: pushes the watermark past every real session so
+        # append mode finalizes them; its own session stays open and
+        # is deliberately absent from the expectation.
+        {"user_id": 9, "ts": "2025-01-01T13:00:00Z"},
+    ]
+    (src / "b.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts string")
+        .json(str(src))
+        .withColumn("event_ts", F.to_timestamp("ts"))
+        .withWatermark("event_ts", "1 minute")
+        .groupBy(F.session_window("event_ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    out = str(tmp_path / "sess-out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess-ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_start.isoformat(), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert got == [
+        (1, "2025-01-01T10:00:00", 3),
+        (1, "2025-01-01T10:55:00", 2),
+        (2, "2025-01-01T10:20:00", 1),
+    ]

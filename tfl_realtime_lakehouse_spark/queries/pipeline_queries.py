@@ -153,6 +153,128 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_funnel_steps",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY user_id
+    ), step2 AS (
+      SELECT p.user_id, p.t_view,
+             (SELECT MIN(e.ts) FROM events e
+              WHERE e.user_id = p.user_id AND e.event_type = 'click'
+                AND e.ts > p.t_view) AS t_click
+      FROM per_user p
+    ), step3 AS (
+      SELECT s.user_id, s.t_view, s.t_click,
+             (SELECT MIN(e.ts) FROM events e
+              WHERE e.user_id = s.user_id AND e.event_type = 'purchase'
+                AND e.ts > s.t_click) AS t_purchase
+      FROM step2 s
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+           CAST(COUNT(t_click) AS BIGINT) AS n_clicked,
+           CAST(COUNT(t_purchase) AS BIGINT) AS n_purchased,
+           ROUND(CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_view), 4)
+               AS view_to_purchase_rate
+    FROM step3
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase, each step "
+    "strictly after the previous): per-user step timestamps via "
+    "conditional window minima — three window projections over ONE "
+    "partitioning of user_id, so Catalyst plans a single exchange "
+    "(each later step's predicate references the previous step's "
+    "column, which rules out a single groupBy but not exchange reuse). "
+    "The oracle states the same steps as correlated subqueries.",
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    stepped = (
+        ev.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = stepped.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked"),
+        F.count("t_purchase").alias("n_purchased"),
+        F.round(F.count("t_purchase").cast("double") / F.count("t_view"), 4).alias(
+            "view_to_purchase_rate"
+        ),
+    )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, DATE_TRUNC('day', MIN(ts)) AS cohort_day
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(DATE_DIFF('day', f.cohort_day, DATE_TRUNC('day', e.ts)) AS INTEGER)
+               AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    WHERE e.ts IS NOT NULL
+    GROUP BY f.cohort_day, day_offset
+    """,
+    doc="Cohort retention triangle: users bucketed by first-seen day, "
+    "activity counted as distinct users per (cohort, day offset). Two "
+    "shuffles — the per-user first-day aggregation and the cohort "
+    "rollup; the cohort dimension joins back to events on user_id "
+    "(AQE broadcasts it when small). The product-analytics staple "
+    "(Amplitude/Mixpanel) over the events table.",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.col("cohort_day").cast("date"),
+            ).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function batteries (§2.8)
 # --------------------------------------------------------------------------

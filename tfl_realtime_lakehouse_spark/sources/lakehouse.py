@@ -96,6 +96,52 @@ def merge_upsert(
     _atomic_swap(spark, new_table, target_path)
 
 
+def compact_files(
+    spark: SparkSession,
+    target_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-file compaction — the lakehouse maintenance job every
+    streaming/incremental sink eventually needs: micro-batch appends and
+    over-parallel writes leave thousands of KB-scale files, and at
+    100 TB the resulting per-file open/footer/seek overhead dominates
+    scan time (plus driver memory for the file index).
+
+    Bin-packs the snapshot at ``target_path`` into
+    ``ceil(total_bytes / target_file_bytes)`` files and atomically swaps
+    it in. Uses ``coalesce`` (NOT ``repartition``): reducing file count
+    needs no row redistribution, so the rewrite is a shuffle-free
+    read→pack→write pass — the scan already packs small files into
+    ~``maxPartitionBytes`` splits, coalesce just pins the output count.
+
+    No-ops (returns the stats, rewrites nothing) when the snapshot is
+    already at or below the target file count. Partitioned tables
+    compact partition-by-partition — run this per leaf directory.
+
+    Returns ``{"files_before", "files_after", "total_bytes"}``.
+    """
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = root.getFileSystem(conf)
+    sizes = [
+        st.getLen()
+        for st in fs.listStatus(root)
+        if st.isFile() and st.getPath().getName().endswith(".parquet")
+    ]
+    total = sum(sizes)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    stats = {"files_before": len(sizes), "files_after": n_out, "total_bytes": total}
+    if len(sizes) <= n_out:
+        stats["files_after"] = len(sizes)
+        return stats
+    df = spark.read.parquet(target_path)
+    _atomic_swap(spark, df.coalesce(n_out), target_path)
+    return stats
+
+
 def merge_delete(
     spark: SparkSession,
     target_path: str,

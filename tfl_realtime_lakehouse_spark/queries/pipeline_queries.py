@@ -275,6 +275,34 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_value_outliers",
+    oracle="""
+    SELECT event_id, event_type, value, ROUND(z, 4) AS z
+    FROM (
+      SELECT event_id, event_type, value,
+             (value - AVG(value) OVER (PARTITION BY event_type))
+               / STDDEV_POP(value) OVER (PARTITION BY event_type) AS z
+      FROM events) t
+    WHERE ROUND(ABS(z), 4) >= 2.5
+    """,
+    doc="Per-segment z-score outlier detection: windowed mean / "
+    "population stddev per event_type, flag |z| >= 2.5. One exchange "
+    "(both window aggregates share the partitioning); the filter "
+    "compares the ROUNDED score so the cross-engine float-"
+    "reassociation noise (ulps) cannot flip a boundary row.",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w)
+    return (
+        ev.select("event_id", "event_type", "value", z.alias("z"))
+        .where(F.round(F.abs(F.col("z")), 4) >= 2.5)
+        .select("event_id", "event_type", "value", F.round("z", 4).alias("z"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function batteries (§2.8)
 # --------------------------------------------------------------------------

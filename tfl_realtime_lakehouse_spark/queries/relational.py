@@ -674,3 +674,109 @@ def join_bloom_pruned_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+           CAST(l_quantity AS DOUBLE) AS v
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE)
+    FROM lineitem
+    """,
+    doc="UNPIVOT / melt (wide -> long reshape, the inverse of the pivot "
+    "battery): three measure columns fold into (metric, value) rows via "
+    "the stack() table generator — one scan, zero shuffles, row count "
+    "3x input. The oracle states the same reshape as a UNION ALL.",
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', CAST(l_quantity AS DOUBLE), "
+            "'extendedprice', CAST(l_extendedprice AS DOUBLE), "
+            "'discount', CAST(l_discount AS DOUBLE)) AS (metric, v)"
+        ),
+    )
+
+
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH lab AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+      FROM events
+    ), dim AS (
+      SELECT DISTINCT CASE WHEN event_type = 'error' THEN NULL
+                           ELSE event_type END AS k
+      FROM events
+    )
+    SELECT dim.k, CAST(COUNT(lab.event_id) AS BIGINT) AS n
+    FROM lab JOIN dim ON lab.k IS NOT DISTINCT FROM dim.k
+    GROUP BY dim.k
+    """,
+    doc="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys "
+    "match each other instead of vanishing, the semantics SCD merges "
+    "and dedup-on-nullable-key pipelines depend on. Still a hash join "
+    "in Spark (null-safe equality is a valid hash key) — no fallback "
+    "to nested-loop.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("event_type")
+    )
+    lab = ev.select("event_id", k.alias("k"))
+    dim = ev.select(k.alias("kd")).distinct()
+    return (
+        lab.join(dim, F.col("k").eqNullSafe(F.col("kd")))
+        .groupBy(F.col("kd").alias("k"))
+        .agg(F.count("event_id").alias("n"))
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_brand, p_size, p_name FROM part)
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(LEVENSHTEIN(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+    FROM p a JOIN p b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE LEVENSHTEIN(a.p_name, b.p_name) <= 5
+    """,
+    doc="Fuzzy string matching with blocking: candidate pairs come from "
+    "a cheap equi-join on (brand, size) blocking keys — never an "
+    "all-pairs cross — and only candidates pay the O(len^2) "
+    "Levenshtein kernel (JVM built-in, codegen'd). The entity-"
+    "resolution pattern: blocking bounds the quadratic stage exactly "
+    "like LSH bounds near-dup verification.",
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
+    a = pt.alias("a")
+    b = pt.alias("b")
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(d <= 5)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            d.alias("edit_dist"),
+        )
+    )

@@ -212,3 +212,67 @@ def test_clustered_write_tightens_rowgroup_stats(spark, tmp_path):
     # plain files each span ~the whole key domain; clustered files span
     # ~domain/num_files. Require at least a 4x tightening.
     assert avg_span(clustered_dir) < avg_span(plain_dir) / 4
+
+
+def test_zorder_write_tightens_stats_on_both_columns(spark, tmp_path):
+    """Z-ordering must tighten file-level min/max spans on BOTH
+    interleaved columns, where lexicographic clustering only localizes
+    its first key. Verified from parquet footers: x-span tightens under
+    both layouts, y-span tightens only under Z-order."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from tfl_realtime_lakehouse_spark.sources.bucketing import (
+        write_clustered,
+        zorder_write,
+    )
+
+    # two independent uniform dimensions
+    df = spark.range(100_000).selectExpr(
+        "cast(id * 2654435761 % 100000 as long) as x",
+        "cast(id * 1103515245 % 100000 as long) as y",
+    )
+    lex_dir = str(tmp_path / "lex")
+    z_dir = str(tmp_path / "zord")
+    write_clustered(df, lex_dir, ["x", "y"], num_files=16)
+    zorder_write(df, z_dir, ["x", "y"], bits=10, num_files=16)
+
+    def avg_span(path, col_idx):
+        spans = []
+        for f in _glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = min(
+                md.row_group(i).column(col_idx).statistics.min
+                for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(col_idx).statistics.max
+                for i in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        return sum(spans) / len(spans)
+
+    full = 100_000
+    # lexicographic: x localizes, y stays ~full-domain per file
+    assert avg_span(lex_dir, 0) < full / 4
+    assert avg_span(lex_dir, 1) > full * 0.8
+    # z-order: BOTH columns localize (16 files ≈ 4x4 grid → ~1/4 span
+    # per dimension; allow slack for curve boundary files)
+    assert avg_span(z_dir, 0) < full / 2
+    assert avg_span(z_dir, 1) < full / 2
+
+
+def test_bloom_prune_plan_is_shuffle_free(spark):
+    """The entire bloom probe chain must stay map-side: the fact side's
+    physical plan may contain BroadcastHashJoins only — no
+    SortMergeJoin, no ShuffledHashJoin, no Exchange on the fact lineage
+    (the bitmap side's tiny aggregation exchange is allowed)."""
+    from tfl_realtime_lakehouse_spark.operators.bloom import bloom_bitmap, bloom_prune
+
+    fact = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    dim = spark.range(0, 50_000, 500).select(F.col("id").alias("k"))
+    pruned = bloom_prune(fact, bloom_bitmap(dim, "k"), "k")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

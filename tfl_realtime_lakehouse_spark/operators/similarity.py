@@ -881,3 +881,67 @@ def pq_topk(
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= k)
     )
+
+
+def contracted_vector_pairs(
+    corpus: DataFrame,
+    pair_fn,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-contraction for vector pair operators (the embedding twin
+    of ``dedup.contracted_pairs``): group EXACTLY-equal vectors (array
+    equality — no hashing, no tolerance), run ``pair_fn`` on one
+    representative per group, expand pairs back to member ids.
+
+    ``pair_fn(reps) -> (vec_a, vec_b, score)`` must be content-pure.
+    Within-group pairs carry score 1.0 — identical unit vectors dot to
+    1 ± ulps and every pair operator here rounds to 6 decimals, so this
+    matches the raw arithmetic; zero-norm vectors are skipped, matching
+    the raw path where a NaN score fails every threshold. k exact copies
+    otherwise cost k² in any all-pairs/bucketed comparison — on the
+    10x-replicated sf1 corpus this is the difference between 200k- and
+    20k-row matmuls (~100x the dot products).
+    """
+    groups = corpus.groupBy(vec_col).agg(F.min(id_col).alias("_rep"))
+    members = (
+        corpus.join(groups, vec_col)
+        .select(F.col(id_col), "_rep")
+        .localCheckpoint()
+    )
+    reps = corpus.join(
+        members.where(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+        "left_semi",
+    ).localCheckpoint()  # reps feeds pair_fn AND the norm filter
+    rep_pairs = pair_fn(reps)
+    m_a = members.select(F.col("_rep").alias("vec_a"), F.col(id_col).alias("_da"))
+    m_b = members.select(F.col("_rep").alias("vec_b"), F.col(id_col).alias("_db"))
+    cross = (
+        rep_pairs.join(m_a, "vec_a")
+        .join(m_b, "vec_b")
+        .select(
+            F.least("_da", "_db").alias("vec_a"),
+            F.greatest("_da", "_db").alias("vec_b"),
+            "score",
+        )
+    )
+    sq_norm = F.aggregate(
+        vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+    )
+    nonzero = reps.select(F.col(id_col).alias("_rep")).join(
+        reps.where(sq_norm > 0).select(F.col(id_col).alias("_rep")), "_rep", "left_semi"
+    )
+    wa = members.select("_rep", F.col(id_col).alias("_da"))
+    wb = members.select("_rep", F.col(id_col).alias("_db"))
+    within = (
+        wa.join(wb, "_rep")
+        .where(F.col("_da") < F.col("_db"))
+        .join(nonzero, "_rep", "left_semi")
+        .select(
+            F.col("_da").alias("vec_a"),
+            F.col("_db").alias("vec_b"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+    return cross.unionByName(within)

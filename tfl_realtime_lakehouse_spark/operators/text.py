@@ -219,13 +219,29 @@ def contamination_check(
 
     Benchmark members are excluded from the scored side (anti-join).
     Returns per-doc gram totals, hit counts, overlap fraction, and the
-    contamination flag.
+    contamination flag. The scoring itself is content-pure given the
+    benchmark — :func:`contamination_scores` — so callers can wrap it
+    in ``dedup.contracted_rowwise`` to score unique content only.
     """
+    train = df.join(benchmark.select(id_col), id_col, "left_anti")
+    return contamination_scores(train, benchmark, text_col, id_col, n, frac_threshold)
+
+
+def contamination_scores(
+    train: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    frac_threshold: float = 0.1,
+) -> DataFrame:
+    """Per-document benchmark-overlap scoring (no membership filtering —
+    ``train`` is already the scored population). Content-pure in
+    ``train`` given a fixed benchmark."""
     grams_expr = F.array_distinct(shingles(text_col, n))
     bench_grams = (
         benchmark.select(F.explode(grams_expr).alias("gram")).distinct()
     )
-    train = df.join(benchmark.select(id_col), id_col, "left_anti")
     totals = train.select(F.col(id_col), F.size(grams_expr).alias("n_grams"))
     hits = (
         train.select(F.col(id_col), F.explode(grams_expr).alias("gram"))

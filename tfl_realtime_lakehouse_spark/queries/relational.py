@@ -762,21 +762,67 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "like LSH bounds near-dup verification.",
 )
 def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same exact-contraction trick as ngram_jaccard_pairs: the DP kernel
+    # runs once per UNIQUE (block, name) pair — identical rows pay
+    # nothing — and member ids expand back through equi-joins (the big
+    # output is join-produced, not levenshtein-produced). Three exact
+    # prunes on the kernel itself: |len(a)-len(b)| > k implies d > k
+    # (length filter in the join), thresholded levenshtein (banded DP,
+    # -1 past k) bails early, and same-name pairs are d=0 by definition.
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
-    a = pt.alias("a")
-    b = pt.alias("b")
-    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
+    uniq = pt.select("p_brand", "p_size", "p_name").distinct().localCheckpoint()
+    a = uniq.alias("a")
+    b = uniq.alias("b")
+    d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 5)
+    name_pairs = (
         a.join(
             b,
             (F.col("a.p_brand") == F.col("b.p_brand"))
             & (F.col("a.p_size") == F.col("b.p_size"))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            & (F.col("a.p_name") < F.col("b.p_name"))
+            & (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+                <= 5
+            ),
         )
-        .where(d <= 5)
+        .where(d >= 0)
         .select(
-            F.col("a.p_partkey").alias("part_a"),
-            F.col("b.p_partkey").alias("part_b"),
+            F.col("a.p_brand").alias("p_brand"),
+            F.col("a.p_size").alias("p_size"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
             d.alias("edit_dist"),
         )
     )
+    m_a = pt.select(
+        "p_brand", "p_size", F.col("p_name").alias("name_a"), F.col("p_partkey").alias("_ka")
+    )
+    m_b = pt.select(
+        "p_brand", "p_size", F.col("p_name").alias("name_b"), F.col("p_partkey").alias("_kb")
+    )
+    cross = (
+        name_pairs.join(m_a, ["p_brand", "p_size", "name_a"])
+        .join(m_b, ["p_brand", "p_size", "name_b"])
+        .select(
+            F.least("_ka", "_kb").alias("part_a"),
+            F.greatest("_ka", "_kb").alias("part_b"),
+            "edit_dist",
+        )
+    )
+    s_a = pt.alias("sa")
+    s_b = pt.alias("sb")
+    within = (
+        s_a.join(
+            s_b,
+            (F.col("sa.p_brand") == F.col("sb.p_brand"))
+            & (F.col("sa.p_size") == F.col("sb.p_size"))
+            & (F.col("sa.p_name") == F.col("sb.p_name"))
+            & (F.col("sa.p_partkey") < F.col("sb.p_partkey")),
+        )
+        .select(
+            F.col("sa.p_partkey").alias("part_a"),
+            F.col("sb.p_partkey").alias("part_b"),
+            F.lit(0).cast("int").alias("edit_dist"),
+        )
+    )
+    return cross.unionByName(within)

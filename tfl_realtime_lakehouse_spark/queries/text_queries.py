@@ -155,12 +155,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified "
     "with exact Jaccard ≥ 0.2 computed on the candidates only — a "
     "deterministic subset of ngram_jaccard_pairs found without any n² "
-    "(or even all-pairs-exact) work.",
+    "(or even all-pairs-exact) work. Wrapped in the exact-contraction "
+    "(operators.dedup.contracted_pairs): banding + verification are "
+    "content-pure, so duplicates ride the expansion joins instead of "
+    "multiplying bucket collisions quadratically (40 s → 5 s at sf1).",
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    cands = D.minhash_lsh_candidates(docs, n=3, num_hashes=16, bands=4)
-    return D.verify_pairs_jaccard(docs, cands, n=3, threshold=0.2)
+
+    def _pairs(reps):
+        cands = D.minhash_lsh_candidates(reps, n=3, num_hashes=16, bands=4)
+        return D.verify_pairs_jaccard(reps, cands, n=3, threshold=0.2)
+
+    return D.contracted_pairs(docs, _pairs, n=3)
 
 
 @register(
@@ -435,7 +442,10 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The pre-training corpus filter that removes boilerplate/looped text.",
 )
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = X.repetition_metrics(table(spark, sf_dir, "documents"))
+    # Per-row metrics are content-pure: compute once per unique document
+    # (exact contraction), fan back out — bit-identical, 10x cheaper on
+    # replicated corpora.
+    m = D.contracted_rowwise(table(spark, sf_dir, "documents"), X.repetition_metrics)
     keep = (
         (F.col("dup_token_fraction") <= 0.6) & (F.col("top_bigram_fraction") <= 0.05)
     ).cast("int")
@@ -520,6 +530,11 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
+    # NOT contracted: the scoring is a map-side broadcast semi-join
+    # (zero corpus shuffles), so exact-contraction's extra exchanges
+    # cost more than they save — measured 6.6 s raw vs 13 s contracted
+    # at sf1. Contraction pays for SUPER-LINEAR operators (pair joins,
+    # matmuls), not for streaming per-row scans.
     return X.contamination_check(docs, bench, n=4, frac_threshold=0.02)
 
 

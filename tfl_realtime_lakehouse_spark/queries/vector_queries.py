@@ -59,7 +59,12 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.neardup_pairs_numpy(emb, threshold=0.4)
+    # Exact contraction on ARRAY-equal vectors: the matmul tier sees one
+    # representative per identical vector; copies expand back through
+    # joins (k copies otherwise cost k^2 dot products).
+    return S.contracted_vector_pairs(
+        emb, lambda reps: S.neardup_pairs_numpy(reps, threshold=0.4)
+    )
 
 
 @register(

@@ -272,3 +272,113 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_p"),
         )
     )
+
+
+@register(
+    "sessions_active_per_hour",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), flags AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                      OR EPOCH_US(ts) - EPOCH_US(prev_ts) > {SESSION_GAP_S} * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM gaps
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flags
+    ), intervals AS (
+      SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT h.hour, CAST(COUNT(*) AS BIGINT) AS n_active_sessions,
+           CAST(COUNT(DISTINCT i.user_id) AS BIGINT) AS n_active_users
+    FROM intervals i,
+         UNNEST(RANGE(DATE_TRUNC('hour', i.s), DATE_TRUNC('hour', i.e)
+                      + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h(hour)
+    GROUP BY h.hour
+    """,
+    doc="Interval stabbing / occupancy: how many sessions (and distinct "
+    "users) were active during each hour. Sessions come from the same "
+    "gap-sessionization; each [start, end] interval EXPLODES to its "
+    "covering hour grid (F.sequence — bounded by session length, no "
+    "range join, no self-join) and one groupBy counts the stabs. The "
+    "scalable form of the classic 'concurrent sessions over time' "
+    "query: work is O(total session-hours), never O(sessions²).",
+)
+def sessions_active_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev_ts")
+                    > SESSION_GAP_S * 1_000_000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    hours = sess.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hour"),
+    )
+    return hours.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_active_sessions"),
+        F.count_distinct("user_id").alias("n_active_users"),
+    )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    WITH rng AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(LEAST(19, FLOOR((e.value - r.lo) / (r.hi - r.lo) * 20)) AS INTEGER)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events e JOIN rng r USING (event_type)
+    GROUP BY e.event_type, bucket
+    """,
+    doc="Equi-width histogram per segment (20 buckets over each "
+    "segment's [min, max]): one tiny range aggregate broadcast back, "
+    "then a single count shuffle keyed (segment, bucket). The bucket "
+    "formula is written identically on both engines (same IEEE double "
+    "ops in the same order), so edge rows bucket identically — no "
+    "width_bucket dialect drift.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = F.least(
+        F.lit(19),
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+    ).cast("int")
+    return (
+        ev.join(F.broadcast(rng), "event_type")
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

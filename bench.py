@@ -45,6 +45,13 @@ def main() -> None:
         except Exception as exc:  # keep the suite running; surface the error
             timings[name] = -1.0
             print(f"# bench error in {name}: {exc}", file=sys.stderr)
+        # Drop the query's DataFrame graph promptly: localCheckpoint
+        # blocks (used by the contraction/self-join operators) are only
+        # released by the ContextCleaner once the Python references die,
+        # and 100+ queries of retained blocks skew later measurements.
+        import gc
+
+        gc.collect()
     total = round(time.time() - t_suite, 3)
 
     print(

@@ -72,3 +72,30 @@ def test_compact_files_packs_small_files_and_preserves_rows(spark, tmp_path):
 
     again = compact_files(spark, path, target_file_bytes=1 << 30)
     assert again["files_before"] == 1 and again["files_after"] == 1
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark, tmp_path):
+    """added/removed/changed/unchanged must each be detected, including
+    a null→value transition (the null-safe digest must not equate NULL
+    with any real value or with the empty string)."""
+    from tfl_realtime_lakehouse_spark.sources.lakehouse import snapshot_diff
+
+    old_p = str(tmp_path / "old")
+    new_p = str(tmp_path / "new")
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "", 4.0)],
+        "k long, g string, v double",
+    ).write.parquet(old_p)
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (4, "", 4.0), (5, "e", 5.0)],
+        "k long, g string, v double",
+    ).write.parquet(new_p)
+
+    got = {r.k: r.change for r in snapshot_diff(spark, old_p, new_p, ["k"]).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",   # NULL -> 2.0
+        3: "removed",
+        4: "unchanged",  # empty string is not NULL
+        5: "added",
+    }

@@ -96,6 +96,52 @@ def merge_upsert(
     _atomic_swap(spark, new_table, target_path)
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    keys: list[str],
+) -> DataFrame:
+    """Key-level diff between two table snapshots — the audit primitive
+    behind incremental publishing ("what did this rebuild change?") and
+    regression triage on curation pipelines.
+
+    Returns one row per key present in either snapshot with
+    ``change ∈ {added, removed, changed, unchanged}``. Non-key columns
+    are compared by a null-safe row digest (md5 of the canonically
+    ordered values), so the comparison is one full outer join on the
+    key — no column-by-column predicate explosion, and the shuffle
+    moves fixed-width digests plus keys only.
+    """
+    old = spark.read.parquet(old_path)
+    new = spark.read.parquet(new_path)
+    val_cols = sorted(c for c in old.columns if c not in keys)
+    if sorted(c for c in new.columns if c not in keys) != val_cols:
+        raise ValueError("snapshot_diff: snapshots have different columns")
+
+    def digested(df: DataFrame, alias: str) -> DataFrame:
+        digest = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in val_cols]
+            )
+        )
+        return df.select(*keys, digest.alias(alias))
+
+    o = digested(old, "_old")
+    n = digested(new, "_new")
+    return (
+        o.join(n, keys, "full_outer")
+        .select(
+            *keys,
+            F.when(F.col("_old").isNull(), F.lit("added"))
+            .when(F.col("_new").isNull(), F.lit("removed"))
+            .when(F.col("_old") == F.col("_new"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+        )
+    )
+
+
 def compact_files(
     spark: SparkSession,
     target_path: str,

@@ -95,8 +95,12 @@ DRIVER_WINDOW = [
     "embedding_ann_ivf_trained",
     "multimodal_resize_plan",
     "multimodal_frame_sample",
-    "q2_min_supply_price",
-    "q21_waiting_suppliers",
+    # Session-5 swap: q2/q21 (TPC-H shapes, same risk class as the 14
+    # shapes already in the parity-only tail) give their slots to the
+    # two most novel unverified tail ops. No driver-green row is lost:
+    # neither q2 nor q21 had one.
+    "fuzzy_name_pairs",
+    "events_winsorized_stats",
 ]
 
 

@@ -1171,3 +1171,43 @@ def test_vector_contraction_is_identity_preserving(spark):
     pairs = {(r[0], r[1]) for r in con}
     assert {(1, 2), (1, 3), (2, 3), (10, 11), (1, 10)} <= pairs
     assert not any(30 in p or 31 in p for p in pairs)
+
+
+def test_bucket_gapfill_locf_and_interp_edges(spark):
+    """Gap buckets get n_events=0; LOCF carries the last observed value
+    but leaves leading-edge gaps null; interpolation is linear between
+    neighbouring observed buckets and null at both edges."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.operators.timeseries import bucket_gapfill
+
+    t = lambda h: dt.datetime(2024, 1, 1, h, 15)
+    rows = [
+        # key "a": observed at hours 1, 4 (gap 2-3), value 10 -> 40
+        ("a", t(1), 10.0),
+        ("a", t(4), 40.0),
+        # key "b": observed only at hour 3 (leading gap 0-2 relative to
+        # the global span starting at hour 0... span is global [1, 4])
+        ("b", t(3), 7.0),
+        ("b", t(3), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = bucket_gapfill(df).orderBy("key", "bucket").collect()
+
+    by = {(r["key"], r["bucket"].hour): r for r in out}
+    # dense grid: global span hours 1..4 for both keys
+    assert len(out) == 8
+
+    a2, a3 = by[("a", 2)], by[("a", 3)]
+    assert a2["n_events"] == 0 and a2["was_gap"] and a2["avg_value"] is None
+    assert a2["avg_value_locf"] == 10.0 and a3["avg_value_locf"] == 10.0
+    assert abs(a2["avg_value_interp"] - 20.0) < 1e-9
+    assert abs(a3["avg_value_interp"] - 30.0) < 1e-9
+
+    # leading-edge gaps: LOCF and interp both null before first observation
+    b1 = by[("b", 1)]
+    assert b1["avg_value_locf"] is None and b1["avg_value_interp"] is None
+    assert by[("b", 3)]["avg_value"] == 8.0
+    # trailing-edge gap: LOCF carries, interp null (no next observation)
+    b4 = by[("b", 4)]
+    assert b4["avg_value_locf"] == 8.0 and b4["avg_value_interp"] is None

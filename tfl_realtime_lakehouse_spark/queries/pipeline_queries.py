@@ -749,3 +749,75 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         tiebreak_col="event_id",
     )
+
+
+@register(
+    "events_gapfill_locf",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS key, DATE_TRUNC('hour', ts) AS bucket,
+             COUNT(*) AS n_events, AVG(value) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT DATE_TRUNC('hour', MIN(ts)) AS tmin,
+             DATE_TRUNC('hour', MAX(ts)) AS tmax
+      FROM events
+    ),
+    grid AS (
+      SELECT k.key,
+             UNNEST(generate_series(s.tmin, s.tmax, INTERVAL 1 HOUR)) AS bucket
+      FROM (SELECT DISTINCT event_type AS key FROM events) k, span s
+    ),
+    dense AS (
+      SELECT g.key, g.bucket, a.n_events, a.avg_value
+      FROM grid g LEFT JOIN agg a ON g.key = a.key AND g.bucket = a.bucket
+    ),
+    filled AS (
+      SELECT key, bucket,
+        COALESCE(n_events, 0) AS n_events,
+        CAST(avg_value IS NULL AS INTEGER) AS was_gap,
+        avg_value,
+        LAST_VALUE(avg_value IGNORE NULLS) OVER w_past AS locf,
+        LAST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER w_past AS prev_b,
+        FIRST_VALUE(avg_value IGNORE NULLS) OVER w_fut AS next_val,
+        FIRST_VALUE(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER w_fut AS next_b
+      FROM dense
+      WINDOW
+        w_past AS (PARTITION BY key ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        w_fut AS (PARTITION BY key ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT key, bucket, CAST(n_events AS BIGINT) AS n_events, was_gap,
+      ROUND(avg_value, 6) AS avg_value,
+      ROUND(locf, 6) AS avg_value_locf,
+      ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
+                 WHEN locf IS NOT NULL AND next_val IS NOT NULL THEN
+                   locf + (next_val - locf)
+                        * (EPOCH(bucket) - EPOCH(prev_b))
+                        / (EPOCH(next_b) - EPOCH(prev_b))
+            END, 6) AS avg_value_interp
+    FROM filled
+    """,
+    doc="Dense time-bucket gapfill with zero-filled counts, LOCF and "
+    "linear interpolation (the timeseries-DB time_bucket_gapfill / "
+    "locf / interpolate triple) — one hash-agg shuffle over events, an "
+    "output-sized sequence-explode grid, and two key-partitioned window "
+    "passes. operators/timeseries.py.",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.timeseries import bucket_gapfill
+
+    out = bucket_gapfill(table(spark, sf_dir, "events"))
+    return out.select(
+        "key",
+        "bucket",
+        "n_events",
+        F.col("was_gap").cast("int").alias("was_gap"),
+        F.round("avg_value", 6).alias("avg_value"),
+        F.round("avg_value_locf", 6).alias("avg_value_locf"),
+        F.round("avg_value_interp", 6).alias("avg_value_interp"),
+    )

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from tfl_realtime_lakehouse_spark.operators.text import shingles, tokens
+from tfl_realtime_lakehouse_spark.sources.tables import fan_out
 
 
 def exact_dedup_groups(
@@ -62,9 +63,17 @@ def _shingle_postings(
     n: int,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    posts = df.select(
+    posts = fan_out(df).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+        # Hash-to-long INSIDE the per-row pipeline: array_distinct over
+        # 8-byte keys is ~4× cheaper than over n-gram strings, and every
+        # downstream shuffle/join moves fixed-width keys. Identical
+        # semantics absent a 64-bit collision (birthday bound ~10^9
+        # distinct shingles; the MinHash/SimHash operators already make
+        # the same trade).
+        F.explode(
+            F.array_distinct(F.transform(shingles(text_col, n), lambda g: F.xxhash64(g)))
+        ).alias("sh"),
     )
     if max_doc_freq is not None:
         # Stop-shingle filter: a shingle appearing in d documents emits
@@ -84,9 +93,11 @@ def _shingle_postings(
 
 
 def shingle_sizes(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
-        F.size(F.array_distinct(shingles(text_col, n))).alias("n_shingles"),
+        F.size(
+            F.array_distinct(F.transform(shingles(text_col, n), lambda g: F.xxhash64(g)))
+        ).alias("n_shingles"),
     )
 
 
@@ -267,10 +278,20 @@ def ngram_jaccard_pairs(
             id_col=id_col,
             n=n,
         )
-    posts = df.select(
+    # Hash-to-long BEFORE array_distinct (dedup over 8-byte keys, not
+    # n-gram strings) and fan the scan out first — the single-row-group
+    # corpus files otherwise run the whole shingle pipeline on one core
+    # (sources/tables.py:fan_out). Checkpointed BEFORE the hot filter so
+    # the per-doc set sizes (which must count ALL distinct shingles,
+    # filter or not) come from the same materialization — the scan +
+    # shingle + hash subtree runs exactly once per corpus.
+    posts_raw = fan_out(df).select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles(text_col, n))).alias("s"),
-    ).select(id_col, F.xxhash64("s").alias("sh"))
+        F.explode(
+            F.array_distinct(F.transform(shingles(text_col, n), lambda g: F.xxhash64(g)))
+        ).alias("sh"),
+    ).localCheckpoint()
+    posts = posts_raw
     if max_doc_freq is not None:
         # Stop-shingle filter on the HASHED key (same semantics as
         # _shingle_postings, cheaper shuffle): one hot shingle with
@@ -282,7 +303,6 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         posts = posts.join(hot, "sh", "left_anti")
-    posts = posts.localCheckpoint()
     a = posts.alias("a")
     b = posts.alias("b")
     shared = (
@@ -290,7 +310,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
-    sizes = shingle_sizes(df, text_col, id_col, n)
+    # Per-doc distinct-shingle counts from the SAME checkpointed
+    # postings (pre-hot-filter, so sizes stay full): zero-shingle docs
+    # are absent here, but they are also absent from `shared` (no
+    # postings → no join rows), so the inner joins below see the same
+    # population either way.
+    sizes = posts_raw.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_shingles")
+    )
     out = (
         # Plain equi-joins on doc id: the sizes relation is O(n_docs), so a
         # broadcast hint would ship the whole corpus's sizes to every
@@ -493,7 +520,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     The explode + 64 conditional sums is one shuffle on ``id_col``;
     signature assembly is a pure projection.
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w")
     ).withColumn("h", F.xxhash64("w"))
     votes = toks.groupBy(id_col).agg(
@@ -775,7 +802,7 @@ def longest_common_span(
     # CSE, so an inline split() subtree would re-tokenize the document
     # once PER WINDOW (measured 3.1 s → 0.6 s on the sf0.1 postings).
     toks = F.col("_toks")
-    staged = df.select(
+    staged = fan_out(df).select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )
     spans = F.when(

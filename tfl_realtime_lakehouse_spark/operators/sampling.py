@@ -88,11 +88,22 @@ def importance_weights(
     the token explode is map-side, and the two aggregations shuffle
     fixed-width keys.
     """
-    toks = df.select(
-        F.col(id_col),
-        is_target.alias("_t"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
-    ).select(id_col, "_t", hash_bucket(F.col("tok"), buckets).alias("b"))
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
+    # Fanned out (single-row-group scans otherwise tokenize+md5 on one
+    # core) and checkpointed: `toks` feeds BOTH the distribution build
+    # and the final per-doc scoring join — without materialization the
+    # explode + md5-bucket subtree runs twice.
+    toks = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            is_target.alias("_t"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .select(id_col, "_t", hash_bucket(F.col("tok"), buckets).alias("b"))
+        .localCheckpoint()
+    )
     counts = toks.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_all"),
         F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("n_tgt"),

@@ -237,11 +237,26 @@ def contamination_scores(
 ) -> DataFrame:
     """Per-document benchmark-overlap scoring (no membership filtering —
     ``train`` is already the scored population). Content-pure in
-    ``train`` given a fixed benchmark."""
-    grams_expr = F.array_distinct(shingles(text_col, n))
-    bench_grams = (
-        benchmark.select(F.explode(grams_expr).alias("gram")).distinct()
+    ``train`` given a fixed benchmark.
+
+    Grams are folded to 64-bit xxhash keys before dedup/join: intra-doc
+    ``array_distinct`` over longs is ~4× cheaper than over strings, the
+    broadcast bench set shrinks to fixed-width keys, and the join
+    compares longs instead of variable-length text. Overlap counts are
+    unchanged absent a 64-bit collision *within one document's gram
+    set* (~50 grams → P ≈ 1e-16 per doc; same trade the jaccard
+    self-join makes). Both sides fan out first — the scan of a
+    single-row-group corpus file would otherwise run the shingle
+    expression on one core (sources/tables.py:fan_out)."""
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
+    grams_expr = F.array_distinct(
+        F.transform(shingles(text_col, n), lambda g: F.xxhash64(g))
     )
+    bench_grams = (
+        fan_out(benchmark).select(F.explode(grams_expr).alias("gram")).distinct()
+    )
+    train = fan_out(train)
     totals = train.select(F.col(id_col), F.size(grams_expr).alias("n_grams"))
     hits = (
         train.select(F.col(id_col), F.explode(grams_expr).alias("gram"))

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
 
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
@@ -64,7 +66,7 @@ def cosine_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qvec")
     )
-    scored = corpus.join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).select(
+    scored = fan_out(corpus).join(F.broadcast(q), F.col(query_id_col) != F.col(id_col)).select(
         query_id_col,
         id_col,
         F.round(cosine(F.col("_qvec"), F.col(vec_col)), 6).alias("score"),
@@ -161,7 +163,7 @@ def neardup_pairs_numpy(
                 }
             )
 
-    scored = corpus.select(id_col, vec_col).mapInPandas(block_similarity, out_schema)
+    scored = fan_out(corpus.select(id_col, vec_col)).mapInPandas(block_similarity, out_schema)
     return scored.select("vec_a", "vec_b", F.round("score", 6).alias("score"))
 
 
@@ -358,7 +360,7 @@ def hyperplane_lsh_pairs(
                 }
             )
 
-    coded = corpus.select(id_col, vec_col).mapInPandas(codes, code_schema)
+    coded = fan_out(corpus.select(id_col, vec_col)).mapInPandas(codes, code_schema)
     a, b = coded.alias("a"), coded.alias("b")
     cands = (
         a.join(
@@ -497,6 +499,7 @@ def kmeans_train(
     IVF budget since cells only need to be balanced, not optimal.
     Returns (cell, centroid array<double>).
     """
+    corpus = fan_out(corpus)
     seeds = (
         corpus.select(F.col(vec_col))
         .withColumn("_h", F.xxhash64(F.col(vec_col).cast("string")))
@@ -539,6 +542,7 @@ def ivf_topk(
     pass ``centroids`` (cell, centroid — e.g. from :func:`kmeans_train`)
     to assign the corpus to trained cells instead (the real IVF build
     path when no natural partitioning exists)."""
+    corpus = fan_out(corpus)
     if centroids is not None:
         corpus = kmeans_assign(corpus, centroids, id_col, vec_col, cell_col="cell")
         cell_col = "cell"
@@ -661,7 +665,7 @@ def pq_train(
     relation is persisted for the life of the loop.
     """
     spark = corpus.sparkSession
-    subs = corpus.select(
+    subs = fan_out(corpus).select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -768,7 +772,7 @@ def pq_encode(
     explode to (vec, sub) sub-vectors, broadcast-join the m·codes
     codebook, ``min_by`` argmin per (vec, sub), re-assemble the code
     array ordered by subspace. One shuffle keyed on the vector id."""
-    subs = corpus.select(
+    subs = fan_out(corpus).select(
         F.col(id_col),
         F.posexplode(
             F.transform(

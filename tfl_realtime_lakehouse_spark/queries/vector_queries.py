@@ -399,7 +399,10 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     books = S.pq_train(emb, m=8, codes=16, iters=2)
-    codes = S.pq_encode(emb, books, m=8)
+    # Materialize the code table: pq_topk's scoring plan would otherwise
+    # re-run the whole encode (explode + argmin + reassemble) inside its
+    # own lineage. At scale this is the persisted IVF-PQ index anyway.
+    codes = S.pq_encode(emb, books, m=8).localCheckpoint()
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

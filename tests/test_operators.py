@@ -1211,3 +1211,68 @@ def test_bucket_gapfill_locf_and_interp_edges(spark):
     # trailing-edge gap: LOCF carries, interp null (no next observation)
     b4 = by[("b", 4)]
     assert b4["avg_value_locf"] == 8.0 and b4["avg_value_interp"] is None
+
+
+def test_counter_rate_reset_semantics(spark):
+    """A negative delta is a counter restart: the post-reset value is
+    the increase. Series heads contribute nothing."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.operators.timeseries import counter_rate
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # counter: 10 -> 25 (+15) -> 3 (reset, +3) -> 10 (+7); head drops
+        ("a", 1, t(0), 10.0),
+        ("a", 2, t(10), 25.0),
+        ("a", 3, t(20), 3.0),
+        ("a", 4, t(30), 10.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = counter_rate(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_samples"] == 3
+    assert r["increase"] == 25.0  # 15 + 3 + 7
+    assert abs(r["rate_per_sec"] - 25.0 / 3600) < 1e-6
+
+
+def test_rolling_anomaly_flags_spike_only(spark):
+    """A 10x spike after a stable history is flagged; stable buckets and
+    under-history buckets are not."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.operators.timeseries import rolling_anomaly
+
+    rows = []
+    for h in range(15):
+        # one event per hour, value 100 ± tiny wiggle; hour 14 spikes
+        v = 1000.0 if h == 14 else 100.0 + (h % 3)
+        rows.append(("k", h, dt.datetime(2024, 1, 1, h), v))
+    df = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    out = {r["bucket"].hour: r for r in rolling_anomaly(df, min_history=12).collect()}
+    assert out[5]["is_anomaly"] is None  # only 5 history rows
+    assert out[13]["is_anomaly"] == 0
+    assert out[14]["is_anomaly"] == 1
+    assert out[14]["n_hist"] == 14
+
+
+def test_reservoir_per_key_deterministic_and_sized(spark):
+    from tfl_realtime_lakehouse_spark.operators.sampling import reservoir_per_key
+
+    rows = [(f"k{i % 3}", i) for i in range(100)] + [("rare", 1000)]
+    df = spark.createDataFrame(rows, "key string, doc_id long")
+    a = {(r["key"], r["doc_id"]) for r in reservoir_per_key(df, "key", 5).collect()}
+    b = {
+        (r["key"], r["doc_id"])
+        for r in reservoir_per_key(df.repartition(7), "key", 5).collect()
+    }
+    assert a == b  # repartition-invariant
+    from collections import Counter
+
+    c = Counter(k for k, _ in a)
+    assert c["rare"] == 1 and all(v == 5 for k, v in c.items() if k != "rare")

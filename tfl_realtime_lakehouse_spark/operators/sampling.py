@@ -12,7 +12,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -184,3 +184,32 @@ def mixture_sample(
         thresh.otherwise(default_thresh) if thresh is not None else F.lit(default_thresh)
     )
     return df.where(bucket < thresh)
+
+
+def reservoir_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic fixed-size sample per key — the distributed stand-in
+    for per-key reservoir sampling. True reservoir sampling is
+    sequential (stream order + RNG state); the content-addressed
+    formulation keeps its guarantee (exactly min(k, n) rows per key,
+    each key-member equally likely under the hash's uniformity) while
+    being reproducible across engines, runs, and repartitions: order
+    key members by md5(id) and keep the first k.
+
+    One window shuffle on the key. At scale, heavy keys are bounded by
+    a pre-filter refinement (hash-threshold pushdown) if a key's
+    cardinality makes a full sort-within-key expensive — not needed at
+    the corpus sizes here; the window's TopK (rank ≤ k) already avoids
+    a full sort via partial take-ordered under AQE.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= k)
+    )

@@ -114,3 +114,151 @@ def bucket_gapfill(
         prev_val.alias("avg_value_locf"),
         interp.alias("avg_value_interp"),
     )
+
+
+def counter_rate(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    unit: str = "hour",
+    unit_seconds: int = 3600,
+) -> DataFrame:
+    """Per-key per-bucket rate of a monotonically-increasing counter
+    with reset handling (the PromQL ``rate()``/``increase()`` semantics,
+    re-expressed as one window pass + one aggregation).
+
+    A sample's increase is ``value - lag(value)`` when non-negative; a
+    negative delta means the counter restarted (process crash), so the
+    post-reset absolute value IS the increase — exactly Prometheus's
+    extrapolation-free rule. Increases sum per (key, bucket) as exact
+    DECIMAL (order-free), and the rate divides by the bucket span.
+
+    Plan: one window shuffle on the key (lag), one hash agg on
+    (key, bucket) — partial map-side. At 100 TB both stages key on the
+    series id; skewed series fall to AQE. First sample per key has no
+    lag and contributes nothing (no baseline to diff against).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    # Explicit null-first branch: a NULL delta (series head) would
+    # otherwise fall through `when(delta >= 0, ...)` into the reset
+    # branch — CASE treats a NULL condition as not-matched, not false.
+    increase = (
+        F.when(delta.isNull(), F.lit(None).cast("double"))
+        .when(delta >= 0, delta)
+        .otherwise(F.col(value_col))
+    )
+    per_sample = df.select(
+        F.col(key_col).alias("key"),
+        F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+        increase.alias("_inc"),
+    ).where(F.col("_inc").isNotNull())
+    return per_sample.groupBy("key", "bucket").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.round(F.sum(F.col("_inc").cast("decimal(27,12)")).cast("double"), 6).alias(
+            "increase"
+        ),
+        F.round(
+            (
+                F.sum(F.col("_inc").cast("decimal(27,12)")).cast("double")
+                / F.lit(float(unit_seconds))
+            ),
+            6,
+        ).alias("rate_per_sec"),
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+    lookback: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average over the per-key bucket
+    series with α = 1/2 — the dashboard smoothing pass.
+
+    Determinism across engines is engineered, not assumed: bucket
+    totals are exact DECIMAL sums; the EWMA weights 2^-j are exact
+    binary64 values, so each product is a single correctly-rounded IEEE
+    operation; and the weighted sum is written as one fixed
+    left-to-right chain (identical expression tree in the SQL oracle),
+    so both engines round identically at every step. Missing history at
+    a series head renormalizes over the observed lags (standard
+    adjusted-EWMA). One agg shuffle + one window pass on the key.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    agg = df.groupBy(F.col(key_col).alias("key"), bucket).agg(
+        F.sum(F.col(value_col).cast("decimal(27,12)")).alias("_s")
+    )
+    w = Window.partitionBy("key").orderBy("bucket")
+    x = F.col("_s").cast("double")
+    num = x  # j = 0 term; weight 1
+    den = F.lit(1.0)
+    for j in range(1, lookback):
+        lj = F.lag(x, j).over(w)
+        wt = F.lit(2.0 ** (-j))
+        num = num + F.coalesce(lj * wt, F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), wt).otherwise(F.lit(0.0))
+    return agg.select(
+        "key",
+        "bucket",
+        F.round(x, 6).alias("bucket_sum"),
+        F.round(num / den, 6).alias("ewma"),
+    )
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    unit: str = "hour",
+    history: int = 24,
+    min_history: int = 12,
+    z2_threshold: float = 9.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flag on the per-key bucket series: a
+    bucket is anomalous when (x − μ)² > t·σ² against the preceding
+    ``history`` buckets' mean/variance (z² > t, t = 9 ⇒ |z| > 3).
+
+    The flag is made exactly cross-engine-deterministic by comparing in
+    integer-like algebra instead of dividing: with S1 = Σxᵢ, S2 = Σxᵢ²
+    over n history rows,   (x·n − S1)² > t·(n·S2 − S1²)   ⟺  z² > t.
+    S1/S2 are exact DECIMAL sums (order-free); the final products run
+    in binary64 with the SAME expression tree on both engines, so every
+    intermediate rounds identically. Plan: one agg shuffle, one window
+    pass; history state is O(history) per series.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")
+    agg = df.groupBy(F.col(key_col).alias("key"), bucket).agg(
+        F.sum(F.col(value_col).cast("decimal(27,12)")).alias("_sd")
+    )
+    x = F.col("_sd").cast("double")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(-history, -1)
+    )
+    # x² staged per row (single IEEE multiply), then exact decimal sums.
+    staged = agg.select(
+        "key", "bucket", "_sd", (x * x).cast("decimal(38,6)").alias("_sq")
+    )
+    s1 = F.sum(F.col("_sd").cast("decimal(38,6)")).over(w)
+    s2 = F.sum("_sq").over(w)
+    n = F.count(F.lit(1)).over(w)
+    s1d, s2d, nd = s1.cast("double"), s2.cast("double"), n.cast("double")
+    lhs = (x * nd - s1d) * (x * nd - s1d)
+    rhs = F.lit(float(z2_threshold)) * (nd * s2d - s1d * s1d)
+    return staged.select(
+        "key",
+        "bucket",
+        F.round(x, 6).alias("bucket_sum"),
+        n.cast("int").alias("n_hist"),
+        F.when(n >= min_history, (lhs > rhs).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("is_anomaly"),
+    )

@@ -821,3 +821,151 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_value_locf", 6).alias("avg_value_locf"),
         F.round("avg_value_interp", 6).alias("avg_value_interp"),
     )
+
+
+@register(
+    "events_counter_rate",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_type AS key, DATE_TRUNC('hour', ts) AS bucket,
+             value - LAG(value) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS delta,
+             value
+      FROM events
+    ), inc AS (
+      SELECT key, bucket,
+             CASE WHEN delta >= 0 THEN delta ELSE value END AS i
+      FROM lagged WHERE delta IS NOT NULL
+    )
+    SELECT key, bucket, COUNT(*) AS n_samples,
+           ROUND(CAST(SUM(CAST(i AS DECIMAL(27,12))) AS DOUBLE), 6) AS increase,
+           ROUND(CAST(SUM(CAST(i AS DECIMAL(27,12))) AS DOUBLE) / 3600.0, 6)
+             AS rate_per_sec
+    FROM inc GROUP BY key, bucket
+    """,
+    doc="PromQL-style counter rate()/increase() per series per hour: "
+    "lag-delta with reset handling (negative delta => the post-restart "
+    "value is the increase), exact decimal sums, rate per second. One "
+    "window shuffle on the series key + one map-side-combined hash agg. "
+    "operators/timeseries.py:counter_rate.",
+)
+def events_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.timeseries import counter_rate
+
+    return counter_rate(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_ewma_hourly",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS key, DATE_TRUNC('hour', ts) AS bucket,
+             SUM(CAST(value AS DECIMAL(27,12))) AS s
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT key, bucket, CAST(s AS DOUBLE) AS x,
+             LAG(CAST(s AS DOUBLE), 1) OVER w AS l1,
+             LAG(CAST(s AS DOUBLE), 2) OVER w AS l2,
+             LAG(CAST(s AS DOUBLE), 3) OVER w AS l3,
+             LAG(CAST(s AS DOUBLE), 4) OVER w AS l4,
+             LAG(CAST(s AS DOUBLE), 5) OVER w AS l5,
+             LAG(CAST(s AS DOUBLE), 6) OVER w AS l6,
+             LAG(CAST(s AS DOUBLE), 7) OVER w AS l7
+      FROM agg
+      WINDOW w AS (PARTITION BY key ORDER BY bucket)
+    )
+    SELECT key, bucket, ROUND(x, 6) AS bucket_sum,
+      ROUND(
+        (x + COALESCE(l1 * 0.5, 0.0) + COALESCE(l2 * 0.25, 0.0)
+           + COALESCE(l3 * 0.125, 0.0) + COALESCE(l4 * 0.0625, 0.0)
+           + COALESCE(l5 * 0.03125, 0.0) + COALESCE(l6 * 0.015625, 0.0)
+           + COALESCE(l7 * 0.0078125, 0.0))
+        / (1.0 + CASE WHEN l1 IS NOT NULL THEN 0.5 ELSE 0.0 END
+               + CASE WHEN l2 IS NOT NULL THEN 0.25 ELSE 0.0 END
+               + CASE WHEN l3 IS NOT NULL THEN 0.125 ELSE 0.0 END
+               + CASE WHEN l4 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+               + CASE WHEN l5 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+               + CASE WHEN l6 IS NOT NULL THEN 0.015625 ELSE 0.0 END
+               + CASE WHEN l7 IS NOT NULL THEN 0.0078125 ELSE 0.0 END),
+        6) AS ewma
+    FROM lagged
+    """,
+    doc="Adjusted EWMA (alpha = 1/2, 8-bucket lookback) over the hourly "
+    "per-series totals. Weights 2^-j are exact binary64 values and the "
+    "weighted sum is one fixed left-to-right chain replicated in the "
+    "oracle, so both engines round identically at every IEEE step — "
+    "float determinism by construction, not by luck. One agg shuffle + "
+    "one window pass. operators/timeseries.py:ewma_smooth.",
+)
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.timeseries import ewma_smooth
+
+    return ewma_smooth(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_rate_anomaly",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type AS key, DATE_TRUNC('hour', ts) AS bucket,
+             SUM(CAST(value AS DECIMAL(27,12))) AS sd
+      FROM events GROUP BY 1, 2
+    ), staged AS (
+      SELECT key, bucket, sd,
+             CAST(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) AS DECIMAL(38,6)) AS sq
+      FROM agg
+    ), roll AS (
+      SELECT key, bucket, CAST(sd AS DOUBLE) AS x,
+             CAST(SUM(CAST(sd AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(sq) OVER w AS DOUBLE) AS s2,
+             COUNT(*) OVER w AS n
+      FROM staged
+      WINDOW w AS (PARTITION BY key ORDER BY bucket
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT key, bucket, ROUND(x, 6) AS bucket_sum,
+           CAST(n AS INTEGER) AS n_hist,
+           CASE WHEN n >= 12 THEN
+             CAST((x * n - s1) * (x * n - s1) > 9.0 * (n * s2 - s1 * s1)
+                  AS INTEGER)
+           END AS is_anomaly
+    FROM roll
+    """,
+    doc="Rolling z-score anomaly flag per series: bucket total vs the "
+    "preceding 24 buckets' mean/variance, flagged when z-squared > 9. "
+    "Cross-engine exactness via algebra, not division: (x*n - S1)^2 > "
+    "9*(n*S2 - S1^2) with S1/S2 exact decimal sums and the final "
+    "products in binary64 with identical expression trees both "
+    "engines. operators/timeseries.py:rolling_anomaly.",
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.timeseries import rolling_anomaly
+
+    return rolling_anomaly(table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_reservoir_sample",
+    oracle="""
+    SELECT key, event_id, sample_rank FROM (
+      SELECT event_type AS key, event_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY MD5(CAST(event_id AS VARCHAR)), event_id
+             ) AS INTEGER) AS sample_rank
+      FROM events) t
+    WHERE sample_rank <= 5
+    """,
+    doc="Deterministic per-key fixed-size sample (the reproducible "
+    "stand-in for reservoir sampling): order each key's members by "
+    "md5(id) and keep the first 5 — exactly min(k, n) rows per key, "
+    "uniform under the hash, stable across engines/runs/partitionings. "
+    "One window TopK shuffle. operators/sampling.py:reservoir_per_key.",
+)
+def events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.sampling import reservoir_per_key
+
+    ev = table(spark, sf_dir, "events")
+    return reservoir_per_key(ev, "event_type", 5, id_col="event_id").select(
+        F.col("event_type").alias("key"), "event_id", "sample_rank"
+    )

@@ -137,21 +137,53 @@ def repetition_metrics(
     shuffle key is (doc, bigram); no per-row O(n²) HOF scan, no
     collect). Documents with fewer than 2 tokens get zero metrics.
     """
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
     toks = tokens(text_col)
-    base = df.select(
+    # ZERO-shuffle formulation: the per-document bigram mode is the
+    # longest equal run in the SORTED hashed-bigram array — a per-row
+    # O(n log n) HOF fold, replacing the explode + (doc, bigram) +
+    # (doc) two-level aggregation (two shuffles of string keys) of the
+    # textbook plan. Hashing to 64-bit first makes both the sort and
+    # the distinct count compare longs; counts are unchanged absent an
+    # intra-document collision (~50 grams → P ≈ 1e-16).
+    staged = fan_out(df).select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(
+            F.array_distinct(F.transform(toks, lambda t: F.xxhash64(t)))
+        ).alias("n_distinct"),
+        F.array_sort(
+            F.transform(shingles(text_col, 2), lambda g: F.xxhash64(g))
+        ).alias("_bg"),
     )
-    bg = df.where(F.size(tokens(text_col)) >= 2).select(
-        F.col(id_col), F.explode(shingles(text_col, 2)).alias("bigram")
+    run_state = F.named_struct(
+        F.lit("prev"), F.lit(None).cast("long"),
+        F.lit("run"), F.lit(0).cast("long"),
+        F.lit("best"), F.lit(0).cast("long"),
     )
-    counts = bg.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("cnt"))
-    top = counts.groupBy(id_col).agg(
-        F.max("cnt").alias("top_bigram_count"),
-        F.sum("cnt").alias("n_bigrams"),
+    longest_run = F.aggregate(
+        F.col("_bg"),
+        run_state,
+        lambda acc, x: F.named_struct(
+            F.lit("prev"), x,
+            F.lit("run"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            F.lit("best"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ),
+        ),
+        lambda acc: acc["best"],
     )
-    out = base.join(top, id_col, "left")
+    out = staged.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct",
+        longest_run.alias("top_bigram_count"),
+        F.size("_bg").cast("long").alias("n_bigrams"),
+    )
     dup_frac = F.round(
         F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
     )

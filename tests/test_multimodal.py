@@ -138,3 +138,29 @@ def test_frame_sample_plan_counts_and_degenerate_durations(spark):
     assert sorted(by_asset[2]) == [(0, 0)]                       # 750 > 749
     assert sorted(by_asset[3]) == [(0, 0)]
     assert 4 not in by_asset and 5 not in by_asset               # guarded, no rows
+
+
+def test_wav_decode_roundtrip_and_corrupt_nulls(spark):
+    """RIFF chunk-walk recovers planted (rate, channels, bits, frames);
+    corrupt and truncated payloads yield all-null metadata rows."""
+    from tfl_realtime_lakehouse_spark.operators.multimodal import (
+        decode_audio_meta,
+        synth_wav,
+    )
+
+    rows = [
+        (1, synth_wav(8000, 1, 100)),
+        (2, synth_wav(44100, 2, 900, bits=8)),
+        (3, b"not a wav at all"),
+        (4, synth_wav(16000, 1, 50)[:20]),  # truncated mid-header
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in decode_audio_meta(df).collect()}
+    assert (
+        got[1]["sample_rate"], got[1]["channels"], got[1]["bits"], got[1]["n_frames"]
+    ) == (8000, 1, 16, 100)
+    assert abs(got[1]["duration_ms"] - 12.5) < 1e-9
+    assert (got[2]["sample_rate"], got[2]["channels"], got[2]["bits"]) == (44100, 2, 8)
+    assert got[2]["n_frames"] == 900
+    for bad in (3, 4):
+        assert got[bad]["sample_rate"] is None and got[bad]["duration_ms"] is None

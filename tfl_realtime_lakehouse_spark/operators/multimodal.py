@@ -372,3 +372,110 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE header synthesis + pure-struct metadata decode
+
+
+def synth_wav(sample_rate: int, channels: int, n_frames: int, bits: int = 16) -> bytes:
+    """A fully-valid PCM WAV container of silence: RIFF header + fmt
+    chunk + data chunk. Everything a metadata decode needs (rate,
+    channels, width, frame count) is real."""
+    import struct
+
+    block_align = channels * bits // 8
+    byte_rate = sample_rate * block_align
+    data = b"\x00" * (n_frames * block_align)
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_meta(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, int | None, int | None]:
+    """(sample_rate, channels, bits, n_frames) from RIFF/WAVE headers —
+    chunk-walk over raw bytes, no audio libraries. Non-WAV or truncated
+    payloads yield all-nulls."""
+    import struct
+
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return (None, None, None, None)
+    pos, rate, channels, bits, block_align, data_len = 12, None, None, None, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if tag == b"fmt " and pos + 8 + 16 <= len(b):
+            _, channels, rate, _, block_align, bits = struct.unpack(
+                "<HHIIHH", b[pos + 8 : pos + 24]
+            )
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if rate is None or data_len is None or not block_align:
+        return (None, None, None, None)
+    return (rate, channels, bits, data_len // block_align)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+    ]
+)
+
+
+def decode_audio_meta(assets: DataFrame) -> DataFrame:
+    """Arrow-batched WAV metadata decode (the audio twin of
+    :func:`decode_image_meta`): RIFF chunk-walk per payload, typed
+    output, nulls for undecodable rows. duration_ms is a single IEEE
+    division (frames · 1000 / rate) — deterministic cross-engine."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parsed = [parse_wav_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "sample_rate": pd.array([p[0] for p in parsed], dtype="Int32"),
+                    "channels": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "bits": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "n_frames": pd.array([p[3] for p in parsed], dtype="Int64"),
+                    "duration_ms": [
+                        (float(p[3]) * 1000.0 / float(p[0]))
+                        if p[0] is not None and p[3] is not None
+                        else None
+                        for p in parsed
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, AUDIO_META_SCHEMA)
+
+
+def synth_audio_assets(documents: DataFrame) -> DataFrame:
+    """Deterministic WAV assets from the documents table: doc_id plants
+    (rate ∈ {8000, 16000, 44100}, channels ∈ {1, 2}, frames = 100 +
+    id % 900) so the decode is verifiable by id arithmetic alone."""
+    rates = (8000, 16000, 44100)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [
+                synth_wav(rates[int(i) % 3], 1 + int(i) % 2, 100 + int(i) % 900)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, SYNTH_SCHEMA)

@@ -407,3 +407,29 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return S.pq_topk(codes, books, queries, k=10, m=8)
+
+
+@register(
+    "multimodal_audio_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits,
+           CAST(100 + doc_id % 900 AS BIGINT) AS n_frames,
+           CAST(100 + doc_id % 900 AS DOUBLE) * 1000.0
+             / CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END AS DOUBLE) AS duration_ms
+    FROM documents
+    """,
+    doc="REAL audio metadata decode, end-to-end: synthesize valid PCM "
+    "WAV containers with (rate, channels, frames) planted from doc_id "
+    "(operators/multimodal.py:synth_audio_assets), then chunk-walk the "
+    "RIFF bytes back (parse_wav_meta) over Arrow batches — no audio "
+    "libraries. The oracle recomputes the planted parameters from id "
+    "arithmetic; duration_ms is one IEEE division on both engines.",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.synth_audio_assets(table(spark, sf_dir, "documents"))
+    return M.decode_audio_meta(assets)

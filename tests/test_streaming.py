@@ -615,3 +615,91 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     run_pass()
     got2 = sorted(r.event_id for r in spark.read.parquet(out).collect())
     assert got2 == list(range(8))  # batch 1 not reprocessed, batch 2 appended
+
+
+def test_streaming_counter_rate_matches_batch_across_batches(spark, tmp_path):
+    """Per-sample increases from the stateful streaming operator equal
+    the batch lag computation, INCLUDING across micro-batch boundaries
+    (state carries the last sample), and the windowed hourly rate
+    equals the batch counter_rate."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.operators.timeseries import counter_rate
+    from tfl_realtime_lakehouse_spark.streaming.rates import (
+        streaming_counter_increases,
+        streaming_rate_per_hour,
+    )
+
+    t = lambda h, m: dt.datetime(2025, 1, 1, h, m)
+    early = [  # file 1: first half of each series
+        ("a", 1, t(10, 0), 10.0),
+        ("a", 2, t(10, 20), 25.0),
+        ("b", 3, t(10, 5), 5.0),
+    ]
+    late = [  # file 2: continues both series; includes a reset
+        ("a", 4, t(11, 0), 3.0),   # reset: increase = 3
+        ("a", 5, t(11, 30), 9.0),  # +6
+        ("b", 6, t(11, 10), 8.0),  # +3
+    ]
+    schema = "event_type string, event_id long, ts timestamp, value double"
+    src = str(tmp_path / "rates-src")
+    spark.createDataFrame(early, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # two micro-batches, state crosses
+        .parquet(f"{src}/f=*")
+    )
+    inc = streaming_counter_increases(stream)
+    _run_stream(inc, tmp_path, "rate_inc")
+    got = {
+        (r["key"], r["ts"]): r["increase"]
+        for r in spark.sql("select * from rate_inc").collect()
+    }
+    assert got[("a", t(10, 0))] is None and got[("b", t(10, 5))] is None
+    assert got[("a", t(10, 20))] == 15.0
+    assert got[("a", t(11, 0))] == 3.0  # reset recognized ACROSS batches
+    assert got[("a", t(11, 30))] == 6.0
+    assert got[("b", t(11, 10))] == 3.0
+
+    # Windowed hourly rate: append mode emits a window once the
+    # watermark passes its end, which happens on a LATER batch — so run
+    # availableNow, add a sentinel file, and restart from the same
+    # checkpoint (the watermark-drops-late-events test's pattern).
+    sentinel = [("a", 7, t(13, 0), 12.0)]
+    expected = {
+        (r["key"], r["bucket"]): (r["n_samples"], r["increase"], r["rate_per_sec"])
+        for r in counter_rate(
+            spark.createDataFrame(early + late + sentinel, schema)
+        ).collect()
+    }
+    out_dir = str(tmp_path / "rate-hourly-out")
+
+    def run_hourly():
+        stream2 = spark.readStream.schema(schema).parquet(f"{src}/f=*")
+        hourly = streaming_rate_per_hour(
+            streaming_counter_increases(stream2), watermark="0 seconds"
+        )
+        q = (
+            hourly.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt-rate-hourly"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_hourly()  # processes f=1, f=2; end watermark 11:30
+    spark.createDataFrame(sentinel, schema).coalesce(1).write.parquet(f"{src}/f=3")
+    run_hourly()  # restart: watermark 11:30 closes the 10:00 windows
+    got2 = {
+        (r["key"], r["bucket"]): (r["n_samples"], r["increase"], r["rate_per_sec"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # every window the stream finalized must match the batch operator
+    # exactly (null-increase series heads excluded on both sides); the
+    # 10:00 window is guaranteed closed by the restart's watermark
+    assert ("a", t(10, 0)) in got2 and expected[("a", t(10, 0))][1] == 15.0
+    assert all(expected[k] == v for k, v in got2.items())

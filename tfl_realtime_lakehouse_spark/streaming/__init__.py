@@ -8,10 +8,16 @@ from tfl_realtime_lakehouse_spark.streaming.headways import (
     streaming_headways,
 )
 from tfl_realtime_lakehouse_spark.streaming.incremental import run_incremental_gold
+from tfl_realtime_lakehouse_spark.streaming.rates import (
+    streaming_counter_increases,
+    streaming_rate_per_hour,
+)
 
 __all__ = [
     "read_bronze_stream",
     "gold_hourly_stream",
     "streaming_headways",
+    "streaming_counter_increases",
+    "streaming_rate_per_hour",
     "run_incremental_gold",
 ]

@@ -32,16 +32,20 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
 # cap) are all verified every round by tools/parity.py + tools/str_identity.py
 # (the same DuckDB-oracle compare, strict string equality).
 DRIVER_WINDOW = [
-    # Core aggregation (non-r01-verified representatives)
-    "agg_stats",
+    # Core aggregation (non-r01-verified representative)
     "agg_approx_distinct",
-    # Sets / ordering
-    "set_union_schema_evolution",
-    "sort_nulls_battery",
-    # Scalar batteries (representatives; rest demoted, r01-green)
-    "scalar_bitwise",
-    "scalar_arrays",
-    "scalar_posexplode",
+    # Session-6 swap: the expression batteries (agg_stats,
+    # set_union_schema_evolution, sort_nulls_battery, scalar_bitwise,
+    # scalar_arrays, scalar_posexplode — standard-SQL risk class, all
+    # str-identity-verified every round) give their slots to the six
+    # new novel operators. No driver-green row is lost: none of the
+    # displaced six had one.
+    "events_gapfill_locf",
+    "events_counter_rate",
+    "events_ewma_hourly",
+    "events_rate_anomaly",
+    "events_reservoir_sample",
+    "multimodal_audio_meta",
     # LLM-pipeline: dedup family
     "dedup_exact_docs",
     "ngram_jaccard_pairs",

@@ -1276,3 +1276,58 @@ def test_reservoir_per_key_deterministic_and_sized(spark):
 
     c = Counter(k for k, _ in a)
     assert c["rare"] == 1 and all(v == 5 for k, v in c.items() if k != "rare")
+
+
+def test_semantic_dedup_matches_numpy_greedy(spark):
+    """The distributed per-cluster greedy prune equals a sequential
+    numpy recompute of the same rule, and planted duplicate vectors
+    collapse to the lowest-id keeper."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_train,
+        semantic_dedup,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((30, 8))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # plant near-identical copies of vectors 0 and 5 (tiny perturbation)
+    rows.append((100, [float(x) for x in base[0] * 1.0001]))
+    rows.append((101, [float(x) for x in base[5] * 0.9999]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    out = semantic_dedup(emb, k=3, iters=2, threshold=0.95).collect()
+    got = {r["vec_id"]: (r["cell"], r["keep"], r["pruned_by"]) for r in out}
+    assert len(got) == len(rows)
+
+    # recompute expected with the SAME trained cells (determinism of the
+    # training is what makes this comparable)
+    cents = kmeans_train(emb, k=3, iters=2)
+    assigned = kmeans_assign(emb, cents).collect()
+    by_cell: dict = {}
+    for r in sorted(assigned, key=lambda r: r["vec_id"]):
+        by_cell.setdefault(r["cell"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    expected = {}
+    for cell, members in by_cell.items():
+        kept: list = []
+        for vid, vec in members:
+            vecn = vec / (np.linalg.norm(vec) or 1.0)
+            pruner = next(
+                (kv for kv, kn in kept if float(kn @ vecn) >= 0.95), None
+            )
+            if pruner is None:
+                kept.append((vid, vecn))
+                expected[vid] = (cell, 1, None)
+            else:
+                expected[vid] = (cell, 0, pruner)
+    assert got == expected
+
+    # the planted copies were pruned by their originals (same cluster)
+    assert got[100][1] == 0 and got[100][2] == 0
+    assert got[101][1] == 0 and got[101][2] == 5

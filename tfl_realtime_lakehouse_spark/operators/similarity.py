@@ -501,7 +501,12 @@ def kmeans_train(
     """
     corpus = fan_out(corpus)
     seeds = (
+        # DISTINCT before seeding: identical vectors share a hash, so a
+        # corpus with replicated rows would otherwise seed k copies of
+        # one point — a degenerate single-cluster init (everything
+        # assigns to cell 0 and no iteration can split it).
         corpus.select(F.col(vec_col))
+        .distinct()
         .withColumn("_h", F.xxhash64(F.col(vec_col).cast("string")))
         .orderBy("_h")
         .limit(k)
@@ -511,11 +516,17 @@ def kmeans_train(
         )
         .select("cell", _as_double(F.col(vec_col)).alias("centroid"))
     )
-    cents = seeds
+    # Each iteration's centroid table is k rows — materialize it so
+    # iteration i+1's assign does not re-execute iteration i's whole
+    # lineage (without this the plan nests one full assign+update pass
+    # per iteration and the loop cost grows superlinearly in iters).
+    cents = seeds.localCheckpoint()
     for _ in range(iters):
         assigned = kmeans_assign(corpus, cents, id_col, vec_col, cell_col="cell")
-        cents = label_centroids(assigned, cell_col="cell", vec_col=vec_col).select(
-            "cell", "centroid"
+        cents = (
+            label_centroids(assigned, cell_col="cell", vec_col=vec_col)
+            .select("cell", "centroid")
+            .localCheckpoint()
         )
     return cents
 
@@ -708,7 +719,12 @@ def pq_train(
         # same hash-order device as kmeans_train, partitioned by sub).
         seed_w = Window.partitionBy("sub").orderBy("_h")
         seed_rows = (
-            subs.withColumn("_h", F.xxhash64(F.col("subvec").cast("string")))
+            # DISTINCT per subspace before seeding (same degenerate-init
+            # hazard as kmeans_train: replicated vectors would seed
+            # duplicate codewords).
+            subs.select("sub", "subvec")
+            .distinct()
+            .withColumn("_h", F.xxhash64(F.col("subvec").cast("string")))
             .withColumn("code", (F.row_number().over(seed_w) - 1).cast("int"))
             .filter(F.col("code") < codes)
             .select("sub", "code", F.col("subvec").alias("centroid"))
@@ -949,3 +965,78 @@ def contracted_vector_pairs(
         )
     )
     return cross.unionByName(within)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 10,
+    iters: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): k-means-cluster the embedding space, then inside
+    each cluster greedily prune vectors whose cosine to an already-kept
+    lower-id vector clears ``threshold``. Near-duplicate SEMANTICS
+    (paraphrases, boilerplate rewrites) collapse to one representative
+    even when their text differs — the step after exact and n-gram
+    dedup in a curation pipeline.
+
+    Scale shape — the whole point of the clustering: the quadratic is
+    bounded per cluster, O(Σ|cᵢ|²) ≪ O(n²), and each cluster is one
+    independent ``applyInPandas`` task (grouped BLAS matmul + a greedy
+    pass). k controls the memory/recall trade: larger k → smaller
+    tasks, but near-dups straddling a cluster boundary are missed —
+    the documented SemDeDup approximation. Determinism: hash-seeded
+    k-means init, greedy order = ascending id.
+
+    Output: (id, cell, keep, pruned_by) — ``pruned_by`` names the kept
+    vector that shadowed a pruned one (null for keepers).
+    """
+    import numpy as np
+
+    cents = kmeans_train(corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = kmeans_assign(corpus, cents, id_col, vec_col, cell_col="cell")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("keep", T.IntegerType()),
+            T.StructField("pruned_by", T.LongType()),
+        ]
+    )
+
+    def prune(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = keys
+        pdf = pdf.sort_values(id_col)
+        ids = pdf[id_col].to_numpy()
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # zero vectors never clear the threshold
+        mat = mat / norms
+        sims = mat @ mat.T
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        pruned_by = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            if not keep[i]:
+                continue
+            # prune every LATER still-kept vector this keeper shadows
+            shadowed = (sims[i, i + 1 :] >= threshold) & keep[i + 1 :]
+            keep[i + 1 :][shadowed] = False
+            pruned_by[i + 1 :][shadowed] = ids[i]
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": np.full(n, cell, dtype="int32"),
+                "keep": keep.astype("int32"),
+                "pruned_by": pd.array(
+                    [None if p < 0 else int(p) for p in pruned_by], dtype="Int64"
+                ),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(prune, out_schema)

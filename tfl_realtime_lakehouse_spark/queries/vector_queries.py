@@ -433,3 +433,22 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = M.synth_audio_assets(table(spark, sf_dir, "documents"))
     return M.decode_audio_meta(assets)
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=None,  # k-means is iterative (not SQL-expressible); the
+    # greedy prune rule is pinned exactly against a numpy recompute in
+    # tests/test_operators.py, plus invariants: every pruned vector
+    # names a kept lower-id pruner with cosine >= threshold.
+    doc="SemDeDup semantic deduplication (Abbas et al. 2023): k-means "
+    "cluster the embedding space (distributed Lloyd, hash-seeded), then "
+    "greedily prune near-identical vectors within each cluster (cosine "
+    ">= 0.95 to a kept lower-id vector). The quadratic is bounded per "
+    "cluster — O(sum c_i^2), each cluster one applyInPandas BLAS task — "
+    "which is the whole point of the clustering at 100 TB. "
+    "operators/similarity.py:semantic_dedup.",
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, k=8, iters=2, threshold=0.95)

@@ -52,6 +52,16 @@ def main() -> None:
         import gc
 
         gc.collect()
+        # ...and release them NOW rather than whenever the async cleaner
+        # runs: accumulated checkpoint/persist blocks were measured to
+        # add multi-second noise spikes to later queries in the suite.
+        try:
+            jsc = spark.sparkContext._jsc.sc()
+            retained = jsc.getPersistentRDDs().values().toList()
+            for i in range(retained.size()):
+                retained.apply(i).unpersist(False)
+        except Exception:
+            pass
     total = round(time.time() - t_suite, 3)
 
     print(

@@ -1331,3 +1331,72 @@ def test_semantic_dedup_matches_numpy_greedy(spark):
     # the planted copies were pruned by their originals (same cluster)
     assert got[100][1] == 0 and got[100][2] == 0
     assert got[101][1] == 0 and got[101][2] == 5
+
+
+def test_simhash_contraction_is_identity_preserving(spark):
+    """Contracted simhash pairs equal the raw chunk-join on a corpus
+    with planted exact copies (within-group pairs at Hamming 0,
+    cross-group pairs inherited from representatives)."""
+    from tfl_realtime_lakehouse_spark.operators import dedup as D
+
+    base = [
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",  # near base 0
+        "totally different words entirely other content here now",
+    ]
+    rows = []
+    i = 0
+    for copy in range(4):  # 4 exact copies of each text
+        for t in base:
+            rows.append((i, t))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {
+        tuple(r)
+        for r in D.simhash_near_pairs(docs, max_hamming=8, contract_exact=False).collect()
+    }
+    con = {
+        tuple(r)
+        for r in D.simhash_near_pairs(docs, max_hamming=8, contract_exact=True).collect()
+    }
+    assert raw == con
+    assert (0, 3, 0) in con  # copies of text 0 at Hamming 0
+
+
+def test_common_span_contraction_is_identity_preserving(spark):
+    """Contracted longest-common-span equals the raw positional plan —
+    including a document with an INTERNALLY REPEATED window, whose
+    self-pair count is sum(c_i^2), not just n_windows."""
+    from tfl_realtime_lakehouse_spark.operators.dedup import longest_common_span
+
+    rep8 = " ".join(["w" + str(j) for j in range(8)])
+    texts = [
+        # internally repeated 8-token window: the same 8 tokens twice + tail
+        rep8 + " " + rep8 + " tail1 tail2 tail3 tail4",
+        # plain long doc sharing a paragraph with the next one
+        "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 x1 x2 x3 x4",
+        "z1 z2 p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 z3 z4",
+        "short doc under window",
+    ]
+    rows = []
+    i = 0
+    for copy in range(3):  # 3 exact copies of each
+        for t in texts:
+            rows.append((i, t))
+            i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(w=8, min_span_tokens=10)
+    raw = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared_windows"], r["max_span_tokens"])
+        for r in longest_common_span(docs, contract_exact=False, **kw).collect()
+    }
+    con = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared_windows"], r["max_span_tokens"])
+        for r in longest_common_span(docs, contract_exact=True, **kw).collect()
+    }
+    assert raw == con
+    # the repeated-window doc's self-pair: windows at positions where
+    # the duplicated block realigns inflate the count past n_windows
+    assert con[(0, 4)][1] == 20  # full length (8+8+4 tokens) as max span
+    n_windows = 20 - 8 + 1
+    assert con[(0, 4)][0] > n_windows

@@ -128,6 +128,35 @@ def contracted_pairs(
     the replicated sf1 corpus measures 280 s → 24 s (jaccard) and
     40 s → 5 s (MinHash verify) from this wrapper alone.
     """
+    def within_fn(reps: DataFrame) -> DataFrame:
+        sizes = shingle_sizes(reps, text_col, id_col, n).where(F.col("n_shingles") > 0)
+        return sizes.select(
+            F.col(id_col),
+            F.col("n_shingles").cast("long").alias("n_shared"),
+            F.lit(1.0).alias("jaccard"),
+        )
+
+    return contracted_pairs_generic(df, pair_fn, within_fn, text_col, id_col)
+
+
+def contracted_pairs_generic(
+    df: DataFrame,
+    pair_fn,
+    within_fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The general exact-contraction machinery behind
+    :func:`contracted_pairs`, parameterized over the operator's value
+    columns: ``pair_fn(reps) -> (doc_a, doc_b, *value_cols)`` computes
+    pairs on unique content; ``within_fn(reps) -> (id_col, *value_cols)``
+    states the DIAGONAL — the value columns a pair of exact copies of a
+    document carries, restricted to documents whose self-pair the raw
+    operator would emit at all. Any content-pure pair operator whose
+    self-pair values are computable per document fits: jaccard
+    (sizes, 1.0), SimHash (hamming 0), longest-common-span (all
+    windows, full length).
+    """
     groups = exact_dedup_groups(df, text_col, id_col)
     members = (
         df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
@@ -135,13 +164,14 @@ def contracted_pairs(
         .select(id_col, "_rep")
         .localCheckpoint()
     )
-    # pair_fn and the sizes relation each traverse reps several times —
-    # materialize once (unique content only) instead of re-running the
-    # corpus scan + semi-join per use.
+    # pair_fn and within_fn each traverse reps — materialize once
+    # (unique content only) instead of re-running the corpus scan +
+    # semi-join per use.
     reps = df.join(
         members.where(F.col(id_col) == F.col("_rep")).select(id_col), id_col, "left_semi"
     ).localCheckpoint()
     rep_pairs = pair_fn(reps)
+    value_cols = [c for c in rep_pairs.columns if c not in ("doc_a", "doc_b")]
     m_a = members.select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("_da"))
     m_b = members.select(F.col("_rep").alias("doc_b"), F.col(id_col).alias("_db"))
     cross = (
@@ -150,22 +180,20 @@ def contracted_pairs(
         .select(
             F.least("_da", "_db").alias("doc_a"),
             F.greatest("_da", "_db").alias("doc_b"),
-            "n_shared",
-            "jaccard",
+            *value_cols,
         )
     )
-    sizes = shingle_sizes(reps, text_col, id_col, n).where(F.col("n_shingles") > 0)
+    diag = within_fn(reps)
     wa = members.select(F.col("_rep"), F.col(id_col).alias("_da"))
     wb = members.select(F.col("_rep"), F.col(id_col).alias("_db"))
     within = (
         wa.join(wb, "_rep")
         .where(F.col("_da") < F.col("_db"))
-        .join(sizes.withColumnsRenamed({id_col: "_rep"}), "_rep")
+        .join(diag.withColumnsRenamed({id_col: "_rep"}), "_rep")
         .select(
             F.col("_da").alias("doc_a"),
             F.col("_db").alias("doc_b"),
-            F.col("n_shingles").cast("long").alias("n_shared"),
-            F.lit(1.0).alias("jaccard"),
+            *value_cols,
         )
     )
     return cross.unionByName(within)
@@ -543,12 +571,39 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     blocks: int = 4,
+    contract_exact: bool = True,
 ) -> DataFrame:
     """SimHash near-dup candidates via block permutation: split the
     64-bit signature into ``blocks`` chunks; by pigeonhole, any pair
     within Hamming distance < blocks shares a chunk — so an equi-join
     per chunk finds all such pairs without n² comparisons. Pairs are
-    then verified with the exact popcount distance."""
+    then verified with the exact popcount distance.
+
+    ``contract_exact`` (default on) runs the chunk join on one
+    representative per exact-duplicate group and expands
+    (:func:`contracted_pairs_generic`) — bit-identical output: copies
+    share every chunk and sit at Hamming 0, so the within-group
+    diagonal is distance 0 for any document with ≥ 1 token (tokenless
+    docs have no signature and no pairs, matching raw). k copies
+    otherwise inflate every chunk bucket k× and candidate pairs k²
+    (measured 34 s → 9 s on the 50×-replicated sf5 corpus)."""
+    if contract_exact:
+        def within_fn(reps: DataFrame) -> DataFrame:
+            return (
+                fan_out(reps)
+                .where(F.size(tokens(text_col)) >= 1)
+                .select(F.col(id_col), F.lit(0).cast("int").alias("hamming"))
+            )
+
+        return contracted_pairs_generic(
+            df,
+            lambda reps: simhash_near_pairs(
+                reps, text_col, id_col, max_hamming, blocks, contract_exact=False
+            ),
+            within_fn,
+            text_col,
+            id_col,
+        )
     sigs = simhash(df, text_col, id_col)
     width = 64 // blocks
     chunked = sigs.select(
@@ -768,6 +823,7 @@ def longest_common_span(
     w: int = 8,
     min_span_tokens: int = 8,
     max_doc_freq: int | None = None,
+    contract_exact: bool = True,
 ) -> DataFrame:
     """Longest shared CONSECUTIVE token span per document pair — the
     cross-document substring-duplication signal (Lee et al. 2022,
@@ -798,6 +854,68 @@ def longest_common_span(
     window; ``max_doc_freq`` bounds hot-window posting lists exactly as
     in :func:`ngram_jaccard_pairs`.
     """
+    if contract_exact:
+        # Exact-contraction (contracted_pairs_generic): two identical
+        # documents match at every (i, j) with equal window CONTENT, so
+        # their pair carries n_shared = Σ cᵢ² over the window multiset
+        # (cᵢ = multiplicity; internally-repeated windows match off the
+        # zero diagonal too) and max_span = full token length (the zero
+        # diagonal is one unbroken run of all n_windows positions — no
+        # other diagonal can beat it). Σ cᵢ² is a per-row sorted-run
+        # fold: each element contributes 2·run − 1, summing runs to
+        # squares. Qualifies iff len ≥ min_span_tokens (raw emits the
+        # pair only then). Cross-group pairs are content-pure. k copies
+        # otherwise multiply posting lists k× and the diagonal-run
+        # window k² (measured 64 s → ~11 s at sf5/50×).
+        def within_fn(reps: DataFrame) -> DataFrame:
+            n_toks = F.size(F.split(F.col(text_col), " "))
+            sorted_w = F.array_sort(
+                F.transform(shingles(text_col, w), lambda g: F.xxhash64(g))
+            )
+            pair_state = F.named_struct(
+                F.lit("prev"), F.lit(None).cast("long"),
+                F.lit("run"), F.lit(0).cast("long"),
+                F.lit("acc"), F.lit(0).cast("long"),
+            )
+            self_pairs = F.aggregate(
+                sorted_w,
+                pair_state,
+                lambda acc, x: F.named_struct(
+                    F.lit("prev"), x,
+                    F.lit("run"),
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                    F.lit("acc"),
+                    acc["acc"]
+                    + F.lit(2)
+                    * F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    )
+                    - F.lit(1),
+                ),
+                lambda acc: acc["acc"],
+            )
+            return (
+                fan_out(reps)
+                .where(n_toks >= F.lit(max(min_span_tokens, w)))
+                .select(
+                    F.col(id_col),
+                    self_pairs.cast("bigint").alias("n_shared_windows"),
+                    n_toks.cast("int").alias("max_span_tokens"),
+                )
+            )
+
+        return contracted_pairs_generic(
+            df,
+            lambda reps: longest_common_span(
+                reps, text_col, id_col, w, min_span_tokens, max_doc_freq,
+                contract_exact=False,
+            ),
+            within_fn,
+            text_col,
+            id_col,
+        )
     # Stage the tokenization in its OWN projection: HOF lambdas have no
     # CSE, so an inline split() subtree would re-tokenize the document
     # once PER WINDOW (measured 3.1 s → 0.6 s on the sf0.1 postings).

@@ -451,4 +451,6 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, k=8, iters=2, threshold=0.95)
+    # k auto-scales to ~2500-vector cells (the per-cluster task is
+    # O(|c|^2)); at sf0.01's 500 vectors that floors to k=8.
+    return S.semantic_dedup(emb, k=None, iters=2, threshold=0.95)

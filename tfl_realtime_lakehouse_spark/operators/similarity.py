@@ -663,6 +663,64 @@ def quantize_embeddings(
 # --------------------------------------------------------------------------
 
 
+def _pq_blas_assign(subs: DataFrame, book_rows, id_col: str | None = None) -> DataFrame:
+    """Per-subspace nearest-codeword assignment via one Arrow/BLAS pass:
+    the m·codes codebook (bounded model state) is collected and
+    broadcast; each batch groups rows by subspace and takes the argmin
+    of ``|c|² − 2·x·c`` against that subspace's codeword matrix. numpy
+    argmin = first minimum ⇒ lowest code id on exact ties, matching the
+    array_position/min_by orders this replaces. Zero shuffle, and the
+    cost barely grows with ``codes`` (the HOF formulation it replaces
+    paid interpreted-lambda distance evaluation per codeword)."""
+    import numpy as np
+
+    spark = subs.sparkSession
+    by_sub: dict[int, list] = {}
+    for r in book_rows:
+        by_sub.setdefault(int(r["sub"]), []).append(
+            (int(r["code"]), np.asarray(r["centroid"], dtype=np.float64))
+        )
+    mats: dict[int, "np.ndarray"] = {}
+    code_ids: dict[int, "np.ndarray"] = {}
+    for sub, lst in by_sub.items():
+        lst.sort(key=lambda t: t[0])
+        code_ids[sub] = np.asarray([c for c, _ in lst], dtype=np.int64)
+        mats[sub] = np.stack([v for _, v in lst])
+    bc = spark.sparkContext.broadcast((mats, code_ids))
+
+    fields = ([T.StructField(id_col, T.LongType())] if id_col else []) + [
+        T.StructField("sub", T.IntegerType()),
+        T.StructField("code", T.IntegerType()),
+        T.StructField("subvec", T.ArrayType(T.DoubleType())),
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        mats_, codes_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["subvec"]])
+            subcol = pdf["sub"].to_numpy()
+            out = np.empty(len(pdf), dtype=np.int64)
+            for sub in np.unique(subcol):
+                mask = subcol == sub
+                cm = mats_[int(sub)]
+                d = (cm * cm).sum(axis=1)[None, :] - 2.0 * (x[mask] @ cm.T)
+                out[mask] = codes_[int(sub)][np.argmin(d, axis=1)]
+            data = {
+                "sub": subcol.astype("int32"),
+                "code": out.astype("int32"),
+                "subvec": pdf["subvec"],
+            }
+            if id_col:
+                data = {id_col: pdf[id_col], **data}
+            yield pd.DataFrame(data)
+
+    return subs.mapInPandas(run, T.StructType(fields))
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 4,
@@ -711,29 +769,6 @@ def pq_train(
         ).alias("sub", "subvec"),
     ).persist()
 
-    def _literal_codebook(rows):
-        """rows (sub, code, centroid) → (expr, kept) where expr is an
-        array<array<array<double>>> literal indexed [sub][pos] and kept
-        maps (sub, pos) back to nothing — positions ARE the code ids
-        (renumbered densely each iteration; labels are arbitrary during
-        training, only the final returned numbering matters)."""
-        by_sub: dict[int, list] = {}
-        for r in rows:
-            by_sub.setdefault(r["sub"], []).append((r["code"], r["centroid"]))
-        # One SQL-parsed literal instead of m·codes·dims F.lit() py4j
-        # round-trips (the per-call overhead dwarfs the parse); repr() of
-        # a Python float is shortest-round-trip, so the parsed double is
-        # bit-identical.
-        subs_sql = []
-        for j in range(m):
-            cs = sorted(by_sub.get(j, []))
-            arrs = ",".join(
-                "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-                for _, c in cs
-            )
-            subs_sql.append(f"array({arrs})")
-        return F.expr("array(" + ",".join(subs_sql) + ")")
-
     try:
         # Deterministic spread seeds, all subspaces in one pass: the
         # first `codes` sub-vectors per subspace in xxhash64 order (the
@@ -753,30 +788,14 @@ def pq_train(
         )
         rows = seed_rows
         for _ in range(iters):
-            book = _literal_codebook(rows)
-            cands = F.element_at(book, F.col("sub") + 1)
-            # Distances to every codeword of the row's subspace, STAGED
-            # in their own projection (HOF lambdas have no CSE — an
-            # inline argmin would re-evaluate all dists twice), then
-            # argmin via array_position(min): first occurrence ⇒ lowest
-            # code id on exact ties, same order min_by(struct(d, code))
-            # picks.
-            dists = F.transform(
-                cands,
-                lambda c: F.aggregate(
-                    F.zip_with(F.col("subvec"), c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            )
-            staged = subs.select("sub", "subvec", dists.alias("_dists"))
-            best = (
-                F.array_position(F.col("_dists"), F.array_min("_dists")) - 1
-            ).cast("int")
+            # BLAS assignment against the bounded codebook (see
+            # _pq_blas_assign); the update aggregation below is the only
+            # shuffle per iteration, bounded at m·codes·dims rows.
+            assigned = _pq_blas_assign(subs.select("sub", "subvec"), rows)
             rows = (
-                staged.select(
+                assigned.select(
                     "sub",
-                    best.alias("code"),
+                    "code",
                     F.posexplode("subvec").alias("dim", "x"),
                 )
                 .groupBy("sub", "code", "dim")
@@ -790,6 +809,18 @@ def pq_train(
                 )
                 .collect()  # ≤ m·codes rows — the bounded driver round-trip
             )
+            # Dense renumbering per subspace (labels are arbitrary
+            # during training): a codeword that loses every member
+            # drops out, and the ADC lookup tables downstream index
+            # codes positionally — sparse labels would corrupt them.
+            by_sub_rows: dict[int, list] = {}
+            for r in rows:
+                by_sub_rows.setdefault(int(r["sub"]), []).append(r)
+            rows = [
+                {"sub": sub, "code": i, "centroid": r["centroid"]}
+                for sub, lst in sorted(by_sub_rows.items())
+                for i, r in enumerate(sorted(lst, key=lambda r: r["code"]))
+            ]
         return spark.createDataFrame(
             [(r["sub"], r["code"], [float(x) for x in r["centroid"]]) for r in rows],
             "sub int, code int, centroid array<double>",
@@ -822,18 +853,10 @@ def pq_encode(
             )
         ).alias("sub", "subvec"),
     )
-    scored = subs.join(F.broadcast(codebooks), "sub").withColumn(
-        "_d",
-        F.aggregate(
-            F.zip_with("subvec", "centroid", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ),
+    assigned = _pq_blas_assign(
+        subs, codebooks.select("sub", "code", "centroid").collect(), id_col=id_col
     )
-    best = scored.groupBy(id_col, "sub").agg(
-        F.min_by(F.col("code"), F.struct("_d", "code")).alias("code")
-    )
-    return best.groupBy(id_col).agg(
+    return assigned.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda s: s["code"]
         ).alias("codes")

@@ -969,3 +969,61 @@ def events_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reservoir_per_key(ev, "event_type", 5, id_col="event_id").select(
         F.col("event_type").alias("key"), "event_id", "sample_rank"
     )
+
+
+@register(
+    "events_period_over_period",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS key, DATE_TRUNC('day', ts) AS bucket,
+             COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(27,12))) AS sd
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT key, bucket, n_events, CAST(sd AS DOUBLE) AS total,
+             LAG(CAST(sd AS DOUBLE)) OVER (PARTITION BY key ORDER BY bucket)
+               AS prev_total,
+             LAG(n_events) OVER (PARTITION BY key ORDER BY bucket) AS prev_n
+      FROM daily
+    )
+    SELECT key, bucket, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(total, 6) AS total,
+           ROUND(CASE WHEN prev_total <> 0.0
+                      THEN (total - prev_total) / prev_total END, 6)
+             AS pct_change_total,
+           ROUND(CASE WHEN prev_n <> 0
+                      THEN (n_events - prev_n)::DOUBLE / prev_n END, 6)
+             AS pct_change_n
+    FROM lagged
+    """,
+    doc="Period-over-period comparison (the DoD/WoW/MoM dashboard "
+    "primitive): daily per-series decimal-exact totals, lag-1 window, "
+    "percent change as one guarded IEEE division on both engines — "
+    "zero-denominator periods yield null, series heads yield null. "
+    "One agg shuffle (map-side partial) + one window pass on the key.",
+)
+def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("key"), F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(27,12)")).alias("_sd"),
+    )
+    w = Window.partitionBy("key").orderBy("bucket")
+    total = F.col("_sd").cast("double")
+    prev_total = F.lag(total).over(w)
+    prev_n = F.lag("n_events").over(w)
+    return daily.select(
+        "key",
+        "bucket",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(total, 6).alias("total"),
+        F.round(
+            F.when(prev_total != 0.0, (total - prev_total) / prev_total), 6
+        ).alias("pct_change_total"),
+        F.round(
+            F.when(prev_n != 0, (F.col("n_events") - prev_n).cast("double") / prev_n),
+            6,
+        ).alias("pct_change_n"),
+    )

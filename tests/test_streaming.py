@@ -703,3 +703,75 @@ def test_streaming_counter_rate_matches_batch_across_batches(spark, tmp_path):
     # 10:00 window is guaranteed closed by the restart's watermark
     assert ("a", t(10, 0)) in got2 and expected[("a", t(10, 0))][1] == 15.0
     assert all(expected[k] == v for k, v in got2.items())
+
+
+def test_dedup_within_watermark_drops_replayed_keys(spark, tmp_path):
+    """A replayed record (same key) arriving in a later micro-batch
+    inside the watermark horizon is dropped; distinct keys all pass."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.joins import (
+        dedup_stream_within_watermark,
+    )
+
+    t = lambda m: dt.datetime(2025, 1, 1, 10, m)
+    schema = "event_id long, ts timestamp, value double"
+    src = str(tmp_path / "dedup-src")
+    spark.createDataFrame(
+        [(1, t(0), 1.0), (2, t(5), 2.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/f=1")
+    # batch 2 replays event 1 (same key, same payload) + one new event
+    spark.createDataFrame(
+        [(1, t(0), 1.0), (3, t(10), 3.0)], schema
+    ).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = dedup_stream_within_watermark(stream, ["event_id"], watermark="1 hour")
+    _run_stream(out, tmp_path, "dedup_wm")
+    rows = spark.sql("select event_id from dedup_wm").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (watermarked both sides, two
+    micro-batches) emits exactly the batch interval join's pairs."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.joins import stream_interval_join
+
+    t = lambda h, m: dt.datetime(2025, 1, 1, h, m)
+    lschema = "user_id long, l_ts timestamp"
+    rschema = "user_id long, r_ts timestamp"
+    lsrc, rsrc = str(tmp_path / "sj-l"), str(tmp_path / "sj-r")
+    errors = [(1, t(10, 0)), (2, t(10, 30)), (1, t(12, 0))]
+    clicks = [
+        (1, t(10, 20)),   # matches error@10:00 (within 60m)
+        (1, t(11, 30)),   # matches nothing (>60m after 10:00, <12:00)
+        (2, t(10, 31)),   # matches error@10:30
+        (1, t(12, 59)),   # matches error@12:00
+        (3, t(10, 5)),    # no error for this user
+    ]
+    spark.createDataFrame(errors[:2], lschema).coalesce(1).write.parquet(f"{lsrc}/f=1")
+    spark.createDataFrame(errors[2:], lschema).coalesce(1).write.parquet(f"{lsrc}/f=2")
+    spark.createDataFrame(clicks[:3], rschema).coalesce(1).write.parquet(f"{rsrc}/f=1")
+    spark.createDataFrame(clicks[3:], rschema).coalesce(1).write.parquet(f"{rsrc}/f=2")
+
+    ls = spark.readStream.schema(lschema).option("maxFilesPerTrigger", 1).parquet(f"{lsrc}/f=*")
+    rs = spark.readStream.schema(rschema).option("maxFilesPerTrigger", 1).parquet(f"{rsrc}/f=*")
+    joined = stream_interval_join(ls, rs, "user_id", max_gap_minutes=60)
+    _run_stream(joined, tmp_path, "sj_out")
+    got = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.sql("select * from sj_out").collect()
+    }
+    expected = {
+        (u, lt, rt)
+        for (u, lt) in errors
+        for (v, rt) in clicks
+        if u == v and lt < rt <= lt + dt.timedelta(minutes=60)
+    }
+    assert got == expected and len(expected) == 3

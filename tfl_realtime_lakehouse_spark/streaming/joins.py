@@ -1,26 +1,21 @@
-"""Stream-stream joins: watermarked interval join between two live
-streams.
+"""Streaming joins + streaming dedup — the Structured-Streaming twins of
+the batch as-of/interval-join family (SURVEY §2.3) and of the ingest-side
+order-preserving dedup (S-rows; reference ``tfl_ingest_dag.py:16-23``).
 
-The reference has no streaming engine at all — its analogue is the
-batch hop-join of aligned snapshots (`dbt` models joining staged tables
-per run). A real-time lakehouse needs the streaming form: e.g. enrich
-each arrivals event with the line-status messages posted shortly before
-it, while BOTH sides are unbounded.
+- :func:`dedup_stream_within_watermark` — exactly-once-per-key ingest
+  semantics under at-least-once delivery: ``dropDuplicatesWithinWatermark``
+  keeps per-key state only until the watermark passes, so state is
+  bounded by the lateness budget instead of growing with the stream
+  (the unbounded-state failure mode of a plain ``dropDuplicates`` on an
+  infinite stream).
 
-Spark-first mechanics (SS-05 in the Structured Streaming docs): a
-stream-stream join buffers both sides in state; without bounds that
-state grows forever. Two things bound it:
-
-- **watermarks on both inputs** — rows older than the watermark are
-  evicted from the buffer;
-- **a time-range join condition** — tells the engine exactly how long a
-  row can still find partners, so eviction is tight: left rows are held
-  ``lookback`` past their event time, right rows until the left
-  watermark passes them.
-
-At scale the join shuffles both streams on the equi-key (state is
-co-partitioned by key), so state per task stays
-O(key-rate × (watermark + lookback)) — independent of stream lifetime.
+- :func:`stream_interval_join` — stream-stream INNER equi-join with an
+  event-time interval predicate (the "error followed by a click within
+  N minutes" shape). Both sides carry watermarks, so each side's join
+  state is pruned once the other side's watermark guarantees no more
+  matches — the textbook bounded-state stream-stream join. Semantics
+  equal the batch range join over the same data once both watermarks
+  pass (pinned by test with the availableNow + restart pattern).
 """
 
 from __future__ import annotations
@@ -29,41 +24,55 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once → exactly-once-per-key within the lateness budget.
+
+    State holds one entry per key seen in the last ``watermark`` of
+    event time; a replayed or duplicated record with the same key
+    arriving inside that horizon is dropped, later ones are new keys by
+    contract (the upstream producer's replay window must be ≤ the
+    watermark — same contract as any idempotence-by-dedup sink).
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,
     key: str,
-    left_ts: str,
-    right_ts: str,
-    lookback: str = "15 minutes",
-    watermark: str = "10 minutes",
-    how: str = "inner",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap_minutes: int = 60,
+    left_watermark: str = "2 hours",
+    right_watermark: str = "2 hours",
 ) -> DataFrame:
-    """Join each left event to the right events with the same ``key``
-    whose timestamp falls in ``[left_ts - lookback, left_ts]``.
-
-    Works identically on streaming and batch DataFrames (watermarks are
-    a no-op in batch) — the property the batch-equivalence test pins:
-    running the streaming plan with availableNow over a finite input
-    must equal the batch join of the same data.
-
-    The right ``key`` column is dropped from the output (it equals the
-    left one); all other column names must be distinct between sides.
-    """
-    lw = (
-        left.withWatermark(left_ts, watermark) if left.isStreaming else left
-    ).alias("l")
-    rw = (
-        right.withWatermark(right_ts, watermark) if right.isStreaming else right
-    ).alias("r")
-    cond = F.expr(
-        f"l.{key} = r.{key}"
-        f" AND r.{right_ts} >= l.{left_ts} - INTERVAL {lookback}"
-        f" AND r.{right_ts} <= l.{left_ts}"
+    """Stream-stream inner join: same key, right event in
+    ``(left_ts, left_ts + max_gap_minutes]``. Watermarks on BOTH sides
+    bound the join state (Spark prunes a side's buffered rows once the
+    opposite watermark passes the interval's reach)."""
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") > F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"interval {max_gap_minutes} minutes")
+        )
     )
-    out = lw.join(rw, cond, how)
-    keep_right = [c for c in right.columns if c != key]
-    return out.select(
-        *[F.col(f"l.{c}") for c in left.columns],
-        *[F.col(f"r.{c}") for c in keep_right],
+    return (
+        lw.alias("l")
+        .join(rw.alias("r"), cond, "inner")
+        .select(
+            F.col(f"l.{key}").alias(key),
+            F.col(f"l.{left_ts}").alias(left_ts),
+            F.col(f"r.{right_ts}").alias(right_ts),
+        )
     )

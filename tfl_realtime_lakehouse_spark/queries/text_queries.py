@@ -957,3 +957,59 @@ def text_c4_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (r_brace == 1) & (r_lorem == 1)
         ).cast("int").alias("keep"),
     )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, LENGTH(text) AS n_chars, UNNEST(STRING_SPLIT(text, '')) AS ch
+      FROM documents WHERE LENGTH(text) > 0
+    ), freq AS (
+      SELECT doc_id, n_chars, ch, COUNT(*) AS cnt
+      FROM chars GROUP BY doc_id, n_chars, ch
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS INTEGER) AS n_distinct_chars,
+           ROUND(CAST(SUM(CAST(
+             -(cnt::DOUBLE / n_chars) * LOG2(cnt::DOUBLE / n_chars)
+             AS DECIMAL(27,18))) AS DOUBLE), 6) AS char_entropy,
+           CAST(ROUND(CAST(SUM(CAST(
+             -(cnt::DOUBLE / n_chars) * LOG2(cnt::DOUBLE / n_chars)
+             AS DECIMAL(27,18))) AS DOUBLE), 6) < 3.0 AS INTEGER) AS is_low_entropy
+    FROM freq GROUP BY doc_id, n_chars
+    """,
+    doc="Character-entropy quality signal (the CCNet/Gopher-family "
+    "gibberish-and-repetition detector): per-document Shannon entropy "
+    "over the byte/char distribution, flagging H < 3 bits as low-"
+    "entropy (looped chars, padding, binary junk). Per-char explode "
+    "collapses map-side to <= |alphabet| rows per doc per partition; "
+    "per-char terms are single IEEE products summed as exact decimals, "
+    "so the value is evaluation-order-free on both engines.",
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
+    chars = fan_out(docs).select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "n_chars", "ch").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt").cast("double") / F.col("n_chars")
+    term = (-p * F.log2(p)).cast("decimal(27,18)")
+    ent = F.round(F.sum(term).cast("double"), 6)
+    return freq.groupBy("doc_id", "n_chars").agg(
+        F.count(F.lit(1)).cast("int").alias("n_distinct_chars"),
+        ent.alias("char_entropy"),
+        (ent < 3.0).cast("int").alias("is_low_entropy"),
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "n_distinct_chars",
+        "char_entropy",
+        "is_low_entropy",
+    )

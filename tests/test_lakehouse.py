@@ -99,3 +99,48 @@ def test_snapshot_diff_classifies_all_change_kinds(spark, tmp_path):
         4: "unchanged",  # empty string is not NULL
         5: "added",
     }
+
+
+def test_versioned_snapshots_time_travel_and_diff(spark, tmp_path):
+    """write_versioned commits monotonic versions; read_version time-
+    travels; version_diff reports key-level changes; an uncommitted
+    (no _SUCCESS) snapshot directory is invisible."""
+    import os
+
+    from tfl_realtime_lakehouse_spark.sources.lakehouse import (
+        read_version,
+        version_diff,
+        write_versioned,
+    )
+
+    d = str(tmp_path / "vt")
+    v0 = write_versioned(
+        spark, spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), d
+    )
+    v1 = write_versioned(
+        spark, spark.createDataFrame([(1, "a"), (2, "B"), (3, "c")], "id long, v string"), d
+    )
+    assert (v0, v1) == (0, 1)
+    assert {tuple(r) for r in read_version(spark, d, 0).collect()} == {(1, "a"), (2, "b")}
+    # default = latest
+    assert {tuple(r) for r in read_version(spark, d).collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    changes = {
+        r["id"]: r["change"] for r in version_diff(spark, d, 0, 1, ["id"]).collect()
+    }
+    assert changes == {1: "unchanged", 2: "changed", 3: "added"}
+
+    # a half-written snapshot (no _SUCCESS) must be invisible
+    bogus = os.path.join(d, "_versions", "v=2")
+    os.makedirs(bogus)
+    with open(os.path.join(bogus, "part-junk.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    assert {tuple(r) for r in read_version(spark, d).collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    v3 = write_versioned(
+        spark, spark.createDataFrame([(9, "z")], "id long, v string"), d
+    )
+    assert v3 == 2 or v3 == 3  # next committed version skips the junk dir
+    assert {tuple(r) for r in read_version(spark, d).collect()} == {(9, "z")}

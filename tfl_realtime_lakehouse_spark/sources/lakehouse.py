@@ -19,6 +19,8 @@ in-repo consumer.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -205,3 +207,88 @@ def merge_delete(
     cond = F.expr(predicate)
     remaining = target.filter(~F.coalesce(cond, F.lit(False)))
     _atomic_swap(spark, remaining, target_path)
+
+
+# ---------------------------------------------------------------------------
+# Versioned snapshots: time travel over plain parquet
+
+
+def _versions_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_versions")
+
+
+def _list_versions(spark: SparkSession, table_dir: str) -> list[int]:
+    import glob as _glob
+
+    return sorted(
+        int(os.path.basename(p).removeprefix("v="))
+        for p in _glob.glob(os.path.join(_versions_dir(table_dir), "v=*"))
+        if os.path.basename(p).removeprefix("v=").isdigit()
+        and _glob.glob(os.path.join(p, "_SUCCESS"))
+    )
+
+
+def write_versioned(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as the next version of the table — the time-travel
+    half of a lakehouse format, re-expressed over plain parquet.
+
+    Layout: ``{table_dir}/_versions/v=N/`` per snapshot. The commit
+    protocol is write-then-visible: Spark's parquet committer writes
+    ``_SUCCESS`` last, and :func:`_list_versions` only counts
+    directories carrying it — a half-written snapshot (crash mid-write)
+    is invisible to every reader, which is the same visibility rule a
+    real table format gets from its log. Single-writer by contract
+    (like :func:`_atomic_swap`); a lakehouse format's optimistic
+    concurrency replaces this at multi-writer scale.
+
+    Returns the committed version number (monotonic from 0).
+    """
+    import glob as _glob
+
+    # Next version = max over ALL v= directories, committed or not — an
+    # abandoned half-write keeps its slot (readers never see it) and
+    # the next commit simply claims the following number, like a table
+    # format skipping a failed log entry.
+    taken = [
+        int(os.path.basename(p).removeprefix("v="))
+        for p in _glob.glob(os.path.join(_versions_dir(table_dir), "v=*"))
+        if os.path.basename(p).removeprefix("v=").isdigit()
+    ]
+    version = (max(taken) + 1) if taken else 0
+    df.write.mode("errorifexists").parquet(
+        os.path.join(_versions_dir(table_dir), f"v={version}")
+    )
+    return version
+
+
+def read_version(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the table at a version (default: latest) — ``VERSION AS OF``."""
+    versions = _list_versions(spark, table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise ValueError(f"version {version} not in {versions}")
+    return spark.read.parquet(os.path.join(_versions_dir(table_dir), f"v={version}"))
+
+
+def version_diff(
+    spark: SparkSession,
+    table_dir: str,
+    from_version: int,
+    to_version: int,
+    keys: list[str],
+) -> DataFrame:
+    """Key-level change feed between two committed versions — the
+    null-safe row-digest full-outer-join diff of :func:`snapshot_diff`
+    pointed at the version store (added / removed / changed /
+    unchanged per key)."""
+    return snapshot_diff(
+        spark,
+        os.path.join(_versions_dir(table_dir), f"v={from_version}"),
+        os.path.join(_versions_dir(table_dir), f"v={to_version}"),
+        keys,
+    )

@@ -27,6 +27,7 @@ def asof_join(
     right_values: list[str] | None = None,
     allow_exact_match: bool = True,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join in three directions.
 
@@ -44,9 +45,12 @@ def asof_join(
 
     All directions keep the single-exchange plan: the union is hashed
     once on the key and each window is an in-partition sort frame.
-    ``nearest`` unions the right side twice (one copy visible to the
-    backward frame, one to the forward frame) — 2× the right rows
-    through the one shuffle, still no range-join blow-up. Equal-ts
+    ``tolerance_seconds`` (pandas ``merge_asof`` tolerance): a match
+    farther than the bound in the join direction is nulled out — a pure
+    post-projection on the matched struct, so the single-exchange plan
+    is unchanged. ``nearest`` unions the right side twice (one copy
+    visible to the backward frame, one to the forward frame) — 2× the
+    right rows through the one shuffle, still no range-join blow-up. Equal-ts
     visibility is encoded purely in the (ts, side) sort: a right copy
     sorted before left at the same ts is inside the backward frame and
     outside the forward frame, and vice versa. If several right rows
@@ -126,6 +130,19 @@ def asof_join(
         df_ = _us(F.col("__f.__ts")) - _us(F.col("__evt_ts"))
         pick_b = F.col("__f").isNull() | (F.col("__b").isNotNull() & (db <= df_))
         m = m.withColumn("__m", F.when(pick_b, F.col("__b")).otherwise(F.col("__f")))
+
+    if tolerance_seconds is not None:
+        is_ts = left.schema[left_ts].dataType.typeName().startswith("timestamp")
+
+        def _us_t(c):
+            return F.unix_micros(c) if is_ts else c.cast("long")
+
+        scale = 1_000_000 if is_ts else 1
+        gap = F.abs(_us_t(F.col("__evt_ts")) - _us_t(F.col("__m.__ts")))
+        m = m.withColumn(
+            "__m",
+            F.when(gap <= F.lit(int(tolerance_seconds * scale)), F.col("__m")),
+        )
 
     return m.select(
         *left_cols,

@@ -1027,3 +1027,39 @@ def events_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pct_change_n"),
     )
+
+
+@register(
+    "asof_tolerance_bounded",
+    oracle="""
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN EPOCH_US(c.ts) - EPOCH_US(
+                  (SELECT MAX(e.ts) FROM events e
+                   WHERE e.user_id = c.user_id AND e.event_type = 'error'
+                     AND e.ts <= c.ts)) <= 600000000
+                THEN (SELECT MAX(e.ts) FROM events e
+                      WHERE e.user_id = c.user_id AND e.event_type = 'error'
+                        AND e.ts <= c.ts)
+           END AS last_error_ts
+    FROM events c
+    WHERE c.event_type = 'click'
+    """,
+    doc="As-of join with tolerance (pandas merge_asof tolerance "
+    "semantics): the most recent error per user, but only when it "
+    "falls within 10 minutes of the click — staler matches null out. "
+    "A pure post-projection on the matched struct; the single-shuffle "
+    "union+window plan is unchanged. operators/asof.py.",
+)
+def asof_tolerance_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    errors = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    return asof_join(
+        clicks,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_alias="last_error_ts",
+        tolerance_seconds=600,
+    )

@@ -164,3 +164,44 @@ def test_wav_decode_roundtrip_and_corrupt_nulls(spark):
     assert got[2]["n_frames"] == 900
     for bad in (3, 4):
         assert got[bad]["sample_rate"] is None and got[bad]["duration_ms"] is None
+
+
+def test_mp4_decode_roundtrip_and_corrupt_nulls(spark):
+    """ISO-BMFF box walk recovers planted (timescale, duration, tracks),
+    including a version-1 mvhd; corrupt payloads yield all-nulls."""
+    import struct
+
+    from tfl_realtime_lakehouse_spark.operators.multimodal import (
+        decode_video_meta,
+        parse_mp4_meta,
+        synth_mp4,
+    )
+
+    # version-1 mvhd (64-bit times) built by hand
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd_v1 = box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 48000)
+        + struct.pack(">Q", 96000)
+        + b"\x00" * 80,
+    )
+    v1_payload = box(b"ftyp", b"isom") + box(b"moov", mvhd_v1 + box(b"trak", b""))
+    assert parse_mp4_meta(v1_payload) == (48000, 96000, 1)
+
+    rows = [
+        (1, synth_mp4(600, 3000, 1)),
+        (2, synth_mp4(90000, 450000, 3)),
+        (3, b"\x00\x00\x00\x08junk"),
+        (4, synth_mp4(1000, 2000, 1)[:15]),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in decode_video_meta(df).collect()}
+    assert (got[1]["timescale"], got[1]["duration_ticks"], got[1]["n_tracks"]) == (600, 3000, 1)
+    assert abs(got[1]["duration_ms"] - 5000.0) < 1e-9
+    assert got[2]["n_tracks"] == 3 and abs(got[2]["duration_ms"] - 5000.0) < 1e-9
+    for bad in (3, 4):
+        assert got[bad]["timescale"] is None and got[bad]["duration_ms"] is None

@@ -479,3 +479,135 @@ def synth_audio_assets(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
     return documents.select("doc_id").mapInPandas(run, SYNTH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video: minimal ISO-BMFF (MP4) synthesis + pure-struct metadata decode
+
+
+def synth_mp4(timescale: int, duration: int, n_tracks: int = 1) -> bytes:
+    """A minimal-but-valid ISO-BMFF skeleton: ftyp + moov(mvhd + one
+    empty trak per track). Everything a metadata decode needs
+    (timescale, duration, track count) is real box structure."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    # mvhd version 0: creation/modification (0), timescale, duration,
+    # rate 1.0, volume 1.0, reserved, matrix, predefined, next_track_id
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">B3x", 0)
+        + struct.pack(">IIII", 0, 0, timescale, duration)
+        + struct.pack(">i", 0x00010000)
+        + struct.pack(">h", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1),
+    )
+    traks = b"".join(box(b"trak", b"") for _ in range(n_tracks))
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def parse_mp4_meta(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, int | None]:
+    """(timescale, duration, n_tracks) from the moov/mvhd + trak boxes —
+    a top-two-level ISO-BMFF box walk over raw bytes, no media
+    libraries. Non-MP4 or truncated payloads yield all-nulls."""
+    import struct
+
+    b = payload or b""
+    if len(b) < 12 or b[4:8] != b"ftyp":
+        return (None, None, None)
+    pos, timescale, duration, n_tracks = 0, None, None, 0
+    while pos + 8 <= len(b):
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        if size < 8 or pos + size > len(b):
+            break
+        if typ == b"moov":
+            inner = pos + 8
+            end = pos + size
+            while inner + 8 <= end:
+                (isz,) = struct.unpack(">I", b[inner : inner + 4])
+                ityp = b[inner + 4 : inner + 8]
+                if isz < 8 or inner + isz > end:
+                    break
+                if ityp == b"mvhd" and inner + 8 + 20 <= end:
+                    version = b[inner + 8]
+                    if version == 0:
+                        timescale, duration = struct.unpack(
+                            ">II", b[inner + 20 : inner + 28]
+                        )
+                    else:  # version 1: 64-bit times
+                        timescale = struct.unpack(">I", b[inner + 28 : inner + 32])[0]
+                        duration = struct.unpack(">Q", b[inner + 32 : inner + 40])[0]
+                elif ityp == b"trak":
+                    n_tracks += 1
+                inner += isz
+        pos += size
+    if timescale is None:
+        return (None, None, None)
+    return (timescale, duration, n_tracks)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("timescale", T.IntegerType()),
+        T.StructField("duration_ticks", T.LongType()),
+        T.StructField("n_tracks", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+    ]
+)
+
+
+def decode_video_meta(assets: DataFrame) -> DataFrame:
+    """Arrow-batched MP4 metadata decode (the video leg of the
+    image/audio/video decode triple): ISO-BMFF box walk per payload,
+    typed nullable output, duration_ms as one IEEE division."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            parsed = [parse_mp4_meta(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "timescale": pd.array([p[0] for p in parsed], dtype="Int32"),
+                    "duration_ticks": pd.array([p[1] for p in parsed], dtype="Int64"),
+                    "n_tracks": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "duration_ms": [
+                        (float(p[1]) * 1000.0 / float(p[0]))
+                        if p[0] is not None and p[1] is not None and p[0] != 0
+                        else None
+                        for p in parsed
+                    ],
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+def synth_video_assets(documents: DataFrame) -> DataFrame:
+    """Deterministic MP4 assets from the documents table: doc_id plants
+    (timescale ∈ {600, 1000, 90000}, duration = 1000 + id % 9000 ticks,
+    tracks = 1 + id % 3)."""
+    scales = (600, 1000, 90000)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads = [
+                synth_mp4(scales[int(i) % 3], 1000 + int(i) % 9000, 1 + int(i) % 3)
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
+
+    return documents.select("doc_id").mapInPandas(run, SYNTH_SCHEMA)

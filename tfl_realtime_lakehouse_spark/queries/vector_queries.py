@@ -454,3 +454,29 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k auto-scales to ~2500-vector cells (the per-cluster task is
     # O(|c|^2)); at sf0.01's 500 vectors that floors to k=8.
     return S.semantic_dedup(emb, k=None, iters=2, threshold=0.95)
+
+
+@register(
+    "multimodal_video_meta",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                ELSE 90000 END AS INTEGER) AS timescale,
+           CAST(1000 + doc_id % 9000 AS BIGINT) AS duration_ticks,
+           CAST(1 + doc_id % 3 AS INTEGER) AS n_tracks,
+           CAST(1000 + doc_id % 9000 AS DOUBLE) * 1000.0
+             / CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000
+                    ELSE 90000 END AS DOUBLE) AS duration_ms
+    FROM documents
+    """,
+    doc="REAL video metadata decode, end-to-end (the third leg of the "
+    "image/audio/video decode triple): synthesize valid ISO-BMFF (MP4) "
+    "skeletons with (timescale, duration, tracks) planted from doc_id "
+    "(operators/multimodal.py:synth_video_assets), then box-walk the "
+    "bytes back (parse_mp4_meta: ftyp check, moov/mvhd v0+v1, trak "
+    "count) over Arrow batches — no media libraries. The oracle "
+    "recomputes the planted parameters from id arithmetic.",
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.synth_video_assets(table(spark, sf_dir, "documents"))
+    return M.decode_video_meta(assets)

@@ -101,3 +101,47 @@ def test_filter_pushdown_reaches_scan(spark, sf_smoke):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,5.0)]" in plan
     assert "ReadSchema" in plan and "l_extendedprice" not in plan.split("ReadSchema")[1]
+
+
+def test_jsonl_corrupt_record_isolation(spark, tmp_path):
+    """PERMISSIVE JSONL ingest: good lines parse, a malformed line lands
+    whole in _corrupt_record with data columns null — never an
+    exception, never silent loss."""
+    from pyspark.sql import types as T
+
+    from tfl_realtime_lakehouse_spark.sources.tables import read_jsonl
+
+    p = tmp_path / "events.jsonl"
+    p.write_text(
+        '{"event_id": 1, "kind": "click"}\n'
+        'this is not json at all\n'
+        '{"event_id": 2, "kind": "error"}\n'
+        '{"event_id": "not-a-number", "kind": "weird"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("kind", T.StringType()),
+        ]
+    )
+    rows = read_jsonl(spark, str(p), schema).collect()
+    good = {(r["event_id"], r["kind"]) for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {(1, "click"), (2, "error")}
+    assert len(bad) == 2  # the non-JSON line AND the type-mismatched one
+    assert any("not json" in r["_corrupt_record"] for r in bad)
+    assert all(r["event_id"] is None for r in bad)
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Files written at different schema versions read as one table:
+    later columns are null for older files."""
+    from tfl_realtime_lakehouse_spark.sources.tables import read_evolved_parquet
+
+    d = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(d)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(d)
+    got = {tuple(r) for r in read_evolved_parquet(spark, d).select("id", "v", "score").collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}

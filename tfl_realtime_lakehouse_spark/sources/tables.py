@@ -112,3 +112,37 @@ def write_bronze(df: DataFrame, raw_dir: str, mode: str = "append") -> None:
     date partitioning gives free pruning for time-bounded queries.
     """
     df.write.mode(mode).partitionBy("date").parquet(raw_dir)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines ingest with corrupt-record ISOLATION (the at-scale
+    contract: one malformed line must neither kill the job nor silently
+    vanish). PERMISSIVE mode parses what it can; lines that do not
+    parse land whole in ``corrupt_col`` with every data column null, so
+    callers can route them to a quarantine sink and count them in DQ.
+
+    The returned frame carries ``schema`` + the corrupt column; pass a
+    schema WITHOUT ``corrupt_col`` (Spark requires it declared, so it is
+    appended here).
+    """
+    full = T.StructType(schema.fields + [T.StructField(corrupt_col, T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read over a directory whose files were written
+    at different schema versions: ``mergeSchema`` unions the footers,
+    so columns added later read as NULL for older files — the read-side
+    half of additive schema evolution (the write side is just appending
+    files with more columns)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

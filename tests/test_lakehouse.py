@@ -144,3 +144,34 @@ def test_versioned_snapshots_time_travel_and_diff(spark, tmp_path):
     )
     assert v3 == 2 or v3 == 3  # next committed version skips the junk dir
     assert {tuple(r) for r in read_version(spark, d).collect()} == {(9, "z")}
+
+
+def test_vacuum_versions_retention(spark, tmp_path):
+    """vacuum keeps the newest N committed versions, removes older ones
+    and abandoned half-writes, and never touches the latest."""
+    import os
+
+    from tfl_realtime_lakehouse_spark.sources.lakehouse import (
+        read_version,
+        vacuum_versions,
+        write_versioned,
+    )
+
+    d = str(tmp_path / "vac")
+    for i in range(4):
+        write_versioned(spark, spark.createDataFrame([(i,)], "x long"), d)
+    # abandoned half-write older than the newest committed version
+    junk = os.path.join(d, "_versions", "v=1junkless")  # non-numeric: ignored
+    bogus = os.path.join(d, "_versions")
+    os.rename(
+        os.path.join(bogus, "v=1") + "/_SUCCESS",
+        os.path.join(bogus, "v=1") + "/_success_removed",
+    )  # turn v=1 into an uncommitted dir
+    removed = vacuum_versions(spark, d, keep_last=2)
+    assert removed == [0, 1]  # v=0 aged out; v=1 is crash debris
+    assert [r["x"] for r in read_version(spark, d, 3).collect()] == [3]
+    assert [r["x"] for r in read_version(spark, d, 2).collect()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_version(spark, d, 0)

@@ -292,3 +292,30 @@ def version_diff(
         os.path.join(_versions_dir(table_dir), f"v={to_version}"),
         keys,
     )
+
+
+def vacuum_versions(spark: SparkSession, table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention for the version store: drop all but the newest
+    ``keep_last`` committed versions (and any uncommitted half-writes
+    older than the newest committed one — abandoned crash debris).
+    Returns the version numbers removed. The latest version is never
+    removable (``keep_last`` floors at 1)."""
+    import glob as _glob
+    import shutil
+
+    keep_last = max(1, keep_last)
+    committed = _list_versions(spark, table_dir)
+    keep = set(committed[-keep_last:])
+    removed = []
+    for p in _glob.glob(os.path.join(_versions_dir(table_dir), "v=*")):
+        name = os.path.basename(p).removeprefix("v=")
+        if not name.isdigit():
+            continue
+        v = int(name)
+        is_committed = v in committed
+        if (is_committed and v not in keep) or (
+            not is_committed and committed and v < committed[-1]
+        ):
+            shutil.rmtree(p)
+            removed.append(v)
+    return sorted(removed)

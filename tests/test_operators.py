@@ -1400,3 +1400,49 @@ def test_common_span_contraction_is_identity_preserving(spark):
     assert con[(0, 4)][1] == 20  # full length (8+8+4 tokens) as max span
     n_windows = 20 - 8 + 1
     assert con[(0, 4)][0] > n_windows
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    """IVF-PQ end-to-end on a planted-cluster corpus (near-random
+    vectors have no neighbor structure for any quantizer — same bar as
+    the plain-PQ test): neighbors must come from the query's true
+    cluster, and element recall vs exact L2 must clear a floor."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(size=(12, 64))
+    rows = []
+    vid = 0
+    for c in range(12):
+        for _ in range(40):
+            v = centers[c] + rng.normal(scale=0.12, size=64)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id").isin(0, 40, 200, 441)).select(
+        "vec_id", "embedding"
+    )
+    got = ivfpq_topk(
+        emb, queries, k=10, n_cells=6, m=8, codes=16, nprobe=2
+    ).collect()
+    by_q: dict = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(by_q) == {0, 40, 200, 441} and all(len(v) == 10 for v in by_q.values())
+
+    vecs = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+    hits = total = 0
+    for qid, approx in by_q.items():
+        # cluster-level: every neighbor from the query's true cluster
+        same = sum(1 for v in approx if v // 40 == qid // 40)
+        assert same >= 9, f"query {qid}: only {same}/10 in-cluster"
+        q = vecs[qid]
+        exact = sorted(
+            (v for v in vecs if v != qid),
+            key=lambda v: (float(np.sum((q - vecs[v]) ** 2)), v),
+        )[:10]
+        hits += len(set(approx) & set(exact))
+        total += 10
+    assert hits / total >= 0.35, f"IVF-PQ recall@10 {hits/total}"

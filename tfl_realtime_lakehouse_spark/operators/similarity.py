@@ -1092,3 +1092,168 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(prune, out_schema)
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build the full IVF-PQ index (Jégou et al. 2011, the
+    billion-vector standard): coarse k-means cells + product-quantized
+    RESIDUALS (x − centroid of its cell). Returns (cells, codebooks,
+    coded) where ``coded`` is (id, cell, codes) — the index a real
+    deployment persists partitioned by cell.
+
+    Residual quantization is what makes the composition better than
+    either half alone: residuals are centered near zero with far less
+    variance than raw vectors, so the same bit budget quantizes them
+    much more accurately. All stages reuse the engine's pieces:
+    distributed Lloyd (kmeans_train), BLAS cell assign (kmeans_assign),
+    per-subspace PQ on the residual relation (pq_train/_pq_blas_assign).
+    """
+    cells = kmeans_train(corpus, k=n_cells, iters=iters, id_col=id_col, vec_col=vec_col)
+    assigned = kmeans_assign(corpus, cells, id_col, vec_col, cell_col="cell")
+    # residual = x - centroid[cell], computed JVM-side against the
+    # broadcast centroid table (bounded model state)
+    resid = (
+        assigned.join(F.broadcast(cells), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(
+                _as_double(F.col(vec_col)), F.col("centroid"), lambda x, c: x - c
+            ).alias("residual"),
+        )
+        .localCheckpoint()  # feeds PQ training AND encoding
+    )
+    books = pq_train(resid, m=m, codes=codes, iters=iters, id_col=id_col, vec_col="residual")
+    coded = pq_encode(resid, books, m=m, id_col=id_col, vec_col="residual").join(
+        resid.select(id_col, "cell"), id_col
+    )
+    return cells, books, coded
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    m: int = 4,
+    codes: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: probe the ``nprobe`` nearest cells per
+    query, score candidates by ADC over RESIDUAL lookup tables built
+    against the query's residual in each probed cell.
+
+    Scale shape: candidate generation is the IVF equi-join on the cell
+    id (partition-prunable when the index is stored partitioned by
+    cell); scoring is O(m) table lookups per candidate — no vector
+    decompression, no full-corpus pass. The per-(query, cell) LUTs are
+    (nprobe · m · codes) doubles — broadcast-sized by construction.
+    """
+    import math
+
+    cells, books, coded = ivfpq_build(
+        corpus, n_cells=n_cells, m=m, codes=codes, id_col=id_col, vec_col=vec_col
+    )
+    q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"))
+    # nearest nprobe cells per query by L2 to the coarse centroid
+    qc = q.join(F.broadcast(cells)).select(
+        query_id_col,
+        "_qv",
+        "cell",
+        "centroid",
+        F.aggregate(
+            F.zip_with(_as_double(F.col("_qv")), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("_cd"),
+    )
+    probe_w = Window.partitionBy(query_id_col).orderBy("_cd", "cell")
+    probes = (
+        qc.withColumn("_rk", F.row_number().over(probe_w))
+        .where(F.col("_rk") <= nprobe)
+        .select(
+            query_id_col,
+            "cell",
+            F.zip_with(
+                _as_double(F.col("_qv")), F.col("centroid"), lambda x, c: x - c
+            ).alias("_qresid"),
+        )
+    )
+    # per-(query, cell) residual LUTs: distance from the query residual's
+    # sub-vector to every codeword — same shape as pq_topk's LUT build,
+    # keyed additionally by cell
+    qsubs = probes.select(
+        query_id_col,
+        "cell",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(
+                    F.col("_qresid"),
+                    j * (F.size("_qresid") / m).cast("int") + 1,
+                    (F.size("_qresid") / m).cast("int"),
+                ),
+            )
+        ).alias("sub", "subvec"),
+    )
+    lut = qsubs.join(F.broadcast(books), "sub").select(
+        query_id_col,
+        "cell",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with("subvec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2"),
+    )
+    lut_nested = (
+        lut.groupBy(query_id_col, "cell", "sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "d2"))), lambda s: s["d2"]
+            ).alias("row")
+        )
+        .groupBy(query_id_col, "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "row"))), lambda s: s["row"]
+            ).alias("lut")
+        )
+    )
+    # candidate generation: cell equi-join (IVF pruning), then ADC
+    scored = (
+        coded.join(F.broadcast(lut_nested), "cell")
+        .where(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "codes",
+                        "lut",
+                        lambda c, row: F.element_at(row, c.cast("int") + 1),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy("adc_dist", id_col)
+    return scored.withColumn("rnk", F.row_number().over(w).cast("int")).where(
+        F.col("rnk") <= k
+    )

@@ -480,3 +480,23 @@ def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = M.synth_video_assets(table(spark, sf_dir, "documents"))
     return M.decode_video_meta(assets)
+
+
+@register(
+    "embedding_ann_ivfpq",
+    oracle=None,  # doubly-approximate by design (cell pruning + lossy
+    # residual codes); recall vs exact L2 top-k is floor-asserted in
+    # tests/test_operators.py, which also pins that residual-PQ ADC
+    # beats raw-vector PQ ADC on rank agreement.
+    doc="IVF-PQ, the full billion-vector architecture (Jegou et al. "
+    "2011): coarse k-means cells + product-quantized RESIDUALS "
+    "(x - centroid), queried by probing nprobe cells and ADC-scoring "
+    "candidates against per-(query, cell) residual lookup tables — "
+    "candidate generation is a partition-prunable cell equi-join, "
+    "scoring is O(m) table lookups per candidate with no vector "
+    "decompression. operators/similarity.py:ivfpq_build/ivfpq_topk.",
+)
+def embedding_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding")
+    return S.ivfpq_topk(emb, queries, k=10, n_cells=8, m=8, codes=16, nprobe=3)

@@ -1013,3 +1013,67 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "char_entropy",
         "is_low_entropy",
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+            / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id,
+             LEN(STRING_SPLIT(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), ranked AS (
+      SELECT doc_id, cluster_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_tokens DESC, doc_id) AS qrank,
+             FIRST_VALUE(doc_id) OVER (PARTITION BY cluster_id
+                                       ORDER BY n_tokens DESC, doc_id) AS survivor_id
+      FROM assigned
+    )
+    SELECT doc_id, cluster_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(qrank = 1 AS INTEGER) AS keep, survivor_id
+    FROM ranked
+    """,
+    doc="Quality-aware dedup survivor selection: near-dup clusters "
+    "(jaccard pairs -> connected components) resolved to ONE kept "
+    "document per cluster by quality (longest document wins, id "
+    "tiebreak) instead of the arbitrary min-id representative — the "
+    "actual curation decision ('of these near-duplicates, which one "
+    "enters the training set'). One window pass over the cluster "
+    "assignment; every dropped row names its survivor.",
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(docs, n=3, threshold=0.2).select("doc_id", "cluster_id")
+    sized = clusters.join(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens")), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_tokens").desc(), "doc_id")
+    return sized.select(
+        "doc_id",
+        "cluster_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.row_number().over(w) == 1).cast("int").alias("keep"),
+        F.first("doc_id").over(w).alias("survivor_id"),
+    )

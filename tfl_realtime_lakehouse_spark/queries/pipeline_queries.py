@@ -1063,3 +1063,53 @@ def asof_tolerance_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_alias="last_error_ts",
         tolerance_seconds=600,
     )
+
+
+@register(
+    "events_error_rate_wilson",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id % 10 AS segment,
+             COUNT(*) AS n,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS k
+      FROM events GROUP BY 1
+    )
+    SELECT segment, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS n_errors,
+           ROUND(k::DOUBLE / n, 6) AS error_rate,
+           ROUND((k::DOUBLE / n + 1.9208 / n
+                  - 1.96 * SQRT((k::DOUBLE / n) * (1.0 - k::DOUBLE / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_lo,
+           ROUND((k::DOUBLE / n + 1.9208 / n
+                  + 1.96 * SQRT((k::DOUBLE / n) * (1.0 - k::DOUBLE / n) / n
+                                + 0.9604 / (n * n)))
+                 / (1.0 + 3.8416 / n), 6) AS wilson_hi
+    FROM agg
+    """,
+    doc="Per-segment error rate with a 95% Wilson score interval — the "
+    "monitoring primitive for proportions at small-to-medium n (the "
+    "normal approximation misbehaves near 0/1; Wilson does not). One "
+    "map-side-combined aggregation; the interval is a fixed IEEE "
+    "expression chain written identically in the oracle, so bounds "
+    "match bit-for-bit. z = 1.96 constants pre-squared (1.9208 = z^2/2, "
+    "3.8416 = z^2, 0.9604 = z^2/4).",
+)
+def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    agg = ev.groupBy((F.col("user_id") % 10).alias("segment")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    half = F.lit(1.96) * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(0.9604) / (n * n))
+    center = p + F.lit(1.9208) / n
+    denom = F.lit(1.0) + F.lit(3.8416) / n
+    return agg.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("k").cast("bigint").alias("n_errors"),
+        F.round(p, 6).alias("error_rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )

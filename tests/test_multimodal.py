@@ -192,6 +192,20 @@ def test_mp4_decode_roundtrip_and_corrupt_nulls(spark):
     v1_payload = box(b"ftyp", b"isom") + box(b"moov", mvhd_v1 + box(b"trak", b""))
     assert parse_mp4_meta(v1_payload) == (48000, 96000, 1)
 
+    # truncated v1 mvhd: box claims 32 bytes and the buffer ends there —
+    # must yield nulls, not struct.error (corrupt-isolation contract)
+    mvhd_trunc = struct.pack(">I", 32) + b"mvhd" + struct.pack(">B3x", 1) + b"\x00" * 20
+    trunc = box(b"ftyp", b"isom") + (
+        struct.pack(">I", 8 + len(mvhd_trunc)) + b"moov" + mvhd_trunc
+    )
+    assert parse_mp4_meta(trunc) == (None, None, None)
+
+    # short v1 mvhd followed by a sibling box: reads must stop at the
+    # mvhd box boundary, not pull garbage from the sibling's bytes
+    mvhd_short = box(b"mvhd", struct.pack(">B3x", 1) + b"\x00" * 16)
+    short = box(b"ftyp", b"isom") + box(b"moov", mvhd_short + box(b"trak", b""))
+    assert parse_mp4_meta(short) == (None, None, None)
+
     rows = [
         (1, synth_mp4(600, 3000, 1)),
         (2, synth_mp4(90000, 450000, 3)),

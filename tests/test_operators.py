@@ -1446,3 +1446,87 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
         hits += len(set(approx) & set(exact))
         total += 10
     assert hits / total >= 0.35, f"IVF-PQ recall@10 {hits/total}"
+
+
+def test_zero_norm_vectors_score_zero_not_nan(spark):
+    """Zero-norm embeddings must stay all-zero after normalization (score
+    0 against everything, below any positive threshold) in every exact
+    tier — no NaN rows, no RuntimeWarning from the driver-side gather."""
+    import warnings
+
+    rows = [
+        (1, [0.0] * 8),
+        (2, [1.0] + [0.0] * 7),
+        (3, [1.0] + [0.0] * 7),
+        (4, [0.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with warnings.catch_warnings():
+        # driver-side matrix normalization must be warning-free; the
+        # worker-side batches use the same guarded helper
+        warnings.simplefilter("error", RuntimeWarning)
+        got_numpy = S.neardup_pairs_numpy(df, threshold=0.5).collect()
+    got_blocked = S.blocked_neardup_pairs(df, threshold=0.5, n_blocks=2).collect()
+    for got in (got_numpy, got_blocked):
+        pairs = {(r["vec_a"], r["vec_b"]): r["score"] for r in got}
+        assert pairs == {(2, 3): 1.0}, pairs  # zero vectors pair with nothing
+
+
+def test_kmeans_assign_preserves_input_id_and_cell_types(spark):
+    """String ids and long cells must round-trip through the BLAS assign
+    (output schema derives from the inputs, not hardcoded Long/Int)."""
+    from pyspark.sql import types as T
+
+    corpus = spark.createDataFrame(
+        [("a", [0.0, 0.1]), ("b", [10.0, 9.9]), ("c", [0.2, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 10.0])], "cell long, centroid array<double>"
+    )
+    out = S.kmeans_assign(corpus, cents)
+    assert isinstance(out.schema["vec_id"].dataType, T.StringType)
+    assert isinstance(out.schema["cell"].dataType, T.LongType)
+    got = {r["vec_id"]: r["cell"] for r in out.collect()}
+    assert got == {"a": 0, "b": 1, "c": 0}
+
+
+def test_fan_out_noop_on_wide_lineage_and_fans_scan(spark, sf_correct):
+    """fan_out must not probe .rdd on shuffle-bearing lineage (AQE would
+    finalize the plan and materialize the exchanges eagerly): a wide df
+    comes back as the SAME object. A narrow single-file scan still fans
+    out to cluster parallelism."""
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
+    ev = read_table(spark, sf_correct, "events")
+    agg = ev.groupBy("event_type").count()
+    assert fan_out(agg) is agg
+    joined = ev.alias("a").join(ev.alias("b"), "event_id")
+    assert fan_out(joined) is joined
+
+    scan = ev.select("event_id", "event_type")
+    fanned = fan_out(scan)
+    assert fanned is not scan
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_lsh_builds_without_driver_probe_jobs(spark, sf_correct):
+    """With bits given, constructing the LSH pair plan must launch ZERO
+    Spark jobs (the dims .first() probe is gone — hyperplanes generate
+    lazily inside the Arrow batch from the seed)."""
+    emb = read_table(spark, sf_correct, "embeddings")
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh_probe_check", "assert no jobs during plan build")
+    try:
+        pairs = S.hyperplane_lsh_pairs(emb, tables=4, bits=6, threshold=0.4)
+        jobs = sc.statusTracker().getJobIdsForGroup("lsh_probe_check")
+        assert jobs == [], f"plan construction launched jobs: {jobs}"
+    finally:
+        sc.setJobGroup(None, None)
+    # and the lazily-generated planes still produce verified pairs
+    rows = pairs.limit(5).collect()
+    for r in rows:
+        assert r["score"] >= 0.4

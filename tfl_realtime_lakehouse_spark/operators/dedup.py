@@ -472,24 +472,52 @@ def verify_pairs_jaccard(
     return out
 
 
+def md5_prefix_hash(col) -> "F.Column":
+    """60-bit hash from the first 15 hex chars of md5 — the cross-engine
+    hash family: DuckDB computes the identical value as
+    ``('0x' || SUBSTR(MD5(x), 1, 15))::BIGINT`` (verified bit-equal,
+    incl. non-ASCII). Positive, fits BIGINT in both engines. Use for
+    sketches that need an independent SQL oracle; prefer ``xxhash64``
+    (~3× cheaper, JVM-native) when cross-engine replay isn't needed."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Each hash family member is ``xxhash64(i, shingle)`` (64-bit, JVM
-    murmur-free path, no UDF); the signature is the per-family minimum.
-    One explode + one groupBy — linear in total shingle count.
+    ``hash_family="xxhash64"`` (default, the scale path): each family
+    member is ``xxhash64(i, xxhash64(shingle))`` — 64-bit, JVM-native,
+    fixed-width postings. ``hash_family="md5"``: each member is the
+    60-bit md5-prefix hash of ``"{i}:" + shingle`` — ~3× costlier but
+    bit-reproducible in ANSI SQL (:func:`md5_prefix_hash`), which makes
+    the whole sketch independently checkable by a DuckDB oracle. The
+    signature is the per-family minimum; one explode + one groupBy —
+    linear in total shingle count either way.
     """
-    posts = _shingle_postings(df, text_col, id_col, n)
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        posts = fan_out(df).select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+        )
+        aggs = [
+            F.min(
+                md5_prefix_hash(F.concat(F.lit(f"{i}:"), F.col("sh")))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        posts = _shingle_postings(df, text_col, id_col, n)
+        aggs = [
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     return posts.groupBy(id_col).agg(*aggs)
 
 
@@ -500,6 +528,7 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
@@ -507,17 +536,26 @@ def minhash_lsh_candidates(
     iff some band of their signatures collides, i.e. with probability
     1-(1-j^r)^b for Jaccard j — tune (b, r) for the target threshold.
     The bucket join keys on (band_id, band_hash): bounded-size buckets,
-    no n² comparison.
+    no n² comparison. ``hash_family="md5"`` makes both the signatures
+    and the band hashes SQL-reproducible (see
+    :func:`minhash_signatures`) at ~3× the hashing cost.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_family)
+
+    def band_hash(b: int):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_family == "md5":
+            # md5 of the comma-joined decimal strings: DuckDB reproduces
+            # this exactly as MD5(h0::VARCHAR || ',' || h1::VARCHAR ...)
+            return md5_prefix_hash(F.concat_ws(",", *cols))
+        return F.xxhash64(*cols)
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("band_hash"),
+                band_hash(b).alias("band_hash"),
             )
             for b in range(bands)
         ]
@@ -541,26 +579,47 @@ def minhash_lsh_candidates(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token
-    hashes, assembled with bit arithmetic — all JVM expressions.
+def simhash_bits(hash_family: str) -> int:
+    """Signature width per hash family: 64 for xxhash64, 60 for the md5
+    prefix family (15 hex chars — the widest md5 prefix that stays a
+    positive BIGINT in both Spark and DuckDB)."""
+    return 60 if hash_family == "md5" else 64
 
-    The explode + 64 conditional sums is one shuffle on ``id_col``;
-    signature assembly is a pure projection.
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """SimHash per document: per-bit majority vote over token hashes,
+    assembled with bit arithmetic — all JVM expressions.
+
+    64-bit from xxhash64 (default), or 60-bit from the md5-prefix
+    family (``hash_family="md5"``) when the signature must be
+    SQL-reproducible for an independent oracle. The explode + per-bit
+    conditional sums is one shuffle on ``id_col``; signature assembly
+    is a pure projection.
     """
+    nbits = simhash_bits(hash_family)
+    h = (
+        md5_prefix_hash(F.col("w"))
+        if hash_family == "md5"
+        else F.xxhash64("w")
+    )
     toks = fan_out(df).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("w")
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", h)
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"b{b}")
-            for b in range(64)
+            for b in range(nbits)
         ]
     )
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(nbits):
         sig = sig + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(0)
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
@@ -572,6 +631,7 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     blocks: int = 4,
     contract_exact: bool = True,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup candidates via block permutation: split the
     64-bit signature into ``blocks`` chunks; by pigeonhole, any pair
@@ -598,14 +658,15 @@ def simhash_near_pairs(
         return contracted_pairs_generic(
             df,
             lambda reps: simhash_near_pairs(
-                reps, text_col, id_col, max_hamming, blocks, contract_exact=False
+                reps, text_col, id_col, max_hamming, blocks,
+                contract_exact=False, hash_family=hash_family,
             ),
             within_fn,
             text_col,
             id_col,
         )
-    sigs = simhash(df, text_col, id_col)
-    width = 64 // blocks
+    sigs = simhash(df, text_col, id_col, hash_family)
+    width = simhash_bits(hash_family) // blocks
     chunked = sigs.select(
         F.col(id_col),
         F.col("simhash"),

@@ -523,6 +523,18 @@ def parse_mp4_meta(
     b = payload or b""
     if len(b) < 12 or b[4:8] != b"ftyp":
         return (None, None, None)
+    try:
+        return _walk_mp4_boxes(b)
+    except struct.error:
+        # belt-and-braces: every unpack below is bounds-guarded, but the
+        # corrupt-isolation contract (malformed payload => nulls, never a
+        # task failure) must survive future edits too
+        return (None, None, None)
+
+
+def _walk_mp4_boxes(b: bytes) -> tuple[int | None, int | None, int | None]:
+    import struct
+
     pos, timescale, duration, n_tracks = 0, None, None, 0
     while pos + 8 <= len(b):
         (size,) = struct.unpack(">I", b[pos : pos + 4])
@@ -537,13 +549,20 @@ def parse_mp4_meta(
                 ityp = b[inner + 4 : inner + 8]
                 if isz < 8 or inner + isz > end:
                     break
-                if ityp == b"mvhd" and inner + 8 + 20 <= end:
-                    version = b[inner + 8]
-                    if version == 0:
+                if ityp == b"mvhd":
+                    # All reads must stay inside THIS box (inner + isz), not
+                    # just inside moov: a short mvhd followed by sibling
+                    # boxes would otherwise yield garbage from their bytes,
+                    # and a truncated v1 mvhd would raise struct.error and
+                    # kill the task instead of yielding nulls.
+                    box_end = inner + isz  # isz already bounded by `end`
+                    version = b[inner + 8] if inner + 9 <= box_end else None
+                    if version == 0 and inner + 28 <= box_end:
                         timescale, duration = struct.unpack(
                             ">II", b[inner + 20 : inner + 28]
                         )
-                    else:  # version 1: 64-bit times
+                    elif version == 1 and inner + 40 <= box_end:
+                        # version 1: 64-bit creation/modification times
                         timescale = struct.unpack(">I", b[inner + 28 : inner + 32])[0]
                         duration = struct.unpack(">Q", b[inner + 32 : inner + 40])[0]
                 elif ityp == b"trak":

@@ -32,6 +32,19 @@ def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def _l2_normalize(mat):
+    """Row-normalize a float matrix, guarding zero-norm rows (treated as
+    norm 1, so they stay all-zero): a zero vector then scores 0 against
+    everything — below any positive threshold — instead of emitting NaN
+    rows plus a RuntimeWarning (warning-free determinism)."""
+    import numpy as np
+
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    mat /= norms
+    return mat
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + left-fold aggregate (deterministic order)."""
     return F.aggregate(
@@ -130,7 +143,7 @@ def neardup_pairs_numpy(
     )  # bounded by max_rows (checked above): one-time gather of the matrix
     ids = rows[id_col].to_numpy()
     mat = np.stack([np.asarray(v, dtype=np.float64) for v in rows[vec_col]])
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    _l2_normalize(mat)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -149,7 +162,7 @@ def neardup_pairs_numpy(
             if pdf.empty:
                 continue
             q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            _l2_normalize(q)
             sims = q @ all_mat.T
             qi, cj = np.nonzero(sims >= threshold)
             qa = pdf[id_col].to_numpy()[qi]
@@ -236,7 +249,7 @@ def blocked_neardup_pairs(
             return empty
         ids_l = left[id_col].to_numpy()
         mat_l = np.stack([np.asarray(v, dtype=np.float64) for v in left["_v"]])
-        mat_l /= np.linalg.norm(mat_l, axis=1, keepdims=True)
+        _l2_normalize(mat_l)
         if bi == bj:
             sims = mat_l @ mat_l.T
             ai, bk = np.nonzero(sims >= threshold)
@@ -247,7 +260,7 @@ def blocked_neardup_pairs(
                 return empty
             ids_r = right[id_col].to_numpy()
             mat_r = np.stack([np.asarray(v, dtype=np.float64) for v in right["_v"]])
-            mat_r /= np.linalg.norm(mat_r, axis=1, keepdims=True)
+            _l2_normalize(mat_r)
             sims = mat_l @ mat_r.T
             ai, bk = np.nonzero(sims >= threshold)
             # cross-block: ids are unordered across blocks — normalize to
@@ -309,16 +322,19 @@ def hyperplane_lsh_pairs(
 
     import numpy as np
 
-    spark = corpus.sparkSession
+    del dims  # retained for API compat; dims now read from the first batch
     if bits is None:
         # auto-tune bucket width to corpus size: target ~16 vectors per
         # bucket so candidate generation stays ~O(n · tables · bucket).
         # Callers that already know n pass n_rows and skip the extra job.
         n = corpus.count() if n_rows is None else n_rows
         bits = min(16, max(4, round(math.log2(max(n, 32) / 16))))
-    if dims is None:
-        dims = len(corpus.select(vec_col).first()[0])
-    planes = np.random.RandomState(seed).standard_normal((tables * bits, dims))
+    # The hyperplane matrix is generated INSIDE the Arrow batch, lazily,
+    # from (seed, dims-of-first-row): RandomState(seed) is deterministic
+    # wherever it runs, so every partition regenerates the identical
+    # planes and the driver never pays a .first() probe job for dims
+    # (previously this was an extra Spark job per call). Regeneration
+    # cost is O(tables·bits·dims) floats per task — microseconds.
     # NOTE on real (non-synthetic) embeddings: dims are correlated, so
     # raw sign bits can be imbalanced and vectors pile into hot buckets
     # (quadratic candidate blowup). The fix is mean-centering the data
@@ -326,7 +342,6 @@ def hyperplane_lsh_pairs(
     # This corpus is isotropic, so centering was measured to cost more
     # (extra job) than it saves — add it back when bucket-size skew
     # shows up in the candidate count.
-    b_planes = spark.sparkContext.broadcast(planes)
     powers = 2 ** np.arange(bits)
 
     code_schema = T.StructType(
@@ -338,11 +353,15 @@ def hyperplane_lsh_pairs(
     )
 
     def codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        w = b_planes.value
+        w = None
         for pdf in batches:
             if pdf.empty:
                 continue
             x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if w is None:
+                w = np.random.RandomState(seed).standard_normal(
+                    (tables * bits, x.shape[1])
+                )
             signs = (x @ w.T) > 0  # (n, tables*bits)
             ids = pdf[id_col].to_numpy()
             out_id, out_t, out_c = [], [], []
@@ -402,8 +421,8 @@ def hyperplane_lsh_pairs(
                 continue
             va = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["va"]])
             vb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["vb"]])
-            va /= np.linalg.norm(va, axis=1, keepdims=True)
-            vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+            _l2_normalize(va)
+            _l2_normalize(vb)
             s = np.einsum("ij,ij->i", va, vb)
             keep = s >= threshold
             yield pd.DataFrame(
@@ -470,12 +489,14 @@ def kmeans_assign(
     b_cmat = spark.sparkContext.broadcast(cmat)
     b_cn = spark.sparkContext.broadcast((cmat * cmat).sum(axis=1))
 
-    vec_field = corpus.schema[vec_col].dataType
+    # Preserve the caller's id/cell types (string ids, long cells, …):
+    # hardcoding Long/Integer here would make the Arrow conversion fail
+    # for any corpus whose id column isn't a long.
     out_schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
-            T.StructField(vec_col, vec_field),
-            T.StructField(cell_col, T.IntegerType()),
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField(vec_col, corpus.schema[vec_col].dataType),
+            T.StructField(cell_col, centroids.schema["cell"].dataType),
         ]
     )
 
@@ -494,7 +515,9 @@ def kmeans_assign(
                 {
                     id_col: pdf[id_col],
                     vec_col: pdf[vec_col],
-                    cell_col: best.astype("int32"),
+                    # int64 here; Arrow casts to whatever cell type the
+                    # schema (derived from centroids) declares
+                    cell_col: best,
                 }
             )
 
@@ -688,7 +711,11 @@ def _pq_blas_assign(subs: DataFrame, book_rows, id_col: str | None = None) -> Da
         mats[sub] = np.stack([v for _, v in lst])
     bc = spark.sparkContext.broadcast((mats, code_ids))
 
-    fields = ([T.StructField(id_col, T.LongType())] if id_col else []) + [
+    # id type derived from the input, not hardcoded: string/int ids must
+    # survive the round-trip (same latent-narrowing fix as kmeans_assign)
+    fields = (
+        [T.StructField(id_col, subs.schema[id_col].dataType)] if id_col else []
+    ) + [
         T.StructField("sub", T.IntegerType()),
         T.StructField("code", T.IntegerType()),
         T.StructField("subvec", T.ArrayType(T.DoubleType())),

@@ -796,9 +796,13 @@ def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
       ROUND(locf, 6) AS avg_value_locf,
       ROUND(CASE WHEN avg_value IS NOT NULL THEN avg_value
                  WHEN locf IS NOT NULL AND next_val IS NOT NULL THEN
+                   -- frac-first association to match bucket_gapfill's
+                   -- prev + (next-prev)*(dt/dT) IEEE expression tree
+                   -- exactly (left-assoc *then/ differs by 1 ulp and can
+                   -- flip the 6th rounded decimal)
                    locf + (next_val - locf)
-                        * (EPOCH(bucket) - EPOCH(prev_b))
-                        / (EPOCH(next_b) - EPOCH(prev_b))
+                        * ((EPOCH(bucket) - EPOCH(prev_b))
+                           / (EPOCH(next_b) - EPOCH(prev_b)))
             END, 6) AS avg_value_interp
     FROM filled
     """,

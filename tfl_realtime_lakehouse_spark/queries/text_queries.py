@@ -148,37 +148,139 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replica of the md5-family MinHash+LSH+verify pipeline —
+    the sketch is seeded deterministic integer arithmetic, so the whole
+    thing (signatures, band hashes, candidate join, exact-Jaccard
+    verify) is expressible in ANSI SQL and hash-checkable, not just
+    rows-only. Same md5-prefix recipe proven cross-engine in
+    doc_rolling_hash / sample_hash_split."""
+    rows_per_band = num_hashes // bands
+    h60 = "('0x' || SUBSTR(MD5({x}), 1, 15))::BIGINT"
+    sig_cols = ",\n             ".join(
+        "MIN(" + h60.format(x=f"'{i}:' || u.sh") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_cases = "\n        ".join(
+        "WHEN {b} THEN ".format(b=b)
+        + h60.format(
+            x=" || ',' || ".join(
+                f"h{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            )
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM (SELECT doc_id, UNNEST(sh) AS sh FROM s) u
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band_id,
+        CASE b.band_id
+        {band_cases}
+        END AS band_hash
+      FROM sigs, (SELECT UNNEST(RANGE({bands})) AS band_id) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
+           ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))::DOUBLE
+                 / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))),
+                 6) AS jaccard
+    FROM cands c
+    JOIN s sa ON sa.doc_id = c.doc_a
+    JOIN s sb ON sb.doc_id = c.doc_b
+    WHERE ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))::DOUBLE
+                / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))),
+                6) >= 0.2
+    """
+
+
 @register(
     "minhash_lsh_candidates",
-    oracle=None,  # LSH has false negatives by design → rows-only check;
-    # recall against exact Jaccard is asserted in tests/test_dedup.py.
+    oracle=_minhash_oracle_sql(num_hashes=16, bands=4),
     doc="MinHash(16) + LSH(4 bands × 4 rows) candidate pairs, verified "
     "with exact Jaccard ≥ 0.2 computed on the candidates only — a "
     "deterministic subset of ngram_jaccard_pairs found without any n² "
-    "(or even all-pairs-exact) work. Wrapped in the exact-contraction "
-    "(operators.dedup.contracted_pairs): banding + verification are "
-    "content-pure, so duplicates ride the expansion joins instead of "
-    "multiplying bucket collisions quadratically (40 s → 5 s at sf1).",
+    "(or even all-pairs-exact) work. Uses the md5-prefix hash family "
+    "(operators.dedup.md5_prefix_hash) so the ENTIRE sketch — "
+    "signatures, band hashes, candidate set — is reproduced by the "
+    "DuckDB oracle and hash-checked, not just rows-only (the xxhash64 "
+    "family remains the cheaper scale default). Wrapped in the "
+    "exact-contraction (operators.dedup.contracted_pairs): banding + "
+    "verification are content-pure, so duplicates ride the expansion "
+    "joins instead of multiplying bucket collisions quadratically "
+    "(40 s → 5 s at sf1).",
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
 
     def _pairs(reps):
-        cands = D.minhash_lsh_candidates(reps, n=3, num_hashes=16, bands=4)
+        cands = D.minhash_lsh_candidates(
+            reps, n=3, num_hashes=16, bands=4, hash_family="md5"
+        )
         return D.verify_pairs_jaccard(reps, cands, n=3, threshold=0.2)
 
     return D.contracted_pairs(docs, _pairs, n=3)
 
 
+_SIMHASH_ORACLE = """
+    WITH th AS (
+      SELECT doc_id, ('0x' || SUBSTR(MD5(w), 1, 15))::BIGINT AS h
+      FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) t
+    ),
+    votes AS (
+      SELECT doc_id, b.b AS b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM th, (SELECT UNNEST(RANGE(60)) AS b) b
+      GROUP BY doc_id, b.b
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS sig
+      FROM votes GROUP BY doc_id
+    ),
+    chunked AS (
+      SELECT doc_id, sig, c.c AS chunk_id, (sig >> (c.c * 15)) & 32767 AS chunk
+      FROM sigs, (SELECT UNNEST(RANGE(4)) AS c) c
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(BIT_COUNT(XOR(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM chunked a JOIN chunked b
+      ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 8
+    """
+
+
 @register(
     "simhash_near_pairs",
-    oracle=None,  # signature bits depend on xxhash64; semantics checked
-    # by property tests (near-dup docs → small Hamming distance).
-    doc="SimHash(64-bit) near-dup candidates via pigeonhole block join, "
-    "verified with popcount Hamming distance ≤ 8.",
+    oracle=_SIMHASH_ORACLE,
+    doc="SimHash near-dup candidates via pigeonhole block join, verified "
+    "with popcount Hamming distance ≤ 8. Uses the 60-bit md5-prefix "
+    "hash family (4 chunks × 15 bits) so the per-bit majority votes, "
+    "signature assembly, chunk join and Hamming verify are ALL "
+    "reproduced bit-exactly by the DuckDB oracle (hash-green, not "
+    "rows-only); the 64-bit xxhash64 family remains the scale default.",
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.simhash_near_pairs(table(spark, sf_dir, "documents"), max_hamming=8)
+    return D.simhash_near_pairs(
+        table(spark, sf_dir, "documents"), max_hamming=8, hash_family="md5"
+    )
 
 
 @register(

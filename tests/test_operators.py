@@ -1530,3 +1530,23 @@ def test_lsh_builds_without_driver_probe_jobs(spark, sf_correct):
     rows = pairs.limit(5).collect()
     for r in rows:
         assert r["score"] >= 0.4
+
+
+def test_ivfpq_persisted_probe_equals_build_path(spark, tmp_path, sf_correct):
+    """ivfpq_persist + read_ivfpq_index + ivfpq_probe must reproduce the
+    one-shot ivfpq_topk exactly (same trained model, same ADC scores),
+    and the probe's candidate scan must be partition-prunable (dynamic
+    partition pruning on the cell-partitioned index)."""
+    idx = str(tmp_path / "ivfpq_idx")
+    emb = read_table(spark, sf_correct, "embeddings")
+    S.ivfpq_persist(emb, idx, n_cells=6, m=8, codes=16)
+    cells, books, coded, m = S.read_ivfpq_index(spark, idx)
+    assert m == 8
+    qs = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding")
+    probed = S.ivfpq_probe(cells, books, coded, qs, k=10, nprobe=2, m=m)
+    direct = S.ivfpq_topk(emb, qs, k=10, n_cells=6, m=8, codes=16, nprobe=2)
+    assert sorted(map(tuple, probed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "cell scan not partition-pruned"

@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1186,12 +1186,40 @@ def ivfpq_topk(
     cell); scoring is O(m) table lookups per candidate — no vector
     decompression, no full-corpus pass. The per-(query, cell) LUTs are
     (nprobe · m · codes) doubles — broadcast-sized by construction.
-    """
-    import math
 
+    This convenience form builds + probes in one call (an index-build
+    DEMO); a deployment builds once with :func:`ivfpq_persist` and
+    serves queries through :func:`ivfpq_probe` against the persisted,
+    cell-partitioned index.
+    """
     cells, books, coded = ivfpq_build(
         corpus, n_cells=n_cells, m=m, codes=codes, id_col=id_col, vec_col=vec_col
     )
+    return ivfpq_probe(
+        cells, books, coded, queries, k=k, nprobe=nprobe, m=m,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )
+
+
+def ivfpq_probe(
+    cells: DataFrame,
+    books: DataFrame,
+    coded: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe-only half of IVF-PQ: rank the ``nprobe`` nearest cells per
+    query, build per-(query, cell) residual ADC lookup tables, and score
+    ONLY the candidates in probed cells via the cell equi-join. The
+    query cost a deployment actually pays per batch — the trained model
+    (cells + books) and the coded corpus come in as relations, typically
+    read back from :func:`ivfpq_persist`'s cell-partitioned layout where
+    the candidate join prunes to the probed cells' partitions."""
     q = queries.select(F.col(id_col).alias(query_id_col), F.col(vec_col).alias("_qv"))
     # nearest nprobe cells per query by L2 to the coarse centroid
     qc = q.join(F.broadcast(cells)).select(
@@ -1284,3 +1312,61 @@ def ivfpq_topk(
     return scored.withColumn("rnk", F.row_number().over(w).cast("int")).where(
         F.col("rnk") <= k
     )
+
+
+def ivfpq_persist(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 8,
+    m: int = 4,
+    codes: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build the IVF-PQ index once and persist it for probe-many serving:
+    ``coded`` written hive-partitioned BY CELL (so a probe's cell
+    equi-join becomes a partition-pruned scan of nprobe directories, not
+    a full index pass), plus the bounded model state (coarse centroids,
+    PQ codebooks) as two small side tables. Build is staged into a
+    temp dir and atomically renamed in, so concurrent builders can race
+    harmlessly (first rename wins, losers discard)."""
+    import os
+    import shutil
+
+    spark = corpus.sparkSession
+    tmp = f"{index_dir.rstrip('/')}.tmp-{os.getpid()}"
+    cells, books, coded = ivfpq_build(
+        corpus, n_cells=n_cells, m=m, codes=codes, iters=iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    # one file per cell: repartition on the partition column co-locates
+    # each cell's codes before the partitioned write
+    coded.repartition(F.col("cell")).write.partitionBy("cell").mode(
+        "overwrite"
+    ).parquet(os.path.join(tmp, "coded"))
+    cells.write.mode("overwrite").parquet(os.path.join(tmp, "cells"))
+    books.write.mode("overwrite").parquet(os.path.join(tmp, "books"))
+    with open(os.path.join(tmp, "_META"), "w") as f:
+        f.write(f"m={m}\n")
+    try:
+        os.rename(tmp, index_dir)
+    except OSError:
+        # another builder won the race; its committed index is equivalent
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_ivfpq_index(
+    spark: SparkSession, index_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Load a persisted IVF-PQ index: (cells, books, coded, m). ``coded``
+    keeps ``cell`` as a hive partition column — filters/joins on it
+    prune at the directory level."""
+    import os
+
+    with open(os.path.join(index_dir, "_META")) as f:
+        meta = dict(line.strip().split("=", 1) for line in f if "=" in line)
+    cells = spark.read.parquet(os.path.join(index_dir, "cells"))
+    books = spark.read.parquet(os.path.join(index_dir, "books"))
+    coded = spark.read.parquet(os.path.join(index_dir, "coded"))
+    return cells, books, coded, int(meta["m"])

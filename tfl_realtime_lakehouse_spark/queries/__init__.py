@@ -32,79 +32,68 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
 # cap) are all verified every round by tools/parity.py + tools/str_identity.py
 # (the same DuckDB-oracle compare, strict string equality).
 DRIVER_WINDOW = [
-    # Core aggregation (non-r01-verified representative)
-    "agg_approx_distinct",
-    # Session-6 swap: the expression batteries (agg_stats,
-    # set_union_schema_evolution, sort_nulls_battery, scalar_bitwise,
-    # scalar_arrays, scalar_posexplode — standard-SQL risk class, all
-    # str-identity-verified every round) give their slots to the six
-    # new novel operators. No driver-green row is lost: none of the
-    # displaced six had one.
-    "events_gapfill_locf",
-    "events_counter_rate",
-    "events_ewma_hourly",
-    "events_rate_anomaly",
-    "events_reservoir_sample",
-    "multimodal_audio_meta",
-    # LLM-pipeline: dedup family
-    "dedup_exact_docs",
-    "ngram_jaccard_pairs",
+    # ---- Round-3 rotation (third disjoint window) ----
+    # r01 ∪ r02 gave 100 of the 142 registered queries a hard driver
+    # record; this window promotes the 42 that never had one (all
+    # parity + str-identity green locally every round), in the judge's
+    # priority order, so every registry entry has a driver record in
+    # r01 ∪ r02 ∪ r03. Every displaced entry has a green (hash-match or
+    # clean rows-only) row in CORRECTNESS_r01 or _r02.
+    "multimodal_video_meta",
+    "embedding_ann_ivfpq",
+    "dedup_keep_best_quality",
+    "events_error_rate_wilson",
+    "events_period_over_period",
+    "asof_tolerance_bounded",
+    "asof_forward_next_error",
+    "asof_nearest_error",
+    "semantic_dedup_prune",
+    "agg_hll_mergeable",
+    "events_funnel_steps",
+    "events_cohort_retention",
+    "sessions_active_per_hour",
+    "events_multires_rollup",
+    "events_value_histogram",
+    "events_value_outliers",
+    "join_bloom_pruned_semi",
+    "join_null_safe_eq",
+    "reshape_unpivot",
+    "sort_nulls_battery",
+    "scalar_bitwise",
+    "scalar_arrays",
+    "scalar_posexplode",
+    "set_union_schema_evolution",
+    "agg_stats",
+    "text_c4_quality_rules",
+    "text_char_entropy",
+    "q2_min_supply_price",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q11_top_value_parts",
+    "q12_priority_by_linestatus",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_diversity",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_qualified_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    # ---- Re-drives: behavior or oracle changed in round 3 ----
+    # minhash/simhash moved from rows-only to full md5-family oracles;
+    # gapfill's oracle expression tree was aligned to the operator's.
     "minhash_lsh_candidates",
     "simhash_near_pairs",
-    # LLM-pipeline: text analysis
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_bpe_token_count",
-    "text_word_frequencies",
-    "doc_fingerprint",
-    "doc_rolling_hash",
-    # LLM-pipeline: sampling / vectors / multimodal
-    "sample_hash_split",
-    "embedding_cosine_topk",
+    "events_gapfill_locf",
+    # ---- New round-3 queries (no driver record yet) ----
+    "embedding_ann_ivfpq_probe",
+    # ---- Spare re-drive slots (swap out for new round-3 queries) ----
     "embedding_neardup_pairs",
-    "embedding_ann_ivf",
-    "embedding_ann_lsh",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    # Round-2 additions (novel ops, not yet driver-verified; displaced
-    # entries all have a green CORRECTNESS_r01 row)
-    "dedup_cluster_resolution",
-    "text_repetition_filter",
-    "pii_redaction",
-    "contamination_check",
-    "sequence_packing",
-    "domain_mixture_sample",
-    "embedding_quantize",
-    "leakage_safe_split",
-    "bm25_search",
-    "dataset_profile",
-    "embedding_ann_pq",
-    # Round-2 session-3 additions (novel ops, not yet driver-verified;
-    # displaced entries all have a green CORRECTNESS_r01 row:
-    # fct_headways, stg_events_contract, q1_pricing_summary, agg_rollup,
-    # agg_quantile_per_group, agg_argmax, join_semi_big_spenders,
-    # join_broadcast_dim_chain, subquery_correlated_count, set_union_all,
-    # window_frames_battery, asof_last_error_before_click,
-    # range_join_events_per_order_week, events_sessionization)
-    "scd2_user_status",
-    "importance_resample",
-    "bpe_train_tokenize",
-    "nb_quality_classifier",
-    "common_span_pairs",
-    "text_chunking",
-    "curation_pipeline_summary",
-    "embedding_neardup_docs_bridge",
     "embedding_neardup_blocked",
-    "embedding_ann_ivf_trained",
-    "multimodal_resize_plan",
-    "multimodal_frame_sample",
-    # Session-5 swap: q2/q21 (TPC-H shapes, same risk class as the 14
-    # shapes already in the parity-only tail) give their slots to the
-    # two most novel unverified tail ops. No driver-green row is lost:
-    # neither q2 nor q21 had one.
-    "fuzzy_name_pairs",
-    "events_winsorized_stats",
+    "embedding_ann_lsh",
+    "dedup_cluster_resolution",
 ]
 
 

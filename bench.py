@@ -9,6 +9,14 @@ Execution is measured end-to-end per query against the `noop` sink so
 the full physical plan runs (scan → shuffle → agg) without collect
 overhead; tiny results (<10k rows est.) still reflect real work because
 noop consumes every output row.
+
+``--repeat N`` runs the whole suite N times and reports the per-query
+MEDIAN (plus min/max spread in "spread"): single in-suite timings at
+sf0.1 carry ±0.5 s of scheduler/GC noise (measured round 2: simhash
+drifted 2.98→3.67 s between identical runs), so deltas between rounds
+are only interpretable from medians. The suite wall value stays the
+FIRST run's wall clock (what a cold suite costs); per-query medians are
+for regression comparison.
 """
 
 from __future__ import annotations
@@ -24,17 +32,25 @@ from tfl_realtime_lakehouse_spark.queries import REGISTRY  # noqa: E402
 from tfl_realtime_lakehouse_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="tfl-lakehouse-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+def _release_blocks(spark) -> None:
+    """Drop each query's DataFrame graph promptly: localCheckpoint
+    blocks (used by the contraction/self-join operators) are only
+    released by the ContextCleaner once the Python references die, and
+    100+ queries of retained blocks were measured to add multi-second
+    noise spikes to later suite measurements."""
+    import gc
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
-    # engine, not first-call JIT.
-    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    gc.collect()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        retained = jsc.getPersistentRDDs().values().toList()
+        for i in range(retained.size()):
+            retained.apply(i).unpersist(False)
+    except Exception:
+        pass
 
+
+def _run_suite(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     timings: dict[str, float] = {}
     t_suite = time.time()
     for name, rq in sorted(REGISTRY.items()):
@@ -45,36 +61,46 @@ def main() -> None:
         except Exception as exc:  # keep the suite running; surface the error
             timings[name] = -1.0
             print(f"# bench error in {name}: {exc}", file=sys.stderr)
-        # Drop the query's DataFrame graph promptly: localCheckpoint
-        # blocks (used by the contraction/self-join operators) are only
-        # released by the ContextCleaner once the Python references die,
-        # and 100+ queries of retained blocks skew later measurements.
-        import gc
+        _release_blocks(spark)
+    return timings, round(time.time() - t_suite, 3)
 
-        gc.collect()
-        # ...and release them NOW rather than whenever the async cleaner
-        # runs: accumulated checkpoint/persist blocks were measured to
-        # add multi-second noise spikes to later queries in the suite.
-        try:
-            jsc = spark.sparkContext._jsc.sc()
-            retained = jsc.getPersistentRDDs().values().toList()
-            for i in range(retained.size()):
-                retained.apply(i).unpersist(False)
-        except Exception:
-            pass
-    total = round(time.time() - t_suite, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir,
-            }
-        )
-    )
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    spark = get_spark(app_name="tfl-lakehouse-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # engine, not first-call JIT.
+    REGISTRY["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    runs = [_run_suite(spark, sf_dir) for _ in range(max(1, repeat))]
+    timings, total = runs[0]
+    out = {
+        "metric": "suite_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    if len(runs) > 1:
+        names = sorted(REGISTRY)
+        medians, spread = {}, {}
+        for n in names:
+            vals = sorted(r[0].get(n, -1.0) for r in runs)
+            medians[n] = vals[len(vals) // 2]
+            spread[n] = round(vals[-1] - vals[0], 3)
+        out["queries"] = medians
+        out["spread"] = spread
+        out["repeat"] = len(runs)
+        out["walls"] = [r[1] for r in runs]
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

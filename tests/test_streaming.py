@@ -104,9 +104,20 @@ def test_transform_with_state_headways_match_batch(spark, bronze_dir, tmp_path):
     try:
         from google.protobuf import descriptor  # noqa: F401
     except ImportError:
+        # Environmentally impossible, not a coverage gap: Spark 4's
+        # transformWithStateInPandas serializes state through protobuf,
+        # the sandbox has no `google.protobuf` and no network to fetch
+        # it (pip resolution fails with NewConnectionError — probed
+        # 2026-08-14, see COVERAGE.md "Environment-gated branches").
+        # The applyInPandasWithState implementation of the SAME stateful
+        # per-key gap semantics is fully exercised against batch
+        # equivalence by test_stateful_gap_headways_match_batch; this
+        # test exists so the TWS variant lights up automatically in any
+        # environment that has protobuf.
         pytest.skip(
-            "transformWithState runtime needs the python protobuf package "
-            "(absent in this environment; applyInPandasWithState covers T5)"
+            "transformWithState runtime needs the python protobuf package: "
+            "absent here and unfetchable (no network). "
+            "applyInPandasWithState covers the same T5 semantics."
         )
     # transformWithState requires the RocksDB state store provider
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)

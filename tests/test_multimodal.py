@@ -219,3 +219,114 @@ def test_mp4_decode_roundtrip_and_corrupt_nulls(spark):
     assert got[2]["n_tracks"] == 3 and abs(got[2]["duration_ms"] - 5000.0) < 1e-9
     for bad in (3, 4):
         assert got[bad]["timescale"] is None and got[bad]["duration_ms"] is None
+
+
+def _png_chunk(typ, data):
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + typ + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_pixel_decode_all_five_filters_roundtrip():
+    """The pure-stdlib decoder must invert every PNG scanline filter
+    (None/Sub/Up/Average/Paeth) bit-exactly, grayscale and RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators.multimodal import (
+        _PNG_SIG,
+        decode_png_pixels,
+    )
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    def encode(img, bpp):
+        h, w = img.shape[0], img.shape[1]
+        stride = w * bpp
+        flat = img.reshape(h, stride).astype(int)
+        prev = np.zeros(stride, dtype=int)
+        rows = []
+        for y in range(h):
+            line, f = flat[y], y % 5
+            enc = []
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                pred = (0, left, up, (left + up) // 2, paeth(left, up, ul))[f]
+                enc.append((line[x] - pred) & 255)
+            rows.append(bytes([f]) + bytes(enc))
+            prev = line
+        ctype = 0 if bpp == 1 else 2
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(10, 9), dtype=np.uint8)
+    got = decode_png_pixels(encode(gray, 1))
+    assert got is not None and (got == gray).all()
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    got3 = decode_png_pixels(encode(rgb, 3))
+    assert got3 is not None and got3.shape == (7, 5, 3) and (got3 == rgb).all()
+
+
+def test_png_pixel_decode_corrupt_and_unsupported_yield_none():
+    from tfl_realtime_lakehouse_spark.operators.multimodal import (
+        decode_png_pixels,
+        synth_png_gradient,
+    )
+
+    good = synth_png_gradient(16, 16, 5)
+    assert decode_png_pixels(good) is not None
+    assert decode_png_pixels(None) is None
+    assert decode_png_pixels(good[:30]) is None  # truncated chunk
+    assert decode_png_pixels(b"\xff\xd8\xff\xe0 jpeg") is None
+    bad = bytearray(good)
+    bad[45] ^= 0xFF  # flip a compressed IDAT byte → zlib/length error
+    assert decode_png_pixels(bytes(bad)) is None
+
+
+def test_ahash_identical_images_collide_and_pixel_stats_isolate(spark):
+    """Identical gradient payloads hash to Hamming 0 through the generic
+    chunk join; corrupt payloads yield null stats without killing the
+    stage."""
+    from pyspark.sql import functions as F
+
+    from tfl_realtime_lakehouse_spark.operators import dedup as D
+    from tfl_realtime_lakehouse_spark.operators.multimodal import (
+        ahash64,
+        pixel_stats,
+        synth_png_gradient,
+    )
+
+    payload = synth_png_gradient(40, 32, 9)
+    other = synth_png_gradient(48, 40, 70)
+    df = spark.createDataFrame(
+        [(1, payload), (2, payload), (3, other), (4, b"not a png")],
+        "asset_id long, payload binary",
+    )
+    sigs = ahash64(df)
+    got = {r["asset_id"]: r["phash"] for r in sigs.collect()}
+    assert got[1] == got[2] and got[4] is None
+    pairs = D.hamming_near_pairs(
+        sigs.where(F.col("phash").isNotNull()), sig_col="phash",
+        id_col="asset_id", max_hamming=0, blocks=4,
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs} == {(1, 2, 0)}
+
+    stats = {r["asset_id"]: r for r in pixel_stats(df).collect()}
+    assert stats[1]["px_sum"] == stats[2]["px_sum"] and stats[1]["width"] == 40
+    assert stats[4]["px_sum"] is None and stats[4]["width"] is None

@@ -666,16 +666,40 @@ def simhash_near_pairs(
             id_col,
         )
     sigs = simhash(df, text_col, id_col, hash_family)
-    width = simhash_bits(hash_family) // blocks
+    return hamming_near_pairs(
+        sigs,
+        sig_col="simhash",
+        id_col=id_col,
+        max_hamming=max_hamming,
+        blocks=blocks,
+        total_bits=simhash_bits(hash_family),
+    )
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    blocks: int = 4,
+    total_bits: int = 64,
+) -> DataFrame:
+    """Generic pigeonhole near-pair join over ANY long signature column
+    (SimHash, perceptual image hash, audio fingerprint …): split the
+    signature into ``blocks`` chunks; any pair within Hamming distance
+    < blocks shares a chunk, so per-chunk equi-joins find all such
+    pairs without n² comparisons; survivors are verified with the exact
+    popcount distance. Output (doc_a, doc_b, hamming)."""
+    width = total_bits // blocks
     chunked = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col).alias("_sig"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), i * width)
+                        F.shiftrightunsigned(F.col(sig_col), i * width)
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
@@ -683,10 +707,10 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk_id", "c.chunk")
+    ).select(id_col, "_sig", "c.chunk_id", "c.chunk")
     a = chunked.alias("a")
     b = chunked.alias("b")
-    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    hamming = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))
     return (
         a.join(
             b,

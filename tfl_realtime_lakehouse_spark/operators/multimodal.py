@@ -11,10 +11,14 @@ Two decode tiers:
   :func:`synth_jpeg` / :func:`synth_gif` (PNG includes a correct
   zlib-compressed IDAT and CRCs), so the path is tested end-to-end:
   synthesize with planted dims → parse the bytes → recover the dims.
-- **Pixel decode stays STUBBED** (``decode_image``): turning payloads
-  into pixel arrays needs Pillow/libvips, absent in this environment;
-  the surrounding Spark plumbing (schemas, batch shapes, partitioning,
-  UDF signatures) is identical either way.
+- **PNG pixel decode is REAL too** (:func:`decode_png_pixels`): stdlib
+  zlib inflate + the five PNG scanline filters un-applied per row — no
+  imaging libraries. It feeds :func:`pixel_stats` and the
+  :func:`ahash64` perceptual fingerprint, both verifiable end-to-end
+  against planted gradient pixels (:func:`synth_png_gradient`). Only
+  JPEG/GIF pixels remain stubbed (``decode_image`` raises for them):
+  those genuinely need a DCT/LZW codec absent in this environment; the
+  surrounding Spark plumbing is identical either way.
 """
 
 from __future__ import annotations
@@ -55,18 +59,109 @@ FEATURE_SCHEMA = T.StructType(
 def decode_image(payload: bytes) -> "object":
     """Decode an image payload into a pixel array.
 
-    STUB: real deployments plug Pillow/libvips here; this container has
-    no imaging libraries, so the pixel-decode step raises and callers
-    must use :func:`extract_features` with ``fake_decode=True`` (a
-    deterministic digest-based feature) to exercise the full Spark
-    plumbing. Header METADATA decode does not need this stub — see
+    PNG is decoded FOR REAL, pure stdlib (:func:`decode_png_pixels` —
+    zlib inflate + scanline un-filtering, no imaging libraries). JPEG
+    and GIF pixels genuinely require a DCT/LZW codec this container
+    lacks, so those raise; real deployments plug Pillow/libvips into
+    this seam. Header METADATA decode never needs pixels — see
     :func:`parse_image_dims` / :func:`decode_image_meta`.
     """
+    px = decode_png_pixels(payload)
+    if px is not None:
+        return px
     raise NotImplementedError(
-        "pixel decoding requires an imaging library not present in this "
-        "environment; use fake_decode=True for plumbing tests (header "
-        "metadata decode is real: parse_image_dims)"
+        "JPEG/GIF pixel decoding requires a codec library not present in "
+        "this environment (PNG decodes for real via decode_png_pixels); "
+        "use fake_decode=True for non-PNG plumbing tests"
     )
+
+
+def decode_png_pixels(payload: bytes | None) -> "object":
+    """REAL PNG pixel decode with no imaging libraries: stdlib zlib
+    inflate of the IDAT stream plus the five PNG scanline filters
+    (None/Sub/Up/Average/Paeth, RFC 2083 §6) un-applied per row.
+
+    Supports non-interlaced 8-bit grayscale (color type 0) and RGB (2)
+    — the formats this engine synthesizes and the common ML-corpus
+    baseline. Returns a uint8 numpy array of shape (h, w) or (h, w, 3);
+    ``None`` for non-PNG, unsupported variants, or corrupt payloads
+    (truncated chunks, bad zlib, wrong stream length, unknown filter) —
+    at 100 TB a corrupt asset must not kill the stage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = payload or b""
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    try:
+        pos, ihdr, idat = 8, None, bytearray()
+        while pos + 8 <= len(b):
+            (ln,) = struct.unpack(">I", b[pos : pos + 4])
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            if len(data) < ln:
+                return None
+            if typ == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data[:13])
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + data + crc
+        if ihdr is None:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = ihdr
+        if depth != 8 or ctype not in (0, 2) or comp or filt or interlace:
+            return None
+        if w == 0 or h == 0:
+            return None
+        bpp = 1 if ctype == 0 else 3
+        stride = w * bpp
+        raw = zlib.decompress(bytes(idat))
+        if len(raw) != h * (1 + stride):
+            return None
+        out = np.empty((h, stride), dtype=np.uint8)
+        prev = bytearray(stride)
+        o = 0
+        for y in range(h):
+            f = raw[o]
+            cur = bytearray(raw[o + 1 : o + 1 + stride])
+            o += 1 + stride
+            if f == 0:
+                pass
+            elif f == 1:  # Sub: left neighbour (same channel)
+                for x in range(bpp, stride):
+                    cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            elif f == 2:  # Up
+                for x in range(stride):
+                    cur[x] = (cur[x] + prev[x]) & 0xFF
+            elif f == 3:  # Average of left and up (floor)
+                for x in range(stride):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth predictor
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    c_ = prev[x]
+                    d = prev[x - bpp] if x >= bpp else 0
+                    p = a + c_ - d
+                    pa, pb, pc = abs(p - a), abs(p - c_), abs(p - d)
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = c_
+                    else:
+                        pred = d
+                    cur[x] = (cur[x] + pred) & 0xFF
+            else:
+                return None
+            out[y] = np.frombuffer(bytes(cur), dtype=np.uint8)
+            prev = cur
+        return out if ctype == 0 else out.reshape(h, w, 3)
+    except Exception:
+        return None
 
 
 # ---------------------------------------------------------------------------
@@ -630,3 +725,178 @@ def synth_video_assets(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({"asset_id": pdf["doc_id"], "payload": payloads})
 
     return documents.select("doc_id").mapInPandas(run, SYNTH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real pixel pipeline: gradient PNGs → stdlib decode → stats / perceptual hash
+
+
+def gradient_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, base) planted from the id: the gradient pixel
+    function is pixel(x, y) = (base + 3x + 7y) mod 256, so every
+    downstream PIXEL computation (sums, grid samples, aHash bits) can be
+    verified end-to-end against id arithmetic alone — which makes the
+    real zlib+unfilter decode path hash-checkable by a SQL oracle."""
+    return 32 + (doc_id % 4) * 8, 32 + ((doc_id // 4) % 4) * 8, doc_id % 128
+
+
+def synth_png_gradient(width: int, height: int, base: int) -> bytes:
+    """Fully-valid grayscale PNG whose pixels follow the planted
+    gradient (base + 3x + 7y) mod 256 — non-trivial content for the
+    real pixel decoder and the perceptual hash, unlike the uniform
+    fills of :func:`synth_png`."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes((base + 3 * x + 7 * y) % 256 for x in range(width))
+        for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_gradient_assets(documents: DataFrame) -> DataFrame:
+    """Gradient PNG assets for every 5th document (a bounded asset set
+    with planted near-duplicate structure: ids sharing (w, h) produce
+    shift-related gradients whose aHashes collide or nearly collide)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": [
+                        synth_png_gradient(*gradient_params(i)) for i in ids
+                    ],
+                }
+            )
+
+    return (
+        documents.select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+        .mapInPandas(run, SYNTH_SCHEMA)
+    )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def pixel_stats(assets: DataFrame) -> DataFrame:
+    """REAL pixel statistics: zlib-inflate + un-filter every PNG payload
+    (:func:`decode_png_pixels`) and reduce the actual pixel matrix.
+    Corrupt/non-PNG payloads yield null stats. Exact integer sum (and
+    one IEEE division for the mean) so the whole decode chain is
+    bit-checkable cross-engine."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = decode_png_pixels(payload)
+                if px is None:
+                    rows.append((int(aid), None, None, None, None, None, None))
+                    continue
+                h, w = px.shape[:2]
+                s = int(px.sum(dtype=np.int64))
+                rows.append(
+                    (
+                        int(aid), w, h, s,
+                        s / float(px.size),
+                        int(px.min()), int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "px_sum",
+                    "px_mean", "px_min", "px_max",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32", "px_sum": "Int64",
+                    "px_min": "Int32", "px_max": "Int32",
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def ahash64(assets: DataFrame) -> DataFrame:
+    """64-bit average-hash perceptual fingerprint from REAL decoded
+    pixels: point-sample an 8×8 grid at (⌊i·w/8⌋, ⌊j·h/8⌋), set bit
+    j·8+i iff the sample exceeds the mean of the 64 samples (sum/64.0,
+    one IEEE division — deterministic cross-engine). Point sampling
+    (instead of block means) keeps the hash integer-exact and therefore
+    oracle-checkable; undecodable payloads yield a null hash. The
+    standard near-dup fingerprint for image corpora — pairs come from
+    :func:`~tfl_realtime_lakehouse_spark.operators.dedup.hamming_near_pairs`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                px = decode_png_pixels(payload)
+                if px is None:
+                    out.append((int(aid), None))
+                    continue
+                if px.ndim == 3:  # RGB → rec.601-free integer luma proxy
+                    px = px.mean(axis=2).astype("int64")
+                h, w = px.shape
+                samples = [
+                    int(px[(j * h) // 8][(i * w) // 8])
+                    for j in range(8)
+                    for i in range(8)
+                ]
+                mean = sum(samples) / 64.0
+                sig = 0
+                for k, s in enumerate(samples):
+                    if s > mean:
+                        sig |= 1 << k
+                if sig >= 1 << 63:
+                    sig -= 1 << 64  # two's-complement into a signed long
+                out.append((int(aid), sig))
+            yield pd.DataFrame(out, columns=["asset_id", "phash"]).astype(
+                {"phash": "Int64"}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, AHASH_SCHEMA)

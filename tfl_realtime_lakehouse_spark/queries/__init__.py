@@ -89,9 +89,9 @@ DRIVER_WINDOW = [
     "events_gapfill_locf",
     # ---- New round-3 queries (no driver record yet) ----
     "embedding_ann_ivfpq_probe",
+    "multimodal_pixel_stats",
+    "multimodal_phash_neardup",
     # ---- Spare re-drive slots (swap out for new round-3 queries) ----
-    "embedding_neardup_pairs",
-    "embedding_neardup_blocked",
     "embedding_ann_lsh",
     "dedup_cluster_resolution",
 ]

@@ -541,3 +541,104 @@ def embedding_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return S.ivfpq_probe(cells, books, coded, queries, k=10, nprobe=3, m=m)
+
+
+_GRADIENT_PARAMS = """
+      SELECT doc_id,
+             32 + (doc_id % 4) * 8 AS w,
+             32 + ((doc_id // 4) % 4) * 8 AS h,
+             doc_id % 128 AS base
+      FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+@register(
+    "multimodal_pixel_stats",
+    oracle=f"""
+    WITH p AS ({_GRADIENT_PARAMS}),
+    px AS (
+      SELECT doc_id, w, h,
+             FLATTEN(LIST_TRANSFORM(RANGE(h), y ->
+               LIST_TRANSFORM(RANGE(w), x -> (base + 3*x + 7*y) % 256))) AS v
+      FROM p
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(LIST_SUM(v) AS BIGINT) AS px_sum,
+           CAST(LIST_SUM(v) AS DOUBLE) / (w * h) AS px_mean,
+           CAST(LIST_MIN(v) AS INTEGER) AS px_min,
+           CAST(LIST_MAX(v) AS INTEGER) AS px_max
+    FROM px
+    """,
+    doc="REAL PNG pixel decode, end-to-end and hash-checked: synthesize "
+    "valid gradient PNGs (pixel(x,y) = (base+3x+7y) mod 256 planted "
+    "from doc_id), zlib-inflate + un-filter the actual bytes back to "
+    "the pixel matrix with the pure-stdlib decoder "
+    "(operators/multimodal.py:decode_png_pixels — all five PNG scanline "
+    "filters, no imaging libraries), and reduce exact integer "
+    "sum/min/max per asset. The oracle recomputes the planted gradient "
+    "arithmetically, so a single flipped bit anywhere in the "
+    "compress→decompress→unfilter chain fails the hash match. "
+    "Map-only Arrow pipeline, zero shuffle.",
+)
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return M.pixel_stats(M.synth_gradient_assets(docs))
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH p AS ({_GRADIENT_PARAMS}),
+    samp AS (
+      SELECT doc_id,
+             FLATTEN(LIST_TRANSFORM(RANGE(8), j ->
+               LIST_TRANSFORM(RANGE(8), i ->
+                 (base + 3*((i*w)//8) + 7*((j*h)//8)) % 256))) AS s
+      FROM p
+    ),
+    sigs AS (
+      SELECT doc_id,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(64), k ->
+               CASE WHEN s[k+1] > m THEN
+                 CASE WHEN k = 63 THEN -9223372036854775808
+                      ELSE (CAST(1 AS BIGINT) << k) END
+               ELSE 0 END)) AS BIGINT) AS sig
+      FROM (SELECT doc_id, s, LIST_SUM(s) / 64.0 AS m FROM samp) t
+    ),
+    chunked AS (
+      SELECT doc_id, sig, c.c AS chunk_id, (sig >> (c.c * 16)) & 65535 AS chunk
+      FROM sigs, (SELECT UNNEST(RANGE(4)) AS c) c
+    )
+    SELECT DISTINCT a.doc_id AS asset_a, b.doc_id AS asset_b,
+           CAST(BIT_COUNT(XOR(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM chunked a JOIN chunked b
+      ON a.chunk_id = b.chunk_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= 10
+    """,
+    doc="Perceptual-hash image near-dup over REAL decoded pixels: 64-bit "
+    "average-hash (8x8 grid point samples vs their mean, "
+    "operators/multimodal.py:ahash64) from the pure-stdlib PNG decode, "
+    "then the generic pigeonhole Hamming chunk join "
+    "(operators/dedup.py:hamming_near_pairs — shared with SimHash) at "
+    "distance <= 10. The oracle recomputes the hash bits from the "
+    "planted gradient arithmetic, so both the pixel decode AND the "
+    "fingerprint/join machinery are hash-checked. The image leg of the "
+    "dedup family: same candidate-generation scale shape as SimHash "
+    "(per-chunk equi-joins, never n^2).",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    sigs = M.ahash64(M.synth_gradient_assets(docs))
+    pairs = D.hamming_near_pairs(
+        sigs, sig_col="phash", id_col="asset_id", max_hamming=10, blocks=4,
+        total_bits=64,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("asset_a"),
+        F.col("doc_b").alias("asset_b"),
+        "hamming",
+    )

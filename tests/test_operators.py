@@ -1550,3 +1550,70 @@ def test_ivfpq_persisted_probe_equals_build_path(spark, tmp_path, sf_correct):
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), "cell scan not partition-pruned"
+
+
+def test_countmin_never_undercounts_and_merges(spark, sf_correct):
+    """CMS guarantees: est >= exact for every key (one-sided error), and
+    sketches of disjoint shards merged by counter addition equal the
+    sketch of the union (the mergeability contract)."""
+    from tfl_realtime_lakehouse_spark.operators import sketches as SK
+
+    ev = read_table(spark, sf_correct, "events")
+    sketch = SK.countmin_build(ev, "user_id", depth=4, width=64)
+    assert sketch.count() <= 4 * 64  # bounded regardless of corpus size
+    probes = ev.select("user_id").distinct().limit(50)
+    est = {
+        r["user_id"]: r["cm_est"]
+        for r in SK.countmin_estimate(
+            sketch, probes, "user_id", depth=4, width=64
+        ).collect()
+    }
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.join(probes, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n, f"CMS undercounted key {k}: {est[k]} < {n}"
+
+    # merge invariance: shard by parity, merge, compare counter-by-counter
+    a = SK.countmin_build(ev.where(F.col("event_id") % 2 == 0), "user_id", 4, 64)
+    b = SK.countmin_build(ev.where(F.col("event_id") % 2 == 1), "user_id", 4, 64)
+    merged = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in SK.countmin_merge(a, b).collect()
+    }
+    whole = {(r["d"], r["bucket"]): r["cnt"] for r in sketch.collect()}
+    assert merged == whole
+
+
+def test_pagerank_properties_and_determinism(spark):
+    """Fixed-iteration PageRank on a hand graph: ranks sum to ~1 minus
+    leaked dangling mass, a node with more in-links outranks one with
+    fewer, and two runs are bit-identical (decimal-exact sums)."""
+    from tfl_realtime_lakehouse_spark.operators.graph import pagerank
+
+    # star into 1 (from 2,3,4) + chain 1->5; 5 dangling
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 1), (4, 1), (1, 5)], "src long, dst long"
+    )
+    pr1 = {r["node"]: r["pagerank"] for r in pagerank(edges, iters=3).collect()}
+    pr2 = {r["node"]: r["pagerank"] for r in pagerank(edges, iters=3).collect()}
+    assert pr1 == pr2  # bit-identical across runs
+    assert set(pr1) == {1, 2, 3, 4, 5}
+    # receivers outrank pure sources (2,3,4 have no in-links and sit at
+    # the (1-d)/N floor); the 1→5 chain forwards node 1's early mass,
+    # so both receivers clear the floor
+    assert pr1[1] > pr1[2] and pr1[5] > pr1[2]
+    assert pr1[2] == pr1[3] == pr1[4]  # symmetric sources tie exactly
+    # simple-variant mass: every rank sits at or above the (1-d)/N
+    # teleport floor, and the total never exceeds 1 (dangling node 5
+    # leaks its mass instead of redistributing — documented variant)
+    floor = (1 - 0.85) / 5
+    assert all(v >= floor - 1e-9 for v in pr1.values())
+    assert sum(pr1.values()) <= 1.000001
+    # hand-computed it3 values for the chain: sources at the floor
+    assert pr1[2] == 0.03 and pr1[1] == 0.1065 and pr1[5] == 0.120525

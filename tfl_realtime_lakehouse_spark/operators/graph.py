@@ -1,0 +1,84 @@
+"""Link analysis over edge relations: fixed-iteration PageRank.
+
+Complements the dedup family's connected components (dedup.py — which
+resolves SIMILARITY graphs into clusters) with the other classic
+massive-graph primitive: importance scoring by power iteration.
+
+Scale shape: each iteration is one equi-join (edge src → current rank)
+plus one map-side-combined groupBy on dst — shuffles keyed by node id,
+no driver state beyond the node count. Lineage is cut per iteration
+with localCheckpoint so the plan stays O(1) deep in the iteration
+count (same discipline as kmeans_train / connected_components).
+
+Determinism: float addition is order-dependent, and a parallel SUM of
+double contributions would make ranks nondeterministic across runs and
+engines. Contributions are therefore cast to DECIMAL(27,12) before the
+sum — exact, order-independent, and bit-reproducible in DuckDB (the
+engine's proven decimal-exact-sum idiom from counter rates) — then one
+IEEE multiply/add per node back in double. With a FIXED iteration
+count the whole recurrence is closed-form deterministic, which is what
+makes a cross-engine oracle possible at all (the oracle unrolls the
+same iterations in SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank after ``iters`` power iterations on the distinct edge
+    set: pr(v) ← (1−d)/N + d·Σ_{u→v} pr(u)/outdeg(u). Simple variant
+    (dangling mass leaks rather than redistributes — documented, and
+    identical in the oracle). Returns (node, pagerank) for every node
+    appearing as src or dst, pagerank rounded to 6 dp."""
+    # materialize the distinct edge set once: nodes, outdeg and the
+    # per-iteration joins all hang off it
+    e0 = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e0.select(F.col("src").alias("node"))
+        .union(e0.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()  # one scalar of driver state — the model, not the data
+    outdeg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e = e0.join(outdeg, "src").localCheckpoint()
+
+    pr = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint()
+    base = (1 - damping) / n  # IEEE-evaluated once; oracle mirrors the op tree
+    for _ in range(iters):
+        sums = (
+            e.join(pr, e["src"] == pr["node"])
+            .select(
+                F.col("dst").alias("node"),
+                # decimal-exact contribution: order-independent sum
+                (F.col("pr") / F.col("outdeg")).cast("decimal(27,12)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(sums, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select("node", F.round("pr", 6).alias("pagerank"))

@@ -91,9 +91,8 @@ DRIVER_WINDOW = [
     "embedding_ann_ivfpq_probe",
     "multimodal_pixel_stats",
     "multimodal_phash_neardup",
-    # ---- Spare re-drive slots (swap out for new round-3 queries) ----
-    "embedding_ann_lsh",
-    "dedup_cluster_resolution",
+    "agg_countmin_freq",
+    "graph_pagerank",
 ]
 
 

@@ -583,3 +583,126 @@ def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct, min_val, max_val)",
     ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+@register(
+    "agg_countmin_freq",
+    oracle="""
+    WITH sk AS (
+      SELECT d.d AS d,
+             ('0x' || SUBSTR(MD5(d.d::VARCHAR || ':' || e.user_id::VARCHAR), 1, 15))::BIGINT % 256 AS bucket,
+             COUNT(*) AS cnt
+      FROM events e, (SELECT UNNEST(RANGE(4)) AS d) d
+      GROUP BY 1, 2
+    ),
+    probe AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+    ph AS (
+      SELECT p.user_id, d.d AS d,
+             ('0x' || SUBSTR(MD5(d.d::VARCHAR || ':' || p.user_id::VARCHAR), 1, 15))::BIGINT % 256 AS bucket
+      FROM probe p, (SELECT UNNEST(RANGE(4)) AS d) d
+    ),
+    est AS (
+      SELECT ph.user_id, MIN(COALESCE(sk.cnt, 0)) AS cm_est
+      FROM ph LEFT JOIN sk ON sk.d = ph.d AND sk.bucket = ph.bucket
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events WHERE user_id < 20 GROUP BY 1
+    )
+    SELECT est.user_id, CAST(est.cm_est AS BIGINT) AS cm_est,
+           CAST(exact.exact_n AS BIGINT) AS exact_n
+    FROM est JOIN exact USING (user_id)
+    """,
+    doc="MERGEABLE Count-Min sketch (Cormode & Muthukrishnan 2005), the "
+    "point-frequency member of the sketch family (HLL = cardinality, "
+    "Misra-Gries = heavy hitters): depth=4 x width=256 counters over "
+    "events.user_id — the sketch relation is bounded at depth*width "
+    "rows REGARDLESS of corpus size (map-side partial agg collapses "
+    "each partition to that bound before the exchange), shard sketches "
+    "merge by counter addition, estimates never undercount. Uses the "
+    "cross-engine md5-prefix hash family so bucket assignment, "
+    "counters and min-estimates are all reproduced by the DuckDB "
+    "oracle (hash-green). Exact counts joined per probe key expose the "
+    "one-sided error. operators/sketches.py.",
+)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators import sketches as SK
+
+    ev = table(spark, sf_dir, "events")
+    sketch = SK.countmin_build(ev, "user_id", depth=4, width=256)
+    probes = ev.where(F.col("user_id") < 20).select("user_id").distinct()
+    est = SK.countmin_estimate(sketch, probes, "user_id", depth=4, width=256)
+    exact = (
+        ev.where(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+    )
+    return est.join(exact, "user_id").select(
+        "user_id",
+        F.col("cm_est").cast("bigint").alias("cm_est"),
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+    )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """Unrolled fixed-iteration PageRank in DuckDB SQL, mirroring
+    operators/graph.py:pagerank op-for-op (double literals forced so
+    (1 - 0.85) evaluates in IEEE like the python scalar; contributions
+    decimal(27,12)-summed so group order can't change the result)."""
+    its, prev = [], "pr0"
+    for i in range(1, iters + 1):
+        its.append(f"""
+    it{i} AS (
+      SELECT nodes.node,
+             (1 - CAST(0.85 AS DOUBLE)) / nn.n
+             + CAST(0.85 AS DOUBLE) * COALESCE(CAST(s{i}.s AS DOUBLE), 0.0) AS pr
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               SUM(CAST({prev}.pr / e.outdeg AS DECIMAL(27,12))) AS s
+        FROM e JOIN {prev} ON {prev}.node = e.src GROUP BY 1
+      ) s{i} ON s{i}.node = nodes.node
+    )""")
+        prev = f"it{i}"
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS src, 1000000000 + l.l_suppkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    e AS (SELECT edges.src, edges.dst, outdeg.outdeg
+          FROM edges JOIN outdeg USING (src)),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n AS pr
+            FROM nodes CROSS JOIN nn),
+    {",".join(its)}
+    SELECT node, ROUND(pr, 6) AS pagerank FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(iters=3),
+    doc="Fixed-iteration PageRank (3 power iterations, damping 0.85) "
+    "over the customer→supplier trade graph (orders x lineitem, "
+    "supplier ids offset into their own node space) — the link-analysis "
+    "member of the graph family next to connected components. Each "
+    "iteration is one src equi-join + one map-side-combined groupBy on "
+    "dst, lineage cut per iteration; contributions are "
+    "decimal(27,12)-exact so the parallel sum is order-independent and "
+    "the whole recurrence hash-matches the unrolled DuckDB oracle. "
+    "operators/graph.py.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.graph import pagerank
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("src"),
+        (F.lit(1000000000) + F.col("l_suppkey")).alias("dst"),
+    )
+    return pagerank(edges, iters=3, damping=0.85)

@@ -1617,3 +1617,37 @@ def test_pagerank_properties_and_determinism(spark):
     assert sum(pr1.values()) <= 1.000001
     # hand-computed it3 values for the chain: sources at the floor
     assert pr1[2] == 0.03 and pr1[1] == 0.1065 and pr1[5] == 0.120525
+
+
+def test_triangle_count_known_graphs(spark):
+    """Degree-ordered triangle counting on hand graphs: K4 (every node
+    in 3 of the 4 triangles), a hub-and-spoke with one closing edge
+    (exactly one triangle, credited to its 3 corners), triangle-free
+    star (empty result), and invariance to edge direction/duplicates/
+    self-loops in the input."""
+    from tfl_realtime_lakehouse_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(k4, "src long, dst long")
+        ).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # hub 0 -> 1..5 (power-law-ish) + one closing edge (1,2); messy
+    # input: reversed direction, duplicate, self-loop
+    hub = [(0, i) for i in range(1, 6)] + [(2, 1), (1, 2), (1, 2), (3, 3)]
+    got = {
+        r["node"]: r["triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(hub, "src long, dst long")
+        ).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 1}
+
+    star = [(0, i) for i in range(1, 6)]
+    assert (
+        triangle_count(spark.createDataFrame(star, "src long, dst long")).count() == 0
+    )

@@ -82,3 +82,71 @@ def pagerank(
             .localCheckpoint()
         )
     return pr.select("node", F.round("pr", 6).alias("pagerank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts by degree-ordered edge orientation
+    (the MapReduce triangle algorithm of Suri & Vassilvitskii 2011).
+
+    Scale shape: every edge is oriented from its lower-(degree, id)
+    endpoint to its higher one, which caps any node's oriented
+    out-degree at O(sqrt(m)) — so the wedge self-join that dominates
+    the cost is bounded even on power-law graphs where a raw
+    neighbor-list join on a celebrity node would explode. Three
+    shuffles total (degree agg, wedge self-join, closing-edge semi
+    join), all keyed by node id; no driver state.
+
+    Each triangle is discovered exactly once (as the wedge at its
+    lowest-ordered vertex), then credited to all three corners.
+    Returns (node, triangles) for nodes in at least one triangle —
+    exact counts, so a plain id-ordered SQL enumeration oracles it.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient lo -> hi by the total order (deg, id); ordkey rides along
+    # so the wedge stage never re-joins degrees
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("degb"))
+    ed = e.join(da, "a").join(db, "b")
+    lo_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(lo_first, F.struct("degb", "b"))
+        .otherwise(F.struct(F.col("dega").alias("degb"), F.col("a").alias("b")))
+        .alias("vkey"),
+    ).localCheckpoint()
+    # wedges at u: u->v, u->w with vkey(v) < vkey(w); the closing edge
+    # (v, w) is oriented v->w under the same total order
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"), F.col("vkey").alias("xkey"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"), F.col("vkey").alias("ykey"))
+    wedges = o1.join(o2, "u").where(
+        (F.col("xkey")["degb"] < F.col("ykey")["degb"])
+        | (
+            (F.col("xkey")["degb"] == F.col("ykey")["degb"])
+            & (F.col("xkey")["b"] < F.col("ykey")["b"])
+        )
+    )
+    closing = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("x").alias("node")))
+        .unionAll(tri.select(F.col("y").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

@@ -706,3 +706,51 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1000000000) + F.col("l_suppkey")).alias("dst"),
     )
     return pagerank(edges, iters=3, damping=0.85)
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 64),
+    psf AS (SELECT ps.p, ps.s FROM ps JOIN ok USING (p)),
+    e AS (SELECT DISTINCT x.s AS a, y.s AS b
+          FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s),
+    tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+    corners AS (SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+    FROM corners GROUP BY node
+    """,
+    doc="Per-node triangle counts (degree-ordered orientation, Suri & "
+    "Vassilvitskii 2011) over the supplier co-supply graph: suppliers "
+    "are adjacent when they supply the same part, with the engine's "
+    "standard hot-key guard (parts with > 64 suppliers dropped from "
+    "pair generation, mirrored in the oracle) so the per-group pair "
+    "expansion stays bounded at scale. The orientation caps wedge "
+    "fan-out at O(sqrt(m)) per node — the property that keeps the "
+    "self-join feasible on power-law graphs where a raw neighbor join "
+    "explodes on celebrity nodes. Exact counts; the oracle enumerates "
+    "x<y<z triangles directly. operators/graph.py.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.graph import triangle_count
+
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # hot-key guard: cap the per-part pair expansion (oracle mirrors)
+    ok = ps.groupBy("p").agg(F.count(F.lit(1)).alias("ns")).where("ns <= 64").select("p")
+    psf = ps.join(ok, "p")
+    pairs = (
+        psf.alias("x")
+        .join(psf.alias("y"), (F.col("x.p") == F.col("y.p")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+    )
+    return triangle_count(pairs)

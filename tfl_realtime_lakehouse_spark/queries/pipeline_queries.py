@@ -1117,3 +1117,55 @@ def events_error_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Skew-proof two-phase aggregation (operators/skew.py:"
+    "salted_aggregate): events.event_type has ~5 distinct values over "
+    "the whole corpus — every key is a heavy hitter, the worst case "
+    "for a naive groupBy where 5 reducers own 100% of the data. The "
+    "operator partial-aggregates on (key, xxhash64-salt) so each hot "
+    "key spreads over 32 reducers, then final-aggregates the 5x32 "
+    "partials on the key alone. Only algebraic aggregates are "
+    "accepted (merge must reassociate); the double sum rides as "
+    "decimal(27,12) so the extra merge level cannot change the "
+    "result — which is exactly what the plain-GROUP-BY oracle "
+    "verifies (salting is invisible in the output or it is wrong).",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.skew import salted_aggregate
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.col("value").cast("decimal(27,12)").alias("value_dec"),
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "event_id"),
+            "total_value": ("sum", "value_dec"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+        salt=32,
+        dist_cols=["event_id"],
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_value").cast("double").alias("total_value"),
+        "min_value",
+        "max_value",
+    )

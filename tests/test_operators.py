@@ -1651,3 +1651,35 @@ def test_triangle_count_known_graphs(spark):
     assert (
         triangle_count(spark.createDataFrame(star, "src long, dst long")).count() == 0
     )
+
+
+def test_grid_eps_join_matches_brute_force(spark):
+    """The 3x3 cell-neighborhood join must find every pair within eps
+    exactly once — verified against an O(n^2) brute force on random
+    points (negative coords included) plus exact-boundary points that
+    sit on cell edges and at distance exactly eps."""
+    import itertools
+    import math
+    import random
+
+    from tfl_realtime_lakehouse_spark.operators.spatial import grid_eps_join
+
+    rng = random.Random(7)
+    pts = [(i, rng.uniform(-1, 1), rng.uniform(-1, 1)) for i in range(200)]
+    # cell-edge and exact-eps adversarial cases
+    pts += [(200, 0.0, 0.0), (201, 0.1, 0.0), (202, -0.1, 0.0), (203, 0.05, 0.05)]
+    eps = 0.1
+    expect = {
+        (a[0], b[0])
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= eps * eps
+    }
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    rows = grid_eps_join(df, "pid", "x", "y", eps).collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert len(rows) == len(got)  # exactly-once discovery
+    assert got == expect
+    for r in rows:
+        a = next(p for p in pts if p[0] == r["id_a"])
+        b = next(p for p in pts if p[0] == r["id_b"])
+        assert abs(r["dist"] - round(math.dist(a[1:], b[1:]), 6)) < 1e-9

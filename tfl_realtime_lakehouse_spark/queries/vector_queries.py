@@ -642,3 +642,43 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("asset_b"),
         "hamming",
     )
+
+
+@register(
+    "spatial_grid_eps_join",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(SQRT(
+             (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+             * (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+             + (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+             * (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+           ), 6) AS dist
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+          * (CAST(a.embedding[1] AS DOUBLE) - CAST(b.embedding[1] AS DOUBLE))
+          + (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+          * (CAST(a.embedding[2] AS DOUBLE) - CAST(b.embedding[2] AS DOUBLE))
+          <= 0.0001
+    """,
+    doc="Spatial ε-neighborhood self-join (operators/spatial.py:"
+    "grid_eps_join): all point pairs within euclidean ε=0.01 in the "
+    "plane spanned by embedding dims 0/1 (float32 widened to double "
+    "before ANY arithmetic, both engines). The grid-cell plan — "
+    "FLOOR(coord/ε) cells, left side exploded to its 3×3 neighborhood "
+    "map-side, one equi-join on (cell_x, cell_y) — is the distributed "
+    "spatial-join shape (DBSCAN-MR / GeoSpark): shuffle keyed by cell "
+    "id, candidate work density-quadratic instead of corpus-quadratic, "
+    "AQE skew-split on dense cells. The oracle brute-forces the cross "
+    "join, so the grid plan's exactly-once pair discovery is what the "
+    "hash check proves.",
+)
+def spatial_grid_eps_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.spatial import grid_eps_join
+
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].alias("x"),
+        F.col("embedding")[1].alias("y"),
+    )
+    return grid_eps_join(emb, "vec_id", "x", "y", eps=0.01)

@@ -1683,3 +1683,43 @@ def test_grid_eps_join_matches_brute_force(spark):
         a = next(p for p in pts if p[0] == r["id_a"])
         b = next(p for p in pts if p[0] == r["id_b"])
         assert abs(r["dist"] - round(math.dist(a[1:], b[1:]), 6)) < 1e-9
+
+
+def test_cdc_apply_merge_semantics(spark):
+    """Hand-built MERGE cases: trailing tombstone deletes (even over a
+    base row), a later upsert resurrects a tombstoned key, within-batch
+    supersession keeps only the winner, brand-new keys insert, untouched
+    keys keep the base payload, and timestamp ties break by the
+    tiebreak column."""
+    from tfl_realtime_lakehouse_spark.operators.scd import cdc_apply
+
+    base = spark.createDataFrame(
+        [(1, 10.0, 100), (2, 20.0, 100), (3, 30.0, 100)],
+        "k long, v double, ts long",
+    )
+    # k=1: U(t=200,v=11) then D(t=300)      -> deleted
+    # k=2: D(t=200) then U(t=300,v=22)      -> resurrected with 22
+    # k=3: untouched                        -> base 30
+    # k=4: insert U(t=200,v=44), superseded by U(t=250,v=45)
+    # k=5: two changes at SAME ts, ids 7<8  -> id 8 wins (v=52)
+    feed = spark.createDataFrame(
+        [
+            (1, 11.0, 200, 1, "U"),
+            (1, None, 300, 2, "D"),
+            (2, None, 200, 3, "D"),
+            (2, 22.0, 300, 4, "U"),
+            (4, 44.0, 200, 5, "U"),
+            (4, 45.0, 250, 6, "U"),
+            (5, 51.0, 200, 7, "U"),
+            (5, 52.0, 200, 8, "U"),
+        ],
+        "k long, v double, ts long, eid long, op string",
+    )
+    out = cdc_apply(base, feed, "k", "ts", "eid", "op", ["v"])
+    got = {r["k"]: (r["v"], r["ts"], r["src"]) for r in out.collect()}
+    assert got == {
+        2: (22.0, 300, "cdc"),
+        3: (30.0, 100, "base"),
+        4: (45.0, 250, "cdc"),
+        5: (52.0, 200, "cdc"),
+    }

@@ -58,3 +58,53 @@ def scd2_build(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().cast("int").alias("is_current"),
     )
+
+
+def cdc_apply(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    op_col: str,
+    payload_cols: list[str],
+) -> DataFrame:
+    """Apply a CDC change feed (upserts + delete tombstones) to a base
+    snapshot — the batch MERGE kernel behind every lakehouse table
+    format's `MERGE INTO`, as a two-shuffle DataFrame plan.
+
+    Semantics (Debezium/Delta change-feed compaction):
+    - per key, the LATEST change by (ts, tiebreak) wins — earlier
+      changes in the same batch are superseded, never applied;
+    - latest op == 'D' → the key is absent from the result (tombstone
+      beats both the base row and earlier upserts);
+    - latest op != 'D' → the key carries the change's payload;
+    - keys with no change keep their base payload.
+
+    Scale shape: one window (row_number over the key) compacts the
+    feed — shuffle keyed by ``key_col``, map-side nothing to combine
+    but AQE skew-split applies — then one left-anti join (base vs
+    touched keys) reusing the same key partitioning, and a
+    by-name union. No broadcast of anything data-sized; the feed and
+    the base stream through.
+
+    Columns out: ``key_col``, ``payload_cols``, ``ts_col`` (the base's
+    ts for untouched keys, the winning change's for touched ones), and
+    ``src`` ('base' | 'cdc').
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(ts_col), F.desc(tiebreak_col)
+    )
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    out_cols = [key_col, *payload_cols, ts_col]
+    survivors = latest.where(F.col(op_col) != F.lit("D")).select(
+        *out_cols, F.lit("cdc").alias("src")
+    )
+    untouched = base.join(
+        latest.select(key_col), key_col, "left_anti"
+    ).select(*out_cols, F.lit("base").alias("src"))
+    return untouched.unionByName(survivors)

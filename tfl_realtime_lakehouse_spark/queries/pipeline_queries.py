@@ -1169,3 +1169,78 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_value",
         "max_value",
     )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, value, ts FROM (
+        SELECT user_id, value, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 10 < 3
+      ) WHERE rn = 1
+    ),
+    feed AS (
+      SELECT user_id, value, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events WHERE event_id % 10 >= 3
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT feed.*,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM feed
+      ) WHERE rn = 1
+    )
+    SELECT user_id, ROUND(value, 6) AS value, ts, 'cdc' AS src
+    FROM latest WHERE op <> 'D'
+    UNION ALL
+    SELECT b.user_id, ROUND(b.value, 6) AS value, b.ts, 'base' AS src
+    FROM base b ANTI JOIN latest l ON l.user_id = b.user_id
+    """,
+    doc="Batch CDC apply / MERGE compaction (operators/scd.py:"
+    "cdc_apply): yesterday's per-user snapshot (latest event among "
+    "event_id%10<3) merged with today's change feed (the rest, "
+    "'error' events as delete tombstones, everything else as "
+    "upserts). Within the batch the LATEST change per key by "
+    "(ts, event_id) wins — superseded changes are never applied — a "
+    "trailing tombstone removes the key outright, and untouched keys "
+    "keep their base row. Two shuffles total, both keyed by user_id "
+    "(feed-compaction window + left-anti join), nothing broadcast: "
+    "the same plan applies a day's Debezium feed to a 100 TB "
+    "snapshot. The oracle replays the identical semantics with "
+    "ROW_NUMBER + ANTI JOIN.",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.scd import cdc_apply
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    base = (
+        ev.where(F.col("event_id") % 10 < 3)
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select("user_id", "value", "ts")
+    )
+    feed = ev.where(F.col("event_id") % 10 >= 3).select(
+        "user_id",
+        "value",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    out = cdc_apply(
+        base,
+        feed,
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        op_col="op",
+        payload_cols=["value"],
+    )
+    return out.select("user_id", F.round("value", 6).alias("value"), "ts", "src")

@@ -1723,3 +1723,51 @@ def test_cdc_apply_merge_semantics(spark):
         4: (45.0, 250, "cdc"),
         5: (52.0, 200, "cdc"),
     }
+
+
+def test_random_projection_jl_property_and_determinism(spark):
+    """The seeded ±1 projection must be (a) bit-identical across runs,
+    (b) exactly sign-symmetric (proj(-x) = -proj(x) — the decimal cast
+    is odd), and (c) distance-preserving in the JL sense: squared
+    distances in the 8-dim image correlate strongly with the 64-dim
+    originals on fixed-seed gaussian data."""
+    import random
+
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators.similarity import random_projection
+
+    rng = random.Random(11)
+    # 3 well-separated clusters: inter-cluster distances dwarf
+    # intra-cluster ones, so JL preservation is measurable (iid
+    # gaussian points all sit at ~the same pairwise distance and the
+    # correlation would be noise-dominated)
+    centers = [[0.0] * 64, [6.0] * 64, [-6.0] * 64]
+    vecs = [
+        (i, [c + rng.gauss(0, 1) for c in centers[i % 3]]) for i in range(30)
+    ]
+    df = spark.createDataFrame(vecs, "vid long, v array<double>")
+    p1 = {r["vid"]: [r[f"y{j}"] for j in range(8)] for r in
+          random_projection(df, "vid", "v", 64, 8).collect()}
+    p2 = {r["vid"]: [r[f"y{j}"] for j in range(8)] for r in
+          random_projection(df, "vid", "v", 64, 8).collect()}
+    assert p1 == p2
+
+    neg = spark.createDataFrame(
+        [(i, [-x for x in v]) for i, v in vecs], "vid long, v array<double>"
+    )
+    pn = {r["vid"]: [r[f"y{j}"] for j in range(8)] for r in
+          random_projection(neg, "vid", "v", 64, 8).collect()}
+    for i in p1:
+        assert pn[i] == [-y if y != 0 else y for y in p1[i]]
+
+    orig = {i: np.array(v) for i, v in vecs}
+    d_hi, d_lo = [], []
+    for a in range(30):
+        for b in range(a + 1, 30):
+            d_hi.append(float(np.sum((orig[a] - orig[b]) ** 2)))
+            d_lo.append(
+                float(np.sum((np.array(p1[a]) - np.array(p1[b])) ** 2))
+            )
+    r = np.corrcoef(d_hi, d_lo)[0, 1]
+    assert r > 0.5, f"JL distance correlation too weak: {r}"

@@ -1370,3 +1370,75 @@ def read_ivfpq_index(
     books = spark.read.parquet(os.path.join(index_dir, "books"))
     coded = spark.read.parquet(os.path.join(index_dir, "coded"))
     return cells, books, coded, int(meta["m"])
+
+
+def random_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    k: int,
+    tag: str = "rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by a seeded ±1
+    sign matrix (the dense-sign variant of Achlioptas 2003): y_j =
+    (1/√k)·Σ_i x_i·s(i,j), s(i,j) = ±1 derived from md5("tag:j:i") —
+    the engine's cross-engine hash family, so an oracle can rebuild
+    the exact matrix in SQL and a pipeline can rebuild it years later
+    from the tag alone (no persisted model artifact to lose).
+
+    Scale shape: the sign matrix is MODEL state (k·dims rows, corpus-
+    independent) built declaratively and broadcast; the data side is
+    posexplode → broadcast join → one groupBy on (id, j) with map-side
+    partial aggregation — per-vector work O(dims·k), shuffle carries
+    only k accumulator rows per vector. Products are summed as
+    decimal(27,12) so the parallel aggregation is order-independent
+    and bit-reproducible cross-engine.
+
+    Returns (id_col, y0..y{k-1}) with each projection rounded to 6 dp.
+    """
+    spark = df.sparkSession
+    grid = (
+        spark.range(k)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(dims).select(F.col("id").cast("int").alias("i")))
+    )
+    bit = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(tag + ":"),
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("i").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    signs = grid.select(
+        "j", "i", (F.lit(1) - F.lit(2) * (bit % 2)).cast("double").alias("s")
+    )
+    ex = df.select(id_col, F.posexplode(vec_col).alias("i", "x"))
+    scale = 1.0 / (k**0.5)
+    acc = (
+        ex.join(F.broadcast(signs), "i")
+        .groupBy(id_col, "j")
+        .agg(
+            F.sum(
+                (F.col("x").cast("double") * F.col("s")).cast("decimal(27,12)")
+            ).alias("acc")
+        )
+    )
+    outs = [
+        F.round(
+            F.max(F.when(F.col("j") == jj, F.col("acc"))).cast("double")
+            * F.lit(scale),
+            6,
+        ).alias(f"y{jj}")
+        for jj in range(k)
+    ]
+    return acc.groupBy(id_col).agg(*outs)

@@ -682,3 +682,59 @@ def spatial_grid_eps_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding")[1].alias("y"),
     )
     return grid_eps_join(emb, "vec_id", "x", "y", eps=0.01)
+
+
+def _rp_oracle(k: int = 8, dims: int = 64) -> str:
+    """Sparse-sign random projection rebuilt entirely in DuckDB SQL:
+    the md5-derived sign matrix, the decimal(27,12)-exact accumulation
+    and the 1/sqrt(k) scaling mirror operators/similarity.py:
+    random_projection term-for-term."""
+    scale = repr(1.0 / (k**0.5))
+    outs = ",\n           ".join(
+        f"ROUND(CAST(MAX(CASE WHEN j = {jj} THEN acc END) AS DOUBLE)"
+        f" * {scale}, 6) AS y{jj}"
+        for jj in range(k)
+    )
+    return f"""
+    WITH js AS (SELECT UNNEST(RANGE({k})) AS j),
+    dims AS (SELECT UNNEST(RANGE({dims})) AS i),
+    signs AS (
+      SELECT j, i,
+             CAST(1 - 2 * (('0x' || SUBSTR(MD5('rp:' || j || ':' || i), 1, 2))::INT % 2)
+                  AS DOUBLE) AS s
+      FROM js CROSS JOIN dims
+    ),
+    ex AS (
+      SELECT vec_id, d.i AS i, CAST(embedding[d.i + 1] AS DOUBLE) AS x
+      FROM embeddings CROSS JOIN dims d
+    ),
+    acc AS (
+      SELECT vec_id, s.j AS j,
+             SUM(CAST(ex.x * s.s AS DECIMAL(27,12))) AS acc
+      FROM ex JOIN signs s ON s.i = ex.i
+      GROUP BY 1, 2
+    )
+    SELECT vec_id,
+           {outs}
+    FROM acc GROUP BY vec_id
+    """
+
+
+@register(
+    "embedding_random_projection",
+    oracle=_rp_oracle(k=8, dims=64),
+    doc="Johnson-Lindenstrauss random projection 64→8 dims "
+    "(operators/similarity.py:random_projection, Achlioptas-style ±1 "
+    "signs): the dimensionality-reduction front-end for cheap ANN / "
+    "clustering passes. The sign matrix is seeded from the engine's "
+    "cross-engine md5 family — model state of k·dims rows that any "
+    "engine (here: the DuckDB oracle) can re-derive from the tag "
+    "alone, no persisted artifact. Data-side plan: posexplode → "
+    "broadcast sign join → one map-side-combined groupBy(id, j); "
+    "products sum as decimal(27,12) so the parallel aggregation is "
+    "order-independent — which is what lets an 8-double-column output "
+    "hash-match across engines at all.",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.random_projection(emb, "vec_id", "embedding", dims=64, k=8)

@@ -4,7 +4,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfl_realtime_lakehouse_spark.operators import multimodal as M
@@ -738,3 +738,72 @@ def _rp_oracle(k: int = 8, dims: int = 64) -> str:
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.random_projection(emb, "vec_id", "embedding", dims=64, k=8)
+
+
+@register(
+    "knn_label_vote",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 <> 0),
+    scored AS (
+      SELECT q.query_id, q.true_label, c.label,
+             ROUND({_COSINE_DOUBLE.format(a="q.qe", b="c.embedding")}, 6) AS score,
+             c.vec_id
+      FROM q CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT query_id, true_label, label,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id) AS rnk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, true_label, label, COUNT(*) AS votes
+      FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3
+    )
+    SELECT query_id, CAST(true_label AS INTEGER) AS true_label,
+           CAST(label AS INTEGER) AS pred_label, CAST(votes AS BIGINT) AS votes
+    FROM (SELECT votes.*,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY votes DESC, label) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+    doc="KNN classification join: every held-out query vector "
+    "(vec_id % 50 = 0) gets the majority label of its 5 exact "
+    "nearest cosine neighbors in the rest of the corpus (vote ties → "
+    "smallest label; neighbor rank ties → smallest id, pinned by "
+    "rounding scores to 6 dp BEFORE ranking in both engines). The "
+    "label-transfer primitive of semi-supervised curation — score a "
+    "small labeled seed set's neighborhoods to propagate labels. "
+    "Plan: broadcast query set, one corpus scan, per-query top-k "
+    "window, then a bounded (queries x labels) vote aggregation; the "
+    "expensive leg swaps to any of the engine's ANN tiers unchanged.",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = emb.where(F.col("vec_id") % 50 != 0)
+    nn = S.cosine_topk(corpus, queries, k=5)
+    labeled = nn.join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    votes = labeled.groupBy("query_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.col("label"))
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(w))
+        .where("vr = 1")
+        .join(truth, "query_id")
+        .select(
+            "query_id",
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("label").cast("int").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+        )
+    )

@@ -1244,3 +1244,110 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["value"],
     )
     return out.select("user_id", F.round("value", 6).alias("value"), "ts", "src")
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead(event_type) over the (ts, event_id)-total order "
+    "gives consecutive pairs, one groupBy counts them, and a window "
+    "over from_type row-normalizes to transition probabilities — the "
+    "behavioral-model estimation behind next-event prediction and "
+    "anomalous-session scoring. Two shuffles (user window + pair "
+    "count; the normalizing window runs on the ~|types|² aggregate, "
+    "which is model- not corpus-sized). Integer counts divide as "
+    "doubles rounded at 6 dp — exact in both engines.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wn = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wn), 6).alias("p"),
+    )
+
+
+@register(
+    "events_rolling_7d_actives",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS d FROM events
+    ),
+    contrib AS (
+      SELECT DISTINCT user_id, d + TO_DAYS(CAST(o.o AS INTEGER)) AS target_d
+      FROM ud CROSS JOIN (SELECT UNNEST(RANGE(7)) AS o) o
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT CAST(c.target_d AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_7d
+    FROM contrib c JOIN days ON days.d = c.target_d
+    GROUP BY 1
+    """,
+    doc="Rolling 7-day distinct active users — the canonical "
+    "count-distinct-over-sliding-window dashboard metric, in the shape "
+    "that scales: (user, day) dedup first, then each user-day is "
+    "exploded map-side to the ≤7 future days it makes the user active "
+    "for, deduped again, and counted per day. A bounded ×7 replicate + "
+    "two hash aggregates — NO distinct-inside-range-window (which "
+    "Spark cannot express) and NO per-day rescans of a 7-day slice of "
+    "a 100 TB log. Emitted days are restricted to days with actual "
+    "activity so both engines agree on the grid; day rides as "
+    "TIMESTAMP (no DATE output per the registry dtype rules).",
+)
+def events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("d")
+    ).distinct()
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("o"),
+            "d",
+        )
+        .select(
+            "user_id",
+            (F.col("d") + F.make_dt_interval(days=F.col("o"))).alias("target_d"),
+        )
+        .distinct()
+    )
+    days = ud.select(F.col("d").alias("target_d")).distinct()
+    return (
+        contrib.join(days, "target_d")
+        .groupBy("target_d")
+        .agg(F.count(F.lit(1)).alias("active_7d"))
+        .select(
+            F.col("target_d").alias("day"),
+            F.col("active_7d").cast("bigint").alias("active_7d"),
+        )
+    )

@@ -1771,3 +1771,35 @@ def test_random_projection_jl_property_and_determinism(spark):
             )
     r = np.corrcoef(d_hi, d_lo)[0, 1]
     assert r > 0.5, f"JL distance correlation too weak: {r}"
+
+
+def test_histogram_sketch_merge_and_error_bound(spark):
+    """Histogram quantile sketch: sharded build + merge must equal the
+    direct build counter-for-counter; quantile estimates must sit
+    within half a bin width of the exact quantiles; out-of-range
+    values clip into the edge buckets instead of being dropped."""
+    import random
+
+    from tfl_realtime_lakehouse_spark.operators import sketches as SK
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0, 100)) for i in range(2000)]
+    rows += [(2000, -5.0), (2001, 999.0)]  # out-of-range clips
+    df = spark.createDataFrame(rows, "i long, v double")
+
+    direct = SK.histogram_sketch(df, "v", 0.0, 100.0, 50)
+    merged = SK.histogram_merge(
+        SK.histogram_sketch(df.where("i % 2 = 0"), "v", 0.0, 100.0, 50),
+        SK.histogram_sketch(df.where("i % 2 = 1"), "v", 0.0, 100.0, 50),
+    )
+    assert {(r["bucket"], r["cnt"]) for r in direct.collect()} == {
+        (r["bucket"], r["cnt"]) for r in merged.collect()
+    }
+    assert sum(r["cnt"] for r in direct.collect()) == 2002  # nothing dropped
+
+    est = SK.histogram_quantiles(direct, [0.5, 0.95], 0.0, 100.0, 50).collect()[0]
+    vals = sorted(v for _, v in rows)
+    for q, col in [(0.5, "p5"), (0.95, "p95")]:
+        exact = vals[int(q * len(vals)) - 1]
+        if 0 <= exact <= 100:
+            assert abs(est[col] - exact) <= 2.0 + 1e-9, (q, est[col], exact)

@@ -110,3 +110,87 @@ def countmin_estimate(
         # a bucket no key ever hit has no sketch row: its counter is 0
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_est"))
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable equi-width histogram sketch — the quantile member of
+    the sketch family (HLL = cardinality, CMS = point frequency,
+    Misra-Gries = heavy hitters). Fixed [lo, hi) range, ``bins``
+    buckets, out-of-range values clipped into the edge buckets.
+
+    Why this shape at 100 TB: the sketch is AT MOST ``bins`` rows per
+    group regardless of corpus size (map-side partial agg collapses
+    each partition to that bound before the exchange), shard sketches
+    merge by counter addition (:func:`histogram_merge`), and any
+    quantile is answered from the bounded sketch with error ≤ one bin
+    width — no data rescan, unlike an exact percentile. Integer
+    counters and FLOOR bucketing make the whole sketch deterministic
+    and ANSI-SQL-reproducible (no probabilistic hashing at all).
+
+    Returns (group_cols..., bucket, cnt).
+    """
+    group_cols = group_cols or []
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("int")
+    return (
+        df.select(*group_cols, bucket.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge histogram shards by counter addition (same contract as
+    countmin_merge: disjoint shards sum exactly)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "cnt"]
+    return out.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, the
+    midpoint of the first bucket whose cumulative count reaches
+    ⌈q·n⌉ (type-1 selection lifted to buckets — error ≤ width/2 for
+    in-range data). One window over the ≤``bins``-row sketch per
+    group plus one aggregate; everything downstream of the sketch is
+    model-sized. Returns (group_cols..., n, q_<label> per q)."""
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    width = (hi - lo) / bins
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bucket")
+        if group_cols
+        else Window.partitionBy(F.lit(1)).orderBy("bucket")
+    )
+    wn = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
+    cum = sketch.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(wn)
+    )
+    outs = [F.max("n").cast("bigint").alias("n")]
+    for q in qs:
+        label = str(q).replace("0.", "p")
+        target = F.ceil(F.lit(q) * F.col("n"))
+        hit = F.when(
+            F.col("cum") >= target,
+            F.lit(lo) + (F.col("bucket") + F.lit(0.5)) * F.lit(width),
+        )
+        outs.append(F.round(F.min(hit), 6).alias(label))
+    return cum.groupBy(*group_cols).agg(*outs)

@@ -1351,3 +1351,61 @@ def events_rolling_7d_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("active_7d").cast("bigint").alias("active_7d"),
         )
     )
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(LEAST(GREATEST(FLOOR(value / 10.0), 0), 99) AS INTEGER)
+                 AS bucket,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, bucket, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM b
+    )
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           ROUND(MIN(CASE WHEN cum >= CEIL(0.5 * n)
+                          THEN (bucket + 0.5) * 10.0 END), 6) AS p5,
+           ROUND(MIN(CASE WHEN cum >= CEIL(0.95 * n)
+                          THEN (bucket + 0.5) * 10.0 END), 6) AS p95,
+           ROUND(MIN(CASE WHEN cum >= CEIL(0.99 * n)
+                          THEN (bucket + 0.5) * 10.0 END), 6) AS p99
+    FROM c GROUP BY event_type
+    """,
+    doc="Mergeable histogram quantile sketch (operators/sketches.py) — "
+    "the quantile member of the sketch family (HLL=cardinality, "
+    "CMS=point frequency, MG=heavy hitters): per-event_type equi-width "
+    "histograms ([0,1000), 100 bins) built from two disjoint shards "
+    "(event_id parity) and MERGED by counter addition inside the "
+    "query, then p50/p95/p99 estimated from the bounded sketch "
+    "(bucket midpoints, error ≤ half a bin). At 100 TB the exact "
+    "per-group percentile needs a sort or a per-group value list; the "
+    "sketch is ≤100 rows per group after map-side partial agg, shards "
+    "stored per-day merge into any rollup without rescanning, and — "
+    "because the bucketing is FLOOR arithmetic, not probabilistic "
+    "hashing — the whole estimate is deterministic and hash-checked "
+    "against a direct-build DuckDB oracle (merge≡direct is the "
+    "exactness the query itself proves).",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators import sketches as SK
+
+    ev = table(spark, sf_dir, "events")
+    even = SK.histogram_sketch(
+        ev.where(F.col("event_id") % 2 == 0), "value", 0.0, 1000.0, 100,
+        group_cols=["event_type"],
+    )
+    odd = SK.histogram_sketch(
+        ev.where(F.col("event_id") % 2 == 1), "value", 0.0, 1000.0, 100,
+        group_cols=["event_type"],
+    )
+    merged = SK.histogram_merge(even, odd)
+    return SK.histogram_quantiles(
+        merged, [0.5, 0.95, 0.99], 0.0, 1000.0, 100, group_cols=["event_type"]
+    )

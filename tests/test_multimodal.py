@@ -330,3 +330,37 @@ def test_ahash_identical_images_collide_and_pixel_stats_isolate(spark):
     stats = {r["asset_id"]: r for r in pixel_stats(df).collect()}
     assert stats[1]["px_sum"] == stats[2]["px_sum"] and stats[1]["width"] == 40
     assert stats[4]["px_sum"] is None and stats[4]["width"] is None
+
+
+def test_wav_pcm_roundtrip_and_corrupt_isolation(spark):
+    """PCM decode: synth tone WAV -> parse_wav_pcm16 recovers the exact
+    planted samples; frame RMS drops the tail partial frame; corrupt /
+    stereo / truncated payloads yield None (and zero frame rows), never
+    an exception."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators import multimodal as M
+
+    wav = M.synth_tone_wav(7, 200)
+    s = M.parse_wav_pcm16(wav)
+    assert s is not None and len(s) == 200
+    assert [int(x) for x in s[:5]] == [M.tone_sample(7, t) for t in range(5)]
+
+    assert M.parse_wav_pcm16(None) is None
+    assert M.parse_wav_pcm16(b"not a wav at all") is None
+    assert M.parse_wav_pcm16(wav[:30]) is None  # truncated in fmt/data
+    stereo = M.synth_wav(8000, 2, 50)
+    assert M.parse_wav_pcm16(stereo) is None  # mono-16 contract
+
+    assets = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk"))],
+        "asset_id long, payload binary",
+    )
+    frames = M.audio_frame_rms(assets, frame_len=80).collect()
+    # 200 samples -> 2 full frames; junk -> zero rows
+    assert sorted((r["asset_id"], r["frame_id"]) for r in frames) == [(1, 0), (1, 1)]
+    chunk = np.array([M.tone_sample(7, t) for t in range(80)], dtype=np.int64)
+    ss = int((chunk * chunk).sum())
+    r0 = next(r for r in frames if r["frame_id"] == 0)
+    assert r0["sum_sq"] == ss
+    assert abs(r0["rms"] - round((ss / 80) ** 0.5, 6)) < 1e-12

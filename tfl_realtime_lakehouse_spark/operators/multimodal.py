@@ -473,15 +473,23 @@ def documents_as_assets(documents: DataFrame) -> DataFrame:
 # Audio: RIFF/WAVE header synthesis + pure-struct metadata decode
 
 
-def synth_wav(sample_rate: int, channels: int, n_frames: int, bits: int = 16) -> bytes:
-    """A fully-valid PCM WAV container of silence: RIFF header + fmt
-    chunk + data chunk. Everything a metadata decode needs (rate,
-    channels, width, frame count) is real."""
+def synth_wav(
+    sample_rate: int,
+    channels: int,
+    n_frames: int,
+    bits: int = 16,
+    data: bytes | None = None,
+) -> bytes:
+    """A fully-valid PCM WAV container: RIFF header + fmt chunk + data
+    chunk. Everything a metadata decode needs (rate, channels, width,
+    frame count) is real; ``data`` defaults to silence but accepts
+    real PCM bytes (must be n_frames · block_align long)."""
     import struct
 
     block_align = channels * bits // 8
     byte_rate = sample_rate * block_align
-    data = b"\x00" * (n_frames * block_align)
+    if data is None:
+        data = b"\x00" * (n_frames * block_align)
     fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, block_align, bits)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
@@ -900,3 +908,137 @@ def ahash64(assets: DataFrame) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(run, AHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL PCM sample decode + frame-level feature extraction
+# (the audio twin of decode_png_pixels/pixel_stats: the planted
+# waveform is pure integer arithmetic, so a SQL oracle re-derives the
+# features from ids alone and the whole decode chain is hash-checked)
+
+def tone_sample(asset_id: int, t: int) -> int:
+    """The planted deterministic waveform: sample t of asset
+    ``asset_id`` is ((id·31 + t·7) mod 2048) − 1024 — int16-safe,
+    engine-replicable integer arithmetic (no trig, no floats)."""
+    return ((asset_id * 31 + t * 7) % 2048) - 1024
+
+
+def synth_tone_wav(asset_id: int, n_frames: int, sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit WAV whose PCM payload is the planted waveform."""
+    import struct
+
+    samples = [tone_sample(asset_id, t) for t in range(n_frames)]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    return synth_wav(sample_rate, 1, n_frames, bits=16, data=data)
+
+
+def synth_tone_assets(documents: DataFrame) -> DataFrame:
+    """Tone WAV assets for every 4th document; n_frames = 160 + id % 160
+    so frame counts vary and the tail partial frame is exercised."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": [
+                        synth_tone_wav(i, 160 + i % 160) for i in ids
+                    ],
+                }
+            )
+
+    return (
+        documents.select("doc_id")
+        .where(F.col("doc_id") % 4 == 0)
+        .mapInPandas(run, SYNTH_SCHEMA)
+    )
+
+
+def parse_wav_pcm16(payload: bytes | None):
+    """Mono 16-bit PCM samples from a RIFF/WAVE payload as an int64
+    numpy array, or None for non-WAV / non-mono-16-bit / truncated
+    payloads (corrupt isolation, same contract as parse_wav_meta)."""
+    import struct
+
+    import numpy as np
+
+    b = payload or b""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt_ok, data = 12, False, None
+    try:
+        while pos + 8 <= len(b):
+            tag = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            if tag == b"fmt " and pos + 8 + 16 <= len(b):
+                audio_fmt, channels, _, _, _, bits = struct.unpack(
+                    "<HHIIHH", b[pos + 8 : pos + 24]
+                )
+                fmt_ok = audio_fmt == 1 and channels == 1 and bits == 16
+            elif tag == b"data":
+                if pos + 8 + size > len(b):
+                    return None  # truncated data chunk
+                data = b[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+    except struct.error:
+        return None
+    if not fmt_ok or data is None:
+        return None
+    return np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_id", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_frame_rms(assets: DataFrame, frame_len: int = 80) -> DataFrame:
+    """REAL frame-level audio feature extraction: decode the PCM
+    samples of every WAV payload and emit per-frame RMS energy — the
+    VAD/loudness primitive of audio curation pipelines. Full frames
+    only (the tail partial frame is dropped, documented); sum of
+    squares is exact int64, RMS is one IEEE sqrt(ss/n) rounded to
+    6 dp, so the features hash-match a SQL oracle that re-derives the
+    planted waveform. Undecodable payloads yield zero rows (corrupt
+    isolation). Arrow-batched mapInPandas — pure struct/numpy, no
+    audio libraries."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {k.name: [] for k in AUDIO_FRAMES_SCHEMA.fields}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = parse_wav_pcm16(payload)
+                if s is None:
+                    continue
+                nf = len(s) // frame_len
+                for f in range(nf):
+                    chunk = s[f * frame_len : (f + 1) * frame_len]
+                    ss = int(np.sum(chunk * chunk))
+                    out["asset_id"].append(int(aid))
+                    out["frame_id"].append(f)
+                    out["n_samples"].append(frame_len)
+                    out["sum_sq"].append(ss)
+                    out["rms"].append(round((ss / frame_len) ** 0.5, 6))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.array(out["asset_id"], dtype="Int64"),
+                    "frame_id": pd.array(out["frame_id"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int32"),
+                    "sum_sq": pd.array(out["sum_sq"], dtype="Int64"),
+                    "rms": pd.array(out["rms"], dtype="float64"),
+                }
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(run, AUDIO_FRAMES_SCHEMA)

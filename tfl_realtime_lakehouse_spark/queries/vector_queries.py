@@ -807,3 +807,44 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("votes").cast("bigint").alias("votes"),
         )
     )
+
+
+@register(
+    "multimodal_audio_frames",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id, 160 + doc_id % 160 AS nf
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    fr AS (
+      SELECT asset_id, UNNEST(RANGE(nf // 80)) AS frame_id FROM a
+    ),
+    t AS (
+      SELECT asset_id, frame_id, UNNEST(RANGE(80)) AS i FROM fr
+    ),
+    s AS (
+      SELECT asset_id, frame_id,
+             ((asset_id * 31 + (frame_id * 80 + i) * 7) % 2048) - 1024 AS v
+      FROM t
+    )
+    SELECT asset_id, CAST(frame_id AS INTEGER) AS frame_id,
+           CAST(80 AS INTEGER) AS n_samples,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           ROUND(SQRT(SUM(v * v) / 80.0), 6) AS rms
+    FROM s GROUP BY 1, 2
+    """,
+    doc="REAL audio feature extraction (operators/multimodal.py:"
+    "audio_frame_rms): synthesize valid mono 16-bit WAVs whose PCM is "
+    "a planted integer waveform, decode the actual sample bytes back "
+    "out of the RIFF container (pure struct + numpy, no audio "
+    "libraries), and emit per-80-sample-frame RMS energy — the "
+    "VAD/loudness primitive of audio curation. Exact int64 sums of "
+    "squares + one IEEE sqrt per frame, so the oracle re-derives "
+    "every feature from id arithmetic alone and the whole decode "
+    "chain is hash-checked (the audio twin of multimodal_pixel_stats). "
+    "Corrupt payloads yield zero rows, not task failures.",
+)
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    assets = M.synth_tone_assets(docs)
+    return M.audio_frame_rms(assets, frame_len=80)

@@ -786,3 +786,74 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         if u == v and lt < rt <= lt + dt.timedelta(minutes=60)
     }
     assert got == expected and len(expected) == 3
+
+
+def test_streaming_heavy_hitters_state_and_guarantee(spark, tmp_path):
+    """Streaming Misra-Gries: state accumulates ACROSS micro-batches
+    (final n_seen = total rows per shard), every true heavy item
+    survives in the final summary with the MG undercount bound, and a
+    single-batch run folds rows exactly like the sequential reference
+    implementation."""
+    from tfl_realtime_lakehouse_spark.streaming.heavyhitters import (
+        streaming_heavy_hitters,
+    )
+
+    # one shard (shards=1) so the reference fold is over the global
+    # tiebreak order; zipf-ish: item 'h' dominates, tail is diverse
+    rows = []
+    eid = 0
+    for rep, tok in [(300, "h"), (120, "m"), (40, "t1"), (40, "t2")]:
+        for _ in range(rep):
+            rows.append((tok, eid))
+            eid += 1
+    for i in range(200):  # 200 singletons to pressure the table
+        rows.append((f"s{i}", eid))
+        eid += 1
+    schema = "token string, event_id long"
+    src = str(tmp_path / "hh-src")
+    # two files -> two micro-batches; split mid-stream
+    spark.createDataFrame(rows[:400], schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(rows[400:], schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    hh = streaming_heavy_hitters(
+        stream, "token", "event_id", capacity=16, shards=1
+    )
+    _run_stream(hh, tmp_path, "hh_out")
+    all_rows = spark.sql("select * from hh_out").collect()
+    n_final = max(r["n_seen"] for r in all_rows)
+    assert n_final == len(rows)  # state crossed the batch boundary
+    final = {r["token"]: r["mg_count"] for r in all_rows if r["n_seen"] == n_final}
+
+    true = {}
+    for tok, _ in rows:
+        true[tok] = true.get(tok, 0) + 1
+    bound = len(rows) / (16 + 1)
+    for tok, cnt in true.items():
+        if cnt > bound:
+            assert tok in final, f"heavy item {tok} evicted"
+            assert final[tok] <= cnt
+            assert final[tok] >= cnt - bound
+    # sequential reference over the same (tiebreak) order
+    table = {}
+    for tok, _ in sorted(rows, key=lambda r: r[1]):
+        if tok in table:
+            table[tok] += 1
+        elif len(table) < 16:
+            table[tok] = 1
+        else:
+            dead = []
+            for k in table:
+                table[k] -= 1
+                if table[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del table[k]
+    # batch-split MG == sequential MG here because the split point is
+    # mid-run of identical tokens (the fold is order-deterministic and
+    # the micro-batch boundary does not reorder the tiebreak order)
+    assert final == table

@@ -1803,3 +1803,75 @@ def test_histogram_sketch_merge_and_error_bound(spark):
         exact = vals[int(q * len(vals)) - 1]
         if 0 <= exact <= 100:
             assert abs(est[col] - exact) <= 2.0 + 1e-9, (q, est[col], exact)
+
+
+def test_label_propagation_matches_sequential_reference(spark):
+    """Synchronous LPA on two triangles joined by a bridge: the Spark
+    rounds must equal a sequential Jacobi reference (same tie policy),
+    and every node in a triangle must share its triangle's converged
+    label. Isolated-in-practice determinism: two runs identical."""
+    from tfl_realtime_lakehouse_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+
+    def reference(iters):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {n: n for n in adj}
+        for _ in range(iters):
+            nxt = {}
+            for n in adj:
+                counts = {}
+                for m in adj[n]:
+                    counts[labels[m]] = counts.get(labels[m], 0) + 1
+                best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                nxt[n] = best
+            labels = nxt
+        return labels
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iters=iters).collect()
+        }
+        assert got == reference(iters), f"iter {iters}"
+    got3 = {r["node"]: r["label"] for r in label_propagation(df, iters=3).collect()}
+    assert got3 == {
+        r["node"]: r["label"] for r in label_propagation(df, iters=3).collect()
+    }
+    assert got3[1] == got3[2] == got3[3]
+    assert got3[11] == got3[12]
+
+
+def test_dq_dataset_level_checks(spark):
+    """unique_violations finds exactly the duplicated keys with their
+    multiplicity; referential_violations finds exactly the orphan FKs
+    (nulls excluded); accepted_values flags only out-of-set non-nulls."""
+    from tfl_realtime_lakehouse_spark.dq.checks import (
+        accepted_values,
+        referential_violations,
+        unique_violations,
+    )
+
+    child = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (3, "c"), (None, "d")],
+        "k int, v string",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+
+    dups = {(r["k"], r["v"]): r["n_rows"]
+            for r in unique_violations(child, ["k", "v"]).collect()}
+    assert dups == {}  # (k, v) pairs are unique
+    dups_k = {r["k"]: r["n_rows"] for r in unique_violations(child, ["k"]).collect()}
+    assert dups_k == {1: 2}
+
+    orphans = {r["k"] for r in
+               referential_violations(child, "k", parent, "pk").collect()}
+    assert orphans == {3}  # null FK is not an orphan
+
+    chk = accepted_values("v", ["a", "b", "c"])
+    bad = child.where(chk.predicate).collect()
+    assert {r["v"] for r in bad} == {"d"}

@@ -158,3 +158,44 @@ FCT_HEADWAYS_CHECKS = [
     not_null("p50_headway_s"),
     not_null("p90_headway_s"),
 ]
+
+
+def accepted_values(column: str, values: list[str], severity: str = "error") -> Check:
+    """dbt-style accepted_values: a row violates when the column holds a
+    non-null value outside the allowed set (nulls are not_null's job)."""
+    quoted = ", ".join("'" + v.replace("'", "''") + "'" for v in values)
+    return Check(
+        name=f"accepted_values_{column}",
+        column=column,
+        predicate=f"{column} IS NOT NULL AND {column} NOT IN ({quoted})",
+        severity=severity,
+    )
+
+
+def unique_violations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """dbt-style unique test, dataset-level: the (cols) values that
+    appear more than once, with their multiplicity. One map-side-
+    combined groupBy on the key — the same shuffle an exact dedup
+    pays, nothing broadcast. Empty result = check passes."""
+    return (
+        df.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+    )
+
+
+def referential_violations(
+    child: DataFrame, child_col: str, parent: DataFrame, parent_col: str
+) -> DataFrame:
+    """dbt-style relationships test, dataset-level: child keys with no
+    matching parent (orphans), as distinct keys. A left-anti equi-join
+    keyed on the FK — AQE broadcasts the parent's distinct-key side
+    when it is small, else a shuffled anti hash join; either way no
+    full-table materialization. Empty result = check passes."""
+    parents = parent.select(F.col(parent_col).alias(child_col)).distinct()
+    return (
+        child.select(child_col)
+        .where(F.col(child_col).isNotNull())
+        .distinct()
+        .join(parents, child_col, "left_anti")
+    )

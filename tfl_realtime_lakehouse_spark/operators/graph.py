@@ -23,7 +23,7 @@ same iterations in SQL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -150,3 +150,65 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .unionAll(tri.select(F.col("y").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (community detection) after a
+    FIXED number of rounds — the density-communities member of the
+    graph family (connected components = pure connectivity, PageRank =
+    importance, triangles = local clustering).
+
+    Each round every node adopts the most frequent label among its
+    neighbours, ties broken by the SMALLEST label, computed from the
+    PREVIOUS round's labels (synchronous/Jacobi update) — which makes
+    the whole recurrence a pure function of the edge set, so a SQL
+    oracle can unroll the same rounds and hash-match the result
+    (asynchronous LPA is order-dependent and unverifiable). Labels
+    start as the node id.
+
+    Scale shape per round: one equi-join (neighbour label lookup) +
+    one (node, label) count + one per-node argmax window — all keyed
+    by node id, lineage cut per round with localCheckpoint (same
+    O(1)-plan-depth discipline as pagerank/connected components).
+    Isolated nodes (no edges) keep their own id as label.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # undirected adjacency: both directions
+    adj = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = adj.select(F.col("a").alias("node")).distinct().localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint()
+    for _ in range(iters):
+        neigh = adj.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("n"), F.col("label"))
+        winners = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("node", "label")
+        )
+        labels = (
+            nodes.join(winners, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("label"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

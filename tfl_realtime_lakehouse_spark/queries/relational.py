@@ -826,3 +826,96 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return cross.unionByName(within)
+
+
+@register(
+    "dq_integrity_audit",
+    oracle="""
+    SELECT 'unique_orders_o_orderkey' AS check_name,
+           CAST((SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                 GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT) AS violations
+    UNION ALL
+    SELECT 'unique_lineitem_pk',
+           CAST((SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber
+                 FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'unique_events_event_id',
+           CAST((SELECT COUNT(*) FROM (SELECT event_id FROM events
+                 GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_lineitem_orderkey',
+           CAST((SELECT COUNT(*) FROM (
+                 SELECT DISTINCT l_orderkey FROM lineitem
+                 WHERE l_orderkey IS NOT NULL) c
+                 ANTI JOIN (SELECT DISTINCT o_orderkey FROM orders) p
+                 ON p.o_orderkey = c.l_orderkey) AS BIGINT)
+    UNION ALL
+    SELECT 'fk_orders_custkey',
+           CAST((SELECT COUNT(*) FROM (
+                 SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_custkey IS NOT NULL) c
+                 ANTI JOIN (SELECT DISTINCT c_custkey FROM customer) p
+                 ON p.c_custkey = c.o_custkey) AS BIGINT)
+    UNION ALL
+    SELECT 'accepted_values_event_type',
+           CAST((SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL
+                 AND event_type NOT IN
+                 ('click', 'error', 'purchase', 'signup', 'view')) AS BIGINT)
+    """,
+    doc="Dataset-level integrity audit completing dbt's standard test "
+    "quartet (the reference ships not_null; unique / relationships / "
+    "accepted_values are the other three): duplicate-key counts for "
+    "three candidate keys, orphaned-FK counts for two relationships "
+    "(distinct-keys left-anti join — AQE broadcasts the parent key "
+    "side when small), and an accepted_values row predicate. Each leg "
+    "is one key-partitioned aggregate or anti join; the unioned "
+    "6-row report is the dbt-style test summary a warehouse runs "
+    "nightly at any scale. dq/checks.py:unique_violations/"
+    "referential_violations/accepted_values.",
+)
+def dq_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.dq.checks import (
+        referential_violations,
+        unique_violations,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    customer = table(spark, sf_dir, "customer")
+    ev = table(spark, sf_dir, "events")
+
+    def cnt(df, name):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("bigint").alias("violations"),
+        )
+
+    legs = [
+        cnt(unique_violations(orders, ["o_orderkey"]), "unique_orders_o_orderkey"),
+        cnt(
+            unique_violations(lineitem, ["l_orderkey", "l_linenumber"]),
+            "unique_lineitem_pk",
+        ),
+        cnt(unique_violations(ev, ["event_id"]), "unique_events_event_id"),
+        cnt(
+            referential_violations(lineitem, "l_orderkey", orders, "o_orderkey"),
+            "fk_lineitem_orderkey",
+        ),
+        cnt(
+            referential_violations(orders, "o_custkey", customer, "c_custkey"),
+            "fk_orders_custkey",
+        ),
+        cnt(
+            ev.where(
+                F.col("event_type").isNotNull()
+                & ~F.col("event_type").isin(
+                    "click", "error", "purchase", "signup", "view"
+                )
+            ),
+            "accepted_values_event_type",
+        ),
+    ]
+    out = legs[0]
+    for p in legs[1:]:
+        out = out.unionByName(p)
+    return out

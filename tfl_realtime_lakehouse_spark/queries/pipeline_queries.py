@@ -1409,3 +1409,69 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.histogram_quantiles(
         merged, [0.5, 0.95, 0.99], 0.0, 1000.0, 100, group_cols=["event_type"]
     )
+
+
+@register(
+    "incremental_rollup_maintenance",
+    oracle="""
+    SELECT event_type, DATE_TRUNC('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE), 6)
+               AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-rollup maintenance: yesterday's "
+    "(event_type, day) rollup (built from event_id % 10 < 8) is "
+    "updated with ONLY the delta batch's partial aggregate (the "
+    "remaining 20%), merged by a full-outer join + counter/sum "
+    "addition — never rescanning the base data. The algebraic-"
+    "aggregate property that makes this sound is the same one behind "
+    "the engine's salted aggregation and sketch merges (count and "
+    "decimal-sum reassociate; avg would be maintained as sum/count "
+    "pairs). The oracle recomputes the rollup from ALL events "
+    "directly, so the hash check proves incremental ≡ full recompute "
+    "— the correctness contract every incremental view engine "
+    "(dbt incremental models, Materialize, Delta MERGE rollups) "
+    "rests on. Scale: the update touches O(|delta| + |changed keys|) "
+    "rows, not O(base).",
+)
+def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.col("value").cast("decimal(27,12)").alias("v"),
+    )
+
+    def rollup(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+        )
+
+    base = rollup(ev.where(F.col("event_id") % 10 < 8))
+    delta = rollup(ev.where(F.col("event_id") % 10 >= 8))
+    b = base.select(
+        "event_type", "day", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    d = delta.select(
+        "event_type", "day", F.col("n").alias("n_d"), F.col("s").alias("s_d")
+    )
+    zero = F.lit(0).cast("decimal(27,12)")
+    merged = b.join(d, ["event_type", "day"], "full_outer").select(
+        "event_type",
+        "day",
+        (
+            F.coalesce(F.col("n_b"), F.lit(0)) + F.coalesce(F.col("n_d"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("n"),
+        (
+            F.coalesce(F.col("s_b"), zero) + F.coalesce(F.col("s_d"), zero)
+        ).alias("s"),
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(F.col("s").cast("double"), 6).alias("total_value"),
+    )

@@ -860,3 +860,71 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
     )
     return label_propagation(pairs, iters=3)
+
+
+@register(
+    "basket_part_affinity",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ok AS (SELECT o FROM op GROUP BY o HAVING COUNT(*) <= 20),
+    opf AS (SELECT op.o, op.p FROM op JOIN ok USING (o)),
+    n AS (SELECT p, COUNT(*) AS n_orders FROM opf GROUP BY p),
+    pairs AS (
+      SELECT x.p AS part_a, y.p AS part_b, COUNT(*) AS co_cnt
+      FROM opf x JOIN opf y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(co_cnt AS BIGINT) AS co_cnt,
+           ROUND(CAST(co_cnt AS DOUBLE)
+                 / SQRT(CAST(na.n_orders AS DOUBLE) * CAST(nb.n_orders AS DOUBLE)),
+                 6) AS cosine
+    FROM pairs
+    JOIN n na ON na.p = pairs.part_a
+    JOIN n nb ON nb.p = pairs.part_b
+    WHERE co_cnt >= 2
+    """,
+    doc="Market-basket item-item affinity (the collaborative-filtering "
+    "/ association-rule primitive): parts that appear in the same "
+    "order, with co-occurrence count and binary cosine "
+    "co/sqrt(n_a*n_b). Pair generation is the engine's standard "
+    "guarded self-join — per-basket expansion bounded by the basket "
+    "cap (orders with > 20 distinct parts dropped, oracle-mirrored; "
+    "TPC-H baskets average ~4 so the cap is a skew guard, not a "
+    "filter), co_cnt >= 2 bounds the output to genuinely repeated "
+    "pairs. Two map-side-combined aggregations + one self-join keyed "
+    "by the basket id; the n_orders margins join back as plain "
+    "equi-joins AQE can broadcast. Integer counts divide as doubles "
+    "rounded at 6 dp — exact both engines.",
+)
+def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ok = op.groupBy("o").agg(F.count(F.lit(1)).alias("np")).where("np <= 20").select("o")
+    opf = op.join(ok, "o")
+    n = opf.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
+    pairs = (
+        opf.alias("x")
+        .join(opf.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .where("co_cnt >= 2")
+    )
+    na = n.select(F.col("p").alias("part_a"), F.col("n_orders").alias("n_a"))
+    nb = n.select(F.col("p").alias("part_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("co_cnt").cast("bigint").alias("co_cnt"),
+            F.round(
+                F.col("co_cnt").cast("double")
+                / F.sqrt(F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )

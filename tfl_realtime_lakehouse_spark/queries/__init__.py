@@ -94,6 +94,14 @@ DRIVER_WINDOW = [
     "agg_countmin_freq",
     "graph_pagerank",
 ]
+# Round-3 wave-2 additions (graph_triangle_count, graph_label_propagation,
+# skew_salted_agg, spatial_grid_eps_join, cdc_apply_changes,
+# embedding_random_projection, knn_label_vote, events_markov_transitions,
+# events_rolling_7d_actives, agg_quantile_sketch, multimodal_audio_frames,
+# dq_integrity_audit, basket_part_affinity, incremental_rollup_maintenance)
+# sit in the parity/str-identity-checked tail this round — the 50-slot
+# window is already allocated to the judge's r03 priority list — and are
+# first in line for the r04 rotation.
 
 
 def _apply_driver_window() -> None:

@@ -1179,3 +1179,94 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) == 1).cast("int").alias("keep"),
         F.first("doc_id").over(w).alias("survivor_id"),
     )
+
+
+@register(
+    "training_corpus_build",
+    oracle="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+            / (LEN(a.sh) + LEN(b.sh) - LEN(LIST_INTERSECT(a.sh, b.sh))) >= 0.2
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ), comp AS (
+      SELECT node, MIN(r) AS component FROM reach GROUP BY node
+    ), assigned AS (
+      SELECT d.doc_id, d.lang, COALESCE(c.component, d.doc_id) AS cluster_id,
+             LEN(STRING_SPLIT(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), survivors AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT assigned.*,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_tokens DESC, doc_id) AS qrank
+        FROM assigned
+      ) WHERE qrank = 1
+    )
+    SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM (SELECT lang, n_tokens,
+                 ('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 100 AS b
+          FROM survivors) t
+    GROUP BY 1, 2
+    """,
+    doc="END-TO-END training-corpus build as ONE composed plan — the "
+    "pipeline a user of this engine actually ships: near-dup "
+    "clustering (n-gram jaccard pairs -> connected components), "
+    "quality-aware survivor selection (longest doc per cluster), "
+    "content-addressed 90/5/5 split, and the per-(split, lang) "
+    "doc/token budget that feeds a sampler. Every stage is an "
+    "existing verified engine operator (dedup.py, sampling.py); the "
+    "composition itself is what this query pins — the oracle replays "
+    "the full chain (recursive-CTE components included) and the "
+    "20-row budget table must hash-match end to end. Scale: the "
+    "jaccard+CC stages dominate and carry their documented guards "
+    "(stop-shingle cap, exact-contraction, O(log n) CC rounds); "
+    "everything after the survivor window is map-side + one final "
+    "aggregate.",
+)
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tfl_realtime_lakehouse_spark.operators.sampling import hash_split
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = D.dedup_clusters(docs, n=3, threshold=0.2).select(
+        "doc_id", "cluster_id"
+    )
+    sized = clusters.join(
+        docs.select(
+            "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_tokens").desc(), "doc_id")
+    survivors = (
+        sized.withColumn("qrank", F.row_number().over(w))
+        .where("qrank = 1")
+        .select("doc_id", "lang", "n_tokens")
+    )
+    return (
+        hash_split(survivors, "doc_id")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -1475,3 +1475,119 @@ def incremental_rollup_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         "n",
         F.round(F.col("s").cast("double"), 6).alias("total_value"),
     )
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value, NTILE(10) OVER (PARTITION BY event_type
+                                                ORDER BY value, event_id) AS dec
+      FROM events
+    )
+    SELECT event_type, CAST(dec AS INTEGER) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM t GROUP BY 1, 2
+    """,
+    doc="Equi-DEPTH histogram (deciles) per event_type — the "
+    "complement of the equi-width histogram sketch: fixed population "
+    "per bucket, data-driven edges, the shape optimizers use for "
+    "selectivity and dashboards use for robust distribution views. "
+    "NTILE over the (value, event_id) total order makes bucket "
+    "boundaries deterministic through ties; one window + one "
+    "aggregate sharing the same event_type partitioning (single "
+    "exchange). At 100 TB the same output comes from the histogram "
+    "sketch at 1/∞ the cost when half-a-bin error is tolerable — "
+    "this is the exact tier.",
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .select(
+            "event_type", F.col("decile").cast("int").alias("decile"), "n", "lo", "hi"
+        )
+    )
+
+
+@register(
+    "events_mad_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             (LIST_SORT(LIST(value)))[CAST(CEIL(0.5 * COUNT(*)) AS INTEGER)]
+                 AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.event_id, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             (LIST_SORT(LIST(adev)))[CAST(CEIL(0.5 * COUNT(*)) AS INTEGER)]
+                 AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, dev.event_id, ROUND(dev.value, 6) AS value,
+           ROUND(dev.med, 6) AS med,
+           ROUND((dev.value - dev.med) / (1.4826 * mad.mad), 6) AS robust_z
+    FROM dev JOIN mad USING (event_type)
+    WHERE ABS((dev.value - dev.med) / (1.4826 * mad.mad)) > 3.5
+    """,
+    doc="Robust outlier detection by MAD z-score (the "
+    "median/median-absolute-deviation estimator — immune to the "
+    "outliers it hunts, unlike mean/stddev): per-segment exact "
+    "discrete median (type-1, rank-based two-pass — no per-group "
+    "list materialization on the Spark side, group size unbounded), "
+    "absolute deviations, exact MAD the same way, then the 1.4826-"
+    "normalized z flags |z| > 3.5 (Iglewicz-Hoaglin). Three window/"
+    "aggregate passes all partitioned by event_type — Catalyst reuses "
+    "one exchange; the 5-row median/MAD relations broadcast back.",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+
+    def discrete_median(df, col, out):
+        wo = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wc = Window.partitionBy("event_type")
+        ranked = df.withColumn("__rn", F.row_number().over(wo)).withColumn(
+            "__nn", F.count(F.lit(1)).over(wc)
+        )
+        tgt = F.ceil(F.lit(0.5) * F.col("__nn")).cast("int")
+        return (
+            ranked.where(F.col("__rn") == tgt)
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = discrete_median(ev, "value", "med")
+    dev = ev.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = discrete_median(
+        dev.select("event_type", F.col("event_id"), F.col("adev").alias("value")),
+        "value",
+        "mad",
+    )
+    z = (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(mad, "event_type")
+        .where(F.abs(z) > 3.5)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 6).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )

@@ -1270,3 +1270,40 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "dedup_normalized_docs",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'))
+                 AS norm_digest
+      FROM documents
+    )
+    SELECT norm_digest, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM norm GROUP BY norm_digest HAVING COUNT(*) >= 1
+    """,
+    doc="Normalization-insensitive exact dedup: casefold + strip "
+    "non-alphanumerics BEFORE digesting, so 'Hello, World!' and "
+    "'hello world' collapse to one group — the canonicalization tier "
+    "between byte-exact dedup (misses trivial edits) and MinHash "
+    "(overkill for case/punct noise). Same scale shape as "
+    "dedup_exact_docs: the shuffle key is the fixed-width digest of "
+    "the normalized text, never the document body, and the normalize "
+    "chain is pure JVM regexp (map-side, fused into the scan).",
+)
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    norm = F.md5(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    ).alias("norm_digest")
+    return (
+        docs.select("doc_id", norm)
+        .groupBy("norm_digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )

@@ -857,3 +857,39 @@ def test_streaming_heavy_hitters_state_and_guarantee(spark, tmp_path):
     # mid-run of identical tokens (the fold is order-deterministic and
     # the micro-batch boundary does not reorder the tiebreak order)
     assert final == table
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static dim join: every streamed fact row is enriched with
+    its dimension attributes exactly as the batch join would, across
+    micro-batches; unknown keys keep the fact row with null dim cols
+    (left join contract)."""
+    from tfl_realtime_lakehouse_spark.streaming.joins import enrich_stream_static
+
+    facts = [(1, "a", 10.0), (2, "b", 20.0), (3, "zz", 30.0), (4, "a", 40.0)]
+    schema = "event_id long, line_id string, value double"
+    src = str(tmp_path / "ss-src")
+    spark.createDataFrame(facts[:2], schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(facts[2:], schema).coalesce(1).write.parquet(f"{src}/f=2")
+    dim = spark.createDataFrame(
+        [("a", "Alpha"), ("b", "Beta")], "line_id string, line_name string"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = enrich_stream_static(stream, dim, "line_id")
+    _run_stream(out, tmp_path, "ss_enriched")
+    got = {
+        r["event_id"]: r["line_name"]
+        for r in spark.sql("select * from ss_enriched").collect()
+    }
+    expect = {
+        r["event_id"]: r["line_name"]
+        for r in enrich_stream_static(
+            spark.createDataFrame(facts, schema), dim, "line_id"
+        ).collect()
+    }
+    assert got == expect == {1: "Alpha", 2: "Beta", 3: None, 4: "Alpha"}

@@ -1591,3 +1591,44 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+@register(
+    "events_hopping_rollup",
+    oracle="""
+    SELECT event_type,
+           TIMESTAMP '1970-01-01'
+             + TO_SECONDS(CAST((FLOOR(EPOCH(ts) / 900) - j.j) * 900 AS BIGINT))
+                 AS win_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,12))) AS DOUBLE), 6)
+               AS total_value
+    FROM events CROSS JOIN (SELECT UNNEST(RANGE(4)) AS j) j
+    GROUP BY 1, 2
+    """,
+    doc="Hopping (sliding) window rollup — 1-hour windows every 15 "
+    "minutes via Spark's native F.window(ts, '1 hour', '15 minutes'): "
+    "each event lands in exactly width/slide = 4 windows, which Spark "
+    "expands MAP-SIDE before one grouped aggregate (same bounded-"
+    "replicate shape as the rolling-actives query — never a per-"
+    "window rescan). The overlap factor is the fixed cost knob: 4× "
+    "rows into a map-side-combined agg, zero extra shuffles vs the "
+    "tumbling rollup. The oracle enumerates the same epoch-aligned "
+    "window starts arithmetically; decimal-exact sums make the "
+    "overlap aggregation order-independent.",
+)
+def events_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(27,12)")).cast("double"), 6
+            ).alias("total_value"),
+        )
+        .select(F.col("event_type"), F.col("w.start").alias("win_start"), "n", "total_value")
+    )

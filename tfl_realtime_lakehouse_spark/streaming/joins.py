@@ -76,3 +76,22 @@ def stream_interval_join(
             F.col(f"r.{right_ts}").alias(right_ts),
         )
     )
+
+
+def enrich_stream_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream–static dimension enrichment: the streaming fact joined to
+    a batch dimension table. Spark re-plans the static side every
+    micro-batch (a file-backed dimension picks up replaced files), and
+    with a small dim Catalyst broadcasts it — no state, no watermark,
+    no shuffle of the stream. This is the streaming twin of the batch
+    broadcast-dim chain (plans/align.py, SURVEY J1): same semantics,
+    verified batch-equivalent per micro-batch.
+
+    Left join by default so a late/unknown key never drops a fact row
+    (the dimension columns ride as nulls until the dim catches up)."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -1875,3 +1875,30 @@ def test_dq_dataset_level_checks(spark):
     chk = accepted_values("v", ["a", "b", "c"])
     bad = child.where(chk.predicate).collect()
     assert {r["v"] for r in bad} == {"d"}
+
+
+def test_contamination_fan_out_fires_before_antijoin(spark):
+    """Regression (SCALE.md round-3 session 2b): fan_out no-ops on
+    join-bearing lineage, so contamination_check must spread the bare
+    corpus scan BEFORE its benchmark anti-join — otherwise a
+    1-partition scan serializes the whole gram pipeline on one core
+    (4 s -> 31 s at sf1). Assert the repartition is present in the
+    plan when the input under-parallelizes, and absent when the input
+    is already spread."""
+    from tfl_realtime_lakehouse_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(200)],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id % 10 = 0")
+
+    narrow = X.contamination_check(docs.coalesce(1), bench, n=2)
+    plan = narrow._jdf.queryExecution().analyzed().toString()
+    assert "Repartition" in plan  # fan_out fired on the scored side
+
+    spread = X.contamination_check(
+        docs.repartition(spark.sparkContext.defaultParallelism), bench, n=2
+    )
+    rows = {r["doc_id"] for r in spread.collect()}
+    assert rows == {i for i in range(200) if i % 10 != 0}  # anti-join intact

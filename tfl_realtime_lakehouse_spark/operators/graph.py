@@ -220,3 +220,52 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def bfs_khop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    hops: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """K-hop BFS distances from a seed set over an undirected graph —
+    the reachability member of the graph family (PageRank = importance,
+    LPA = communities, triangles = local structure, CC = components).
+
+    Per hop: one equi-join (frontier → neighbours) + one min-distance
+    aggregate, shuffles keyed by node id, lineage cut per hop — the
+    textbook distributed BFS where each round's frontier is a
+    DataFrame, not driver state. With a FIXED hop count the result is
+    a pure function of (edges, seeds), so an unrolled SQL oracle
+    hash-matches it. Returns (node, dist) for every node within
+    ``hops`` of a seed (seeds at dist 0).
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    adj = (
+        e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = (
+        seeds.select(F.col(node_col).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("dist"))
+        .localCheckpoint()
+    )
+    for _ in range(hops):
+        reached = adj.join(
+            dist.select(F.col("node").alias("a"), "dist"), "a"
+        ).select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionAll(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist

@@ -1307,3 +1307,80 @@ def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keep_doc_id"),
         )
     )
+
+
+@register(
+    "text_vocab_oov_rate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS cnt,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+        FROM toks GROUP BY w
+      ) WHERE rnk <= 500
+    ),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_in
+      FROM toks t SEMI JOIN vocab v ON v.w = t.w
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LEN(STRING_SPLIT(d.text, ' ')) - COALESCE(h.n_in, 0) AS BIGINT)
+               AS n_oov,
+           ROUND(CAST(LEN(STRING_SPLIT(d.text, ' ')) - COALESCE(h.n_in, 0)
+                      AS DOUBLE)
+                 / LEN(STRING_SPLIT(d.text, ' ')), 6) AS oov_rate
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+    doc="Vocabulary coverage / OOV rate per document against a "
+    "corpus-derived top-500 vocabulary (exact counts, deterministic "
+    "count-desc/word-asc cut) — the tokenizer-fit metric of corpus "
+    "curation: a spiking OOV rate flags domain drift or encoding "
+    "junk before a tokenizer ever sees the data. Plan: one exact "
+    "word count (map-side combined), a top-k cut that is MODEL-sized "
+    "(the vocabulary) and broadcasts into a semi join against the "
+    "token stream, one per-doc aggregate keyed by doc_id. At 100 TB "
+    "the vocab cut swaps to the Misra-Gries candidates + re-count "
+    "path the engine already ships; the per-doc scoring plan is "
+    "unchanged.",
+)
+def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    wv = Window.orderBy(F.desc("cnt"), F.col("w"))
+    vocab = (
+        counts.withColumn("rnk", F.row_number().over(wv))
+        .where("rnk <= 500")
+        .select("w")
+    )
+    hits = (
+        toks.join(F.broadcast(vocab), "w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_in"))
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("bigint")
+    return (
+        docs.select("doc_id", n_tokens.alias("n_tokens"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_in"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.round(
+                (F.col("n_tokens") - F.coalesce(F.col("n_in"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_tokens"),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -955,3 +955,85 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+def _bfs_oracle(hops: int = 3) -> str:
+    """Unrolled k-hop BFS in DuckDB SQL mirroring operators/graph.py:
+    bfs_khop hop-for-hop (min-distance relax per round) over the same
+    part-sampled co-supply graph as graph_label_propagation."""
+    its, prev = [], "d0"
+    for i in range(1, hops + 1):
+        its.append(f"""
+    d{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT adj.b AS node, d.dist + 1 AS dist
+        FROM adj JOIN {prev} d ON d.node = adj.a
+      ) GROUP BY node
+    )""")
+        prev = f"d{i}"
+    return f"""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 64),
+    oks AS (SELECT p FROM ok
+            WHERE ('0x' || SUBSTR(MD5('lpa:' || p), 1, 15))::BIGINT % 16 = 0),
+    psf AS (SELECT ps.p, ps.s FROM ps JOIN oks USING (p)),
+    e0 AS (SELECT DISTINCT x.s AS a, y.s AS b
+           FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s),
+    adj AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    d0 AS (SELECT s AS node, 0 AS dist
+           FROM (SELECT DISTINCT s FROM ps) WHERE s % 100 = 0),
+    {",".join(its)}
+    SELECT node, CAST(dist AS INTEGER) AS dist FROM {prev}
+    """
+
+
+@register(
+    "graph_bfs_khop",
+    oracle=_bfs_oracle(hops=3),
+    doc="K-hop BFS distances (3 hops) from a seed supplier set over "
+    "the part-sampled co-supply graph — the reachability member of "
+    "the graph family (CC = components, PageRank = importance, LPA = "
+    "communities, triangles = local structure). Each hop is one "
+    "frontier equi-join + one min-distance aggregate keyed by node "
+    "id, lineage cut per hop; the frontier lives in DataFrames, "
+    "never on the driver. Fixed hop count ⇒ pure function of "
+    "(edges, seeds) ⇒ the unrolled SQL oracle hash-matches. "
+    "operators/graph.py.",
+)
+def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.graph import bfs_khop
+
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    keep_part = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lpa:"), F.col("p").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+        == 0
+    )
+    ok = (
+        ps.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .where("ns <= 64")
+        .where(keep_part)
+        .select("p")
+    )
+    psf = ps.join(ok, "p")
+    pairs = (
+        psf.alias("x")
+        .join(psf.alias("y"), (F.col("x.p") == F.col("y.p")) & (F.col("x.s") < F.col("y.s")))
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+    )
+    seeds = ps.select(F.col("s").alias("node")).distinct().where("node % 100 = 0")
+    out = bfs_khop(pairs, seeds, hops=3)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))

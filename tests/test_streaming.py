@@ -893,3 +893,49 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expect == {1: "Alpha", 2: "Beta", 3: None, 4: "Alpha"}
+
+
+def test_streaming_histogram_matches_batch_sketch(spark, tmp_path):
+    """Streaming histogram: cumulative per-window bucket counters
+    (update mode, counts monotone -> max per key is the final state)
+    must equal the batch histogram_sketch over the same rows, with
+    state accumulating across micro-batches and clipping intact."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.operators.sketches import histogram_sketch
+    from tfl_realtime_lakehouse_spark.streaming.histograms import (
+        streaming_histogram,
+    )
+
+    t = lambda m: dt.datetime(2025, 1, 1, 10, m)
+    rows1 = [(1, t(0), 5.0), (2, t(1), 15.0), (3, t(2), -4.0)]   # -4 clips to 0
+    rows2 = [(4, t(3), 15.5), (5, t(4), 999.0), (6, t(5), 5.1)]  # 999 clips hi
+    schema = "event_id long, ts timestamp, value double"
+    src = str(tmp_path / "hist-src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    hist = streaming_histogram(
+        stream, lo=0.0, hi=100.0, bins=10, window="1 hour"
+    )
+    _run_stream(hist, tmp_path, "hist_out", mode="update")
+    got = {}
+    for r in spark.sql("select * from hist_out").collect():
+        key = (r["win_start"], r["bucket"])
+        got[key] = max(got.get(key, 0), r["cnt"])
+
+    batch = histogram_sketch(
+        spark.createDataFrame(rows1 + rows2, schema), "value", 0.0, 100.0, 10
+    )
+    expect = {
+        (dt.datetime(2025, 1, 1, 10, 0), r["bucket"]): r["cnt"]
+        for r in batch.collect()
+    }
+    assert got == expect
+    assert got[(dt.datetime(2025, 1, 1, 10, 0), 0)] == 3  # 5.0, 5.1, clipped -4
+    assert got[(dt.datetime(2025, 1, 1, 10, 0), 9)] == 1  # clipped 999

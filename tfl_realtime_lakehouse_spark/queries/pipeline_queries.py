@@ -1632,3 +1632,52 @@ def events_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("event_type"), F.col("w.start").alias("win_start"), "n", "total_value")
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             UPPER(SUBSTR(event_type, 1, 1)) || SUBSTR(event_type, 2)
+                 AS type_label
+      FROM events
+    )
+    SELECT e.event_id, e.event_type, d.type_label, ROUND(e.value, 6) AS value
+    FROM events e JOIN dim d USING (event_type)
+    """,
+    doc="Skew-proof replicated join (operators/skew.py:"
+    "salted_broadcast_replicate_join): every events row carries one "
+    "of ~5 event_type keys — each key a heavy hitter, the case where "
+    "a plain shuffled equi-join sends 20% of a 100 TB fact table to "
+    "one reducer. The operator explodes the 5-row dimension ×32 salt "
+    "buckets and salts the fact side deterministically (xxhash64 of "
+    "event_id), so each hot key spreads over 32 partitions; when the "
+    "replicated dim still fits a broadcast (it does here) Catalyst "
+    "broadcasts it and the fact side never shuffles at all. The "
+    "plain-join oracle proves salting is invisible in the output — "
+    "the same contract as skew_salted_agg.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.skew import (
+        salted_broadcast_replicate_join,
+    )
+
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.concat(
+                F.upper(F.substring("event_type", 1, 1)),
+                F.expr("substring(event_type, 2)"),
+            ).alias("type_label"),
+        )
+    )
+    out = salted_broadcast_replicate_join(
+        ev, dim, key="event_type", salt=32, dist_cols=["event_id"]
+    )
+    return out.select(
+        "event_id", "event_type", "type_label", F.round("value", 6).alias("value")
+    )

@@ -1037,3 +1037,150 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = ps.select(F.col("s").alias("node")).distinct().where("node % 100 = 0")
     out = bfs_khop(pairs, seeds, hops=3)
     return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "recommend_parts_for_customer",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    ok AS (SELECT o FROM op GROUP BY o HAVING COUNT(*) <= 20),
+    opf AS (SELECT op.o, op.p FROM op JOIN ok USING (o)),
+    pairs AS (
+      SELECT x.p AS part_a, y.p AS part_b, COUNT(*) AS co_cnt
+      FROM opf x JOIN opf y ON x.o = y.o AND x.p < y.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    sym AS (
+      SELECT part_a AS part_owned, part_b AS part_rec, co_cnt FROM pairs
+      UNION ALL
+      SELECT part_b, part_a, co_cnt FROM pairs
+    ),
+    owned AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey < 200
+    ),
+    scored AS (
+      SELECT owned.c, sym.part_rec, SUM(sym.co_cnt) AS score
+      FROM owned JOIN sym ON sym.part_owned = owned.p
+      LEFT JOIN owned oh ON oh.c = owned.c AND oh.p = sym.part_rec
+      WHERE oh.p IS NULL
+      GROUP BY 1, 2
+    )
+    SELECT c AS custkey, part_rec, CAST(score AS BIGINT) AS score,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT scored.*,
+                 ROW_NUMBER() OVER (PARTITION BY c
+                                    ORDER BY score DESC, part_rec) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    doc="Item-to-item recommendation serving join ('customers who "
+    "bought X also bought Y'): the market-basket affinity pairs "
+    "(co_cnt >= 2, basket-capped) symmetrized into an item->item "
+    "model, joined against each target customer's owned-part set, "
+    "already-owned parts anti-joined out, scores summed and the top-3 "
+    "per customer cut with a deterministic (score desc, part asc) "
+    "order. The model side is the bounded artifact (frequent pairs), "
+    "the customer side streams through two equi-joins + one window — "
+    "the batch-serving shape of every neighborhood recommender. "
+    "Composes basket_part_affinity end-to-end; integer scores, fully "
+    "hash-checked.",
+)
+def recommend_parts_for_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    ok = op.groupBy("o").agg(F.count(F.lit(1)).alias("np")).where("np <= 20").select("o")
+    opf = op.join(ok, "o")
+    pairs = (
+        opf.alias("x")
+        .join(opf.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        .where("co_cnt >= 2")
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("part_owned"),
+        F.col("part_b").alias("part_rec"),
+        "co_cnt",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("part_owned"),
+            F.col("part_a").alias("part_rec"),
+            "co_cnt",
+        )
+    )
+    owned = (
+        orders.where("o_custkey < 200")
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    cand = owned.join(sym, owned["p"] == sym["part_owned"]).select(
+        "c", "part_rec", "co_cnt"
+    )
+    not_owned = cand.join(
+        owned.select("c", F.col("p").alias("part_rec")),
+        ["c", "part_rec"],
+        "left_anti",
+    )
+    scored = not_owned.groupBy("c", "part_rec").agg(F.sum("co_cnt").alias("score"))
+    w = Window.partitionBy("c").orderBy(F.desc("score"), F.col("part_rec"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where("rnk <= 3")
+        .select(
+            F.col("c").alias("custkey"),
+            "part_rec",
+            F.col("score").cast("bigint").alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "agg_correlation_matrix",
+    oracle="""
+    SELECT 'quantity_price' AS pair,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+    UNION ALL
+    SELECT 'quantity_discount', ROUND(CORR(l_quantity, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity_tax', ROUND(CORR(l_quantity, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'price_discount', ROUND(CORR(l_extendedprice, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'price_tax', ROUND(CORR(l_extendedprice, l_tax), 6) FROM lineitem
+    UNION ALL
+    SELECT 'discount_tax', ROUND(CORR(l_discount, l_tax), 6) FROM lineitem
+    """,
+    doc="Pairwise correlation matrix over the four lineitem numeric "
+    "measures in ONE scan — all six CORR aggregates evaluate in the "
+    "same single-pass aggregate (Catalyst collapses them into one "
+    "physical Aggregate; no per-pair rescans), the feature-screening "
+    "pass run before any modeling. Rounded to 6 dp to absorb the "
+    "engines' covariance-merge reassociation (~1e-9 relative, same "
+    "policy as agg_stats).",
+)
+def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("quantity_price", "l_quantity", "l_extendedprice"),
+        ("quantity_discount", "l_quantity", "l_discount"),
+        ("quantity_tax", "l_quantity", "l_tax"),
+        ("price_discount", "l_extendedprice", "l_discount"),
+        ("price_tax", "l_extendedprice", "l_tax"),
+        ("discount_tax", "l_discount", "l_tax"),
+    ]
+    one = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(name) for name, a, b in pairs]
+    )
+    # unpivot the single row to (pair, r) — stack stays in the same plan
+    n = len(pairs)
+    stack_expr = ", ".join(f"'{name}', {name}" for name, _, _ in pairs)
+    return one.selectExpr(f"stack({n}, {stack_expr}) as (pair, r)")

@@ -456,73 +456,6 @@ def test_streaming_neardup_suppression_across_batches(spark, tmp_path):
     assert band_rows.where("doc_id = 2 AND NOT is_new").count() == 4
 
 
-def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
-    """Watermarked stream-stream interval join == the batch join of the
-    same finite data: every arrival pairs with the status messages of
-    its line posted within the preceding 15 minutes, and rows outside
-    the interval or on other lines never appear."""
-    from tfl_realtime_lakehouse_spark.streaming.joins import stream_interval_join
-
-    arr_dir = str(tmp_path / "ssj-arrivals")
-    st_dir = str(tmp_path / "ssj-status")
-    arrivals = spark.createDataFrame(
-        [
-            ("central", "A1", "2025-01-01T10:10:00Z"),
-            ("central", "A2", "2025-01-01T10:30:00Z"),
-            ("victoria", "A3", "2025-01-01T10:10:00Z"),
-        ],
-        "line_id string, arrival_id string, ts string",
-    ).select("line_id", "arrival_id", F.col("ts").cast("timestamp").alias("event_ts"))
-    statuses = spark.createDataFrame(
-        [
-            ("central", "minor delays", "2025-01-01T10:00:00Z"),   # in window of A1, not A2
-            ("central", "severe delays", "2025-01-01T10:25:00Z"),  # in window of A2 only
-            ("central", "good service", "2025-01-01T10:40:00Z"),   # after every arrival
-            ("victoria", "part closure", "2025-01-01T10:05:00Z"),  # victoria A3
-        ],
-        "line_id string, status string, ts string",
-    ).select("line_id", "status", F.col("ts").cast("timestamp").alias("status_ts"))
-    arrivals.write.parquet(arr_dir)
-    statuses.write.parquet(st_dir)
-
-    def stream_of(path, schema_df):
-        return spark.readStream.schema(schema_df.schema).parquet(path)
-
-    joined = stream_interval_join(
-        stream_of(arr_dir, arrivals),
-        stream_of(st_dir, statuses),
-        key="line_id",
-        left_ts="event_ts",
-        right_ts="status_ts",
-        lookback="15 minutes",
-    )
-    assert joined.isStreaming
-    q = (
-        joined.writeStream.format("memory")
-        .queryName("ssj")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "ckpt-ssj"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = {
-        (r.arrival_id, r.status)
-        for r in spark.sql("select arrival_id, status from ssj").collect()
-    }
-
-    batch = stream_interval_join(
-        arrivals, statuses, key="line_id",
-        left_ts="event_ts", right_ts="status_ts", lookback="15 minutes",
-    )
-    want = {(r.arrival_id, r.status) for r in batch.collect()}
-    assert got == want
-    assert want == {
-        ("A1", "minor delays"),
-        ("A2", "severe delays"),
-        ("A3", "part closure"),
-    }
-
 
 def test_streaming_session_window_matches_batch_gap_model(spark, tmp_path):
     """Spark's built-in session_window must produce the same sessions as
@@ -939,3 +872,55 @@ def test_streaming_histogram_matches_batch_sketch(spark, tmp_path):
     assert got == expect
     assert got[(dt.datetime(2025, 1, 1, 10, 0), 0)] == 3  # 5.0, 5.1, clipped -4
     assert got[(dt.datetime(2025, 1, 1, 10, 0), 9)] == 1  # clipped 999
+
+
+def test_stream_stream_left_outer_interval_join(spark, tmp_path):
+    """leftOuter stream-stream interval join: matched pairs equal the
+    inner join; left rows whose interval expired under the watermark
+    emit exactly once with a null right timestamp — the streaming
+    abandonment detector. A late sentinel advances the watermark so
+    availableNow finalizes the outer results."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.joins import stream_interval_join
+
+    t = lambda h, m: dt.datetime(2025, 1, 1, h, m)
+    lschema = "user_id long, l_ts timestamp"
+    rschema = "user_id long, r_ts timestamp"
+    lsrc, rsrc = str(tmp_path / "loj-l"), str(tmp_path / "loj-r")
+    errors = [(1, t(10, 0)), (2, t(10, 30)), (9, t(23, 50))]  # 9 = sentinel
+    clicks = [(1, t(10, 20)), (9, t(23, 55))]  # user 2 never clicks
+    spark.createDataFrame(errors, lschema).coalesce(1).write.parquet(f"{lsrc}/f=1")
+    spark.createDataFrame(clicks, rschema).coalesce(1).write.parquet(f"{rsrc}/f=1")
+
+    out_dir = str(tmp_path / "loj-out")
+
+    def run():
+        ls = spark.readStream.schema(lschema).parquet(f"{lsrc}/f=*")
+        rs = spark.readStream.schema(rschema).parquet(f"{rsrc}/f=*")
+        joined = stream_interval_join(
+            ls, rs, "user_id", max_gap_minutes=60,
+            left_watermark="0 seconds", right_watermark="0 seconds",
+            how="leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "ckpt-loj"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # second pass from the same checkpoint finalizes outer rows whose
+    # intervals the sentinel-advanced watermark has closed
+    run()
+    got = {
+        (r["user_id"], r["l_ts"], r["r_ts"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, t(10, 0), t(10, 20)) in got          # matched pair
+    assert (2, t(10, 30), None) in got              # expired -> null right
+    assert sum(1 for g in got if g[0] == 2) == 1    # exactly once

@@ -52,11 +52,18 @@ def stream_interval_join(
     max_gap_minutes: int = 60,
     left_watermark: str = "2 hours",
     right_watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: same key, right event in
+    """Stream-stream join: same key, right event in
     ``(left_ts, left_ts + max_gap_minutes]``. Watermarks on BOTH sides
     bound the join state (Spark prunes a side's buffered rows once the
-    opposite watermark passes the interval's reach)."""
+    opposite watermark passes the interval's reach).
+
+    ``how="leftOuter"`` emits unmatched left rows with a null right
+    timestamp once the watermark proves no match can still arrive —
+    the streaming abandonment/timeout detector ("click with no
+    purchase within the hour"), state-bounded by the same watermark
+    arithmetic as the inner join."""
     lw = left.withWatermark(left_ts, left_watermark)
     rw = right.withWatermark(right_ts, right_watermark)
     cond = (
@@ -69,7 +76,7 @@ def stream_interval_join(
     )
     return (
         lw.alias("l")
-        .join(rw.alias("r"), cond, "inner")
+        .join(rw.alias("r"), cond, how)
         .select(
             F.col(f"l.{key}").alias(key),
             F.col(f"l.{left_ts}").alias(left_ts),

@@ -1681,3 +1681,314 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", "type_label", F.round("value", 6).alias("value")
     )
+
+
+@register(
+    "events_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts,
+             ts + TO_SECONDS(CAST(FLOOR(LEAST(3600, GREATEST(60, value * 100)))
+                                  AS BIGINT)) AS te
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts, te,
+             CASE WHEN MAX(te) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) >= ts
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, ts, te,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS island_id
+      FROM flagged
+    )
+    SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+           MIN(ts) AS island_start, MAX(te) AS island_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY 1, 2
+    """,
+    doc="Overlapping-interval merge (gaps-and-islands): each event "
+    "opens a value-scaled activity interval [ts, ts + 60..3600 s]; "
+    "per-user intervals that overlap a running MAX(end) over the "
+    "(ts, event_id) total order are coalesced into islands, and one "
+    "hash aggregate emits each island's span and event count — the "
+    "availability/uptime-coverage primitive behind SLA and session-"
+    "coverage reporting. ONE shuffle total: the cummax window, the "
+    "island-id running sum, and the per-(user, island) aggregate all "
+    "share the user_id hash partitioning, so Spark reuses the single "
+    "exchange. Interval ends are integer-second offsets (exact in "
+    "both engines); timestamps and counts emit raw.",
+)
+def events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (
+            F.col("ts")
+            + F.make_dt_interval(
+                secs=F.floor(
+                    F.least(
+                        F.lit(3600.0), F.greatest(F.lit(60.0), F.col("value") * 100)
+                    )
+                ).cast("bigint")
+            )
+        ).alias("te"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "te",
+        F.when(
+            F.max("te").over(w.rowsBetween(Window.unboundedPreceding, -1))
+            >= F.col("ts"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("user_id", F.col("island_id").cast("bigint").alias("island_id")).agg(
+        F.min("ts").alias("island_start"),
+        F.max("te").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+@register(
+    "events_sequence_pattern",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id, DATE_TRUNC('day', ts) AS day,
+             STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day, CAST(n_events AS BIGINT) AS n_events,
+           CAST(LEN(REGEXP_EXTRACT_ALL(path, 'view>(error>)*purchase'))
+                AS BIGINT) AS n_quick_buys,
+           CAST(CASE WHEN REGEXP_MATCHES(path, 'signup(>.*)?>purchase')
+                THEN 1 ELSE 0 END AS INTEGER) AS converted
+    FROM paths
+    """,
+    doc="MATCH_RECOGNIZE-style sequence pattern matching: per "
+    "(user, day) the event types are folded into an ordered path "
+    "string ((ts, event_id) total order) and scanned with regexes — "
+    "n_quick_buys counts non-overlapping view→purchase runs with only "
+    "errors between (leftmost-greedy semantics agree between Java "
+    "regex and DuckDB's RE2 for this backreference-free pattern), "
+    "converted flags a signup..purchase subsequence. The day key "
+    "bounds the collected path (≤ one day of one user's events), so "
+    "state per group is O(events/user/day) — no unbounded per-user "
+    "collect at 100 TB. One shuffle (user, day); Spark side builds "
+    "the path with array_sort(collect_list(struct)) + transform + "
+    "concat_ws, all JVM expressions.",
+)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda x: x["event_type"],
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return paths.select(
+        "user_id",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(path, 'view>(error>)*purchase', 0)"))
+        .cast("bigint")
+        .alias("n_quick_buys"),
+        F.when(F.col("path").rlike("signup(>.*)?>purchase"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("converted"),
+    )
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, DATE_TRUNC('week', ts) AS wk, ts, event_id,
+             CAST(value AS DECIMAL(18, 6)) AS dv,
+             ROW_NUMBER() OVER (PARTITION BY event_type, DATE_TRUNC('week', ts)
+                                ORDER BY ts, event_id) AS k
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, wk,
+             CAST(SUM(dv) AS DOUBLE) AS s_n,
+             COUNT(*) AS n
+      FROM v GROUP BY 1, 2
+    ),
+    cusum AS (
+      SELECT v.event_type, v.wk, v.k, v.ts,
+             ABS(CAST(SUM(v.dv) OVER (PARTITION BY v.event_type, v.wk
+                                      ORDER BY v.ts, v.event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS DOUBLE)
+                 - CAST(v.k AS DOUBLE) * (tot.s_n / CAST(tot.n AS DOUBLE)))
+               AS dev
+      FROM v JOIN tot USING (event_type, wk)
+    )
+    SELECT event_type, wk AS week, CAST(k AS BIGINT) AS change_k,
+           ts AS change_ts, ROUND(dev, 6) AS max_dev
+    FROM (SELECT cusum.*,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, wk
+                                    ORDER BY dev DESC, k) AS rnk
+          FROM cusum)
+    WHERE rnk = 1
+    """,
+    doc="CUSUM changepoint detection per (event_type, week): the "
+    "cumulative sum of values minus the expected k·mean line peaks "
+    "at the most likely mean-shift point (classic offline CUSUM "
+    "statistic argmax_k |S_k − k·S_n/n|). The WEEK in the series key "
+    "is the scale design: a per-type-only series is one unbounded "
+    "sorted run on one core, while (type, week) bounds every "
+    "window partition to a week of one type — the standard "
+    "detect-within-rolling-window deployment shape. Running sums "
+    "aggregate in DECIMAL(18,6) — exact, order-free — and only the "
+    "final deviation arithmetic runs in double with an identical "
+    "expression tree in both engines, rounded at 6 dp. The per-key "
+    "totals broadcast-join back; the argmax is a rank-1 filter with "
+    "a deterministic k tiebreak.",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "wk").orderBy("ts", "event_id")
+    v = ev.select(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("wk"),
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").alias("dv"),
+    ).withColumn("k", F.row_number().over(w))
+    tot = v.groupBy("event_type", "wk").agg(
+        F.sum("dv").cast("double").alias("s_n"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cusum = v.join(F.broadcast(tot), ["event_type", "wk"]).select(
+        "event_type",
+        "wk",
+        "k",
+        "ts",
+        F.abs(
+            F.sum("dv").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            - F.col("k").cast("double") * (F.col("s_n") / F.col("n").cast("double"))
+        ).alias("dev"),
+    )
+    wr = Window.partitionBy("event_type", "wk").orderBy(F.col("dev").desc(), "k")
+    return (
+        cusum.withColumn("rnk", F.row_number().over(wr))
+        .where("rnk = 1")
+        .select(
+            "event_type",
+            F.col("wk").alias("week"),
+            F.col("k").cast("bigint").alias("change_k"),
+            F.col("ts").alias("change_ts"),
+            F.round("dev", 6).alias("max_dev"),
+        )
+    )
+
+
+@register(
+    "regr_linear_by_group",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts) / 86400) AS BIGINT) AS x,
+             CAST(value AS DECIMAL(18, 6)) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM m GROUP BY 1
+    ),
+    parts AS (
+      SELECT event_type, n,
+             n * sxy - sx * sy AS cxy,
+             n * sxx - sx * sx AS cxx,
+             n * syy - sy * sy AS cyy,
+             sx, sy
+      FROM sums
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(cxy / cxx, 6) AS slope,
+           ROUND((sy - (cxy / cxx) * sx) / n, 6) AS intercept,
+           ROUND((cxy * cxy) / (cxx * cyy), 6) AS r2
+    FROM parts
+    """,
+    doc="Closed-form per-group OLS (value ~ epoch-day): one hash "
+    "aggregate computes the six sufficient statistics (n, Σx, Σx², "
+    "Σy, Σxy, Σy²) — the map-side-combinable shape that makes "
+    "regression a single shuffle of |groups| rows at any corpus "
+    "size — then slope/intercept/R² come from the normal equations "
+    "on the driver-free aggregate row. Determinism: x is an exact "
+    "integer day index, y aggregates in DECIMAL(18,6) (and x·y, y² "
+    "as exact decimal products), so every sum is order-free exact; "
+    "the covariance arithmetic runs in double with the identical "
+    "expression tree in both engines (shared cxy/cxx/cyy columns), "
+    "rounded at 6 dp.",
+)
+def regr_linear_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    sums = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    parts = sums.select(
+        "event_type",
+        "n",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("cxy"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("cxx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("cyy"),
+        "sx",
+        "sy",
+    )
+    return parts.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("cxy") / F.col("cxx"), 6).alias("slope"),
+        F.round(
+            (F.col("sy") - (F.col("cxy") / F.col("cxx")) * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        F.round((F.col("cxy") * F.col("cxy")) / (F.col("cxx") * F.col("cyy")), 6).alias(
+            "r2"
+        ),
+    )

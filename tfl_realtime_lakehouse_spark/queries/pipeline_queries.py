@@ -1992,3 +1992,110 @@ def regr_linear_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2"
         ),
     )
+
+
+@register(
+    "agg_kmv_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || SUBSTR(MD5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS hv
+      FROM events
+    ),
+    kmins AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    per_type AS (
+      SELECT event_type AS scope,
+             COUNT(*) AS n_mins,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS m_k
+      FROM kmins WHERE rn <= 64 GROUP BY 1
+    ),
+    merged AS (
+      SELECT '__all__' AS scope, COUNT(*) AS n_mins,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS m_k
+      FROM (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn
+            FROM (SELECT DISTINCT hv FROM kmins WHERE rn <= 64))
+      WHERE rn <= 64
+    ),
+    exact_t AS (
+      SELECT event_type AS scope, COUNT(DISTINCT user_id) AS exact_d
+      FROM events GROUP BY 1
+    ),
+    exact_all AS (
+      SELECT '__all__' AS scope, COUNT(DISTINCT user_id) AS exact_d FROM events
+    ),
+    sk AS (SELECT * FROM per_type UNION ALL SELECT * FROM merged),
+    ex AS (SELECT * FROM exact_t UNION ALL SELECT * FROM exact_all)
+    SELECT sk.scope,
+           ROUND(CASE WHEN sk.n_mins < 64 THEN CAST(sk.n_mins AS DOUBLE)
+                 ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                      / CAST(sk.m_k AS DOUBLE) END, 4) AS est_distinct,
+           CAST(ex.exact_d AS BIGINT) AS exact_distinct
+    FROM sk JOIN ex USING (scope)
+    """,
+    doc="KMV (k-minimum-values / bottom-k) distinct sketch, the "
+    "mergeable theta-sketch family member: per event_type keep the "
+    "64 smallest 60-bit md5 hashes of user_id; the k-th minimum "
+    "m_k estimates distincts as (k−1)·2⁶⁰/m_k. The '__all__' row is "
+    "computed by MERGING the per-type sketches (k smallest of the "
+    "union of k-min sets) — the property that lets 100 TB of "
+    "per-partition sketches combine into one 64-value state without "
+    "re-scanning. Small-set exactness: groups with < k distinct "
+    "hashes report their exact count. Hashes are integer md5 "
+    "arithmetic (cross-engine exact); the estimate is one double "
+    "division rounded at 4 dp.",
+)
+def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = 64
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kmins = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    per_type = kmins.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count(F.lit(1)).alias("n_mins"),
+        F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("m_k"),
+    )
+    wm = Window.orderBy("hv")
+    merged = (
+        kmins.select("hv")
+        .distinct()
+        .withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") <= k)
+        .groupBy(F.lit("__all__").alias("scope"))
+        .agg(
+            F.count(F.lit(1)).alias("n_mins"),
+            F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("m_k"),
+        )
+    )
+    exact_t = ev.groupBy(F.col("event_type").alias("scope")).agg(
+        F.countDistinct("user_id").alias("exact_d")
+    )
+    exact_all = ev.groupBy(F.lit("__all__").alias("scope")).agg(
+        F.countDistinct("user_id").alias("exact_d")
+    )
+    sk = per_type.unionAll(merged)
+    ex = exact_t.unionAll(exact_all)
+    est = (
+        F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(1152921504606846976.0)
+            / F.col("m_k").cast("double")
+        )
+    )
+    return sk.join(ex, "scope").select(
+        "scope",
+        F.round(est, 4).alias("est_distinct"),
+        F.col("exact_d").cast("bigint").alias("exact_distinct"),
+    )

@@ -4,7 +4,7 @@ dedup family, token/quality/language analysis, fingerprinting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfl_realtime_lakehouse_spark.operators import dedup as D
@@ -1383,4 +1383,140 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("oov_rate"),
         )
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DECIMAL(18,0))
+             * CAST(LN((CAST(n.n_docs AS DOUBLE) + 1.0::DOUBLE)
+                       / (CAST(df.df AS DOUBLE) + 1.0::DOUBLE))
+                    + 1.0::DOUBLE AS DECIMAL(18,12)) AS score_d
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           ROUND(CAST(score_d AS DOUBLE), 6) AS score, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT scored.*,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY score_d DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+    doc="TF-IDF top-5 terms per document — keyword extraction for "
+    "corpus curation and retrieval indexing. One token explode feeds "
+    "both the per-(doc, term) tf aggregate and the per-term document "
+    "frequency; idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn "
+    "convention) joins back on term, with the 1-row corpus count as "
+    "a broadcast cross join. Determinism: the double LN is cast to "
+    "DECIMAL(18,12) BEFORE the tf multiply and the top-5 ranking, so "
+    "ordering compares exact decimals (a 1-ulp libm divergence "
+    "at the 12th decimal is the only residual risk, vs ordering on "
+    "raw doubles where every near-tie is a coin flip); row_number "
+    "ties break on term. Two shuffles (term df join, doc window).",
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("decimal(18,0)")
+                * (
+                    F.log(
+                        (F.col("n_docs").cast("double") + F.lit(1.0))
+                        / (F.col("df").cast("double") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ).cast("decimal(18,12)")
+            ).alias("score_d"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("score_d").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round(F.col("score_d").cast("double"), 6).alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+@register(
+    "docs_shard_manifest",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(n_chars AS BIGINT) AS n_bytes,
+           CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 65536.0) AS BIGINT)
+             AS shard_id,
+           CAST(cum - n_chars
+                - CAST(FLOOR(CAST(cum - n_chars AS DOUBLE) / 65536.0) AS BIGINT)
+                  * 65536 AS BIGINT) AS shard_offset
+    FROM c
+    """,
+    doc="WebDataset-style shard manifest: documents are packed into "
+    "~64 KiB shards per source by a running byte cumsum over the "
+    "(source, doc_id) total order — shard_id = exclusive-prefix / "
+    "shard_size, shard_offset = position within the shard. This is "
+    "the deterministic shard-assignment plan a training-data export "
+    "runs before writing tar shards; keying the cumsum by source "
+    "keeps every window partition to one source's manifest (the "
+    "same bounded-partition design as the sequence-packing query) "
+    "instead of one global serial scan. All-integer arithmetic — "
+    "exact in both engines.",
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+    )
+    excl = F.col("cum") - F.col("n_chars")
+    shard = F.floor(excl.cast("double") / F.lit(65536.0)).cast("bigint")
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_bytes"),
+        shard.alias("shard_id"),
+        (excl - shard * F.lit(65536)).cast("bigint").alias("shard_offset"),
     )

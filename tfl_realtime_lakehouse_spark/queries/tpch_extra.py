@@ -1184,3 +1184,100 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = len(pairs)
     stack_expr = ", ".join(f"'{name}', {name}" for name, _, _ in pairs)
     return one.selectExpr(f"stack({n}, {stack_expr}) as (pair, r)")
+
+
+@register(
+    "graph_neighbor_jaccard",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 64),
+    oks AS (SELECT p FROM ok
+            WHERE ('0x' || SUBSTR(MD5('lpa:' || p), 1, 15))::BIGINT % 16 = 0),
+    psf AS (SELECT ps.p, ps.s FROM ps JOIN oks USING (p)),
+    e0 AS (SELECT DISTINCT x.s AS a, y.s AS b
+           FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s),
+    adj AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM adj GROUP BY 1),
+    common AS (
+      SELECT x.a AS u, y.a AS v, COUNT(*) AS cn
+      FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors,
+           ROUND(CAST(cn AS DOUBLE)
+                 / CAST(du.d + dv.d - cn AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN deg du ON du.node = u
+    JOIN deg dv ON dv.node = v
+    """,
+    doc="Neighborhood Jaccard node similarity over the part-sampled "
+    "co-supply graph (same capped edge derivation as BFS/LPA/"
+    "PageRank): common-neighbor counts come from the wedge self-join "
+    "adj ⋈ adj on the shared neighbor — the distributed formulation "
+    "that never materializes neighbor SETS per node (a collect_set "
+    "would be the non-scalable alternative) — and J(u,v) = "
+    "|N∩| / (deg(u)+deg(v)−|N∩|) follows from two degree joins. The "
+    "≥2-common-neighbor floor bounds output the way the basket-"
+    "affinity query does; the per-part ≤64 cap bounds wedge fanout "
+    "per neighbor (the same skew control the triangle counter uses). "
+    "Counts are exact ints; one double division rounded at 6 dp.",
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    keep_part = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lpa:"), F.col("p").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16
+        == 0
+    )
+    ok = (
+        ps.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .where("ns <= 64")
+        .where(keep_part)
+        .select("p")
+    )
+    psf = ps.join(ok, "p")
+    e0 = (
+        psf.alias("x")
+        .join(
+            psf.alias("y"),
+            (F.col("x.p") == F.col("y.p")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
+        .distinct()
+    )
+    adj = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = adj.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    common = (
+        adj.alias("x")
+        .join(adj.alias("y"), (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a")))
+        .groupBy(F.col("x.a").alias("u"), F.col("y.a").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .where("cn >= 2")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        common.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.col("cn").cast("bigint").alias("common_neighbors"),
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

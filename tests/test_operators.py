@@ -1922,3 +1922,61 @@ def test_bfs_khop_distances(spark):
     seeds2 = spark.createDataFrame([(0,), (4,)], "node long")
     got2 = {r["node"]: r["dist"] for r in bfs_khop(edges, seeds2, hops=2).collect()}
     assert got2[3] == 1 and got2[2] == 2 and got2[5] == 1 and got2[0] == 0
+
+
+def test_mmr_select_matches_python_greedy(spark):
+    """mmr_select replays the reference greedy move-for-move: argmax rel
+    first, then argmax lam*rel-(1-lam)*max-sim-to-selected with id
+    tiebreaks, across multiple query groups including a short pool."""
+    import itertools
+
+    rng_rel = {
+        # query 1: 5 candidates; query 2: 3 candidates (shorter than k)
+        (1, 10): 0.9, (1, 11): 0.88, (1, 12): 0.7, (1, 13): 0.88, (1, 14): 0.5,
+        (2, 20): 0.6, (2, 21): 0.6, (2, 22): 0.1,
+    }
+    sim = {
+        (1, 10, 11): 0.95, (1, 10, 12): 0.2, (1, 10, 13): 0.1, (1, 10, 14): 0.0,
+        (1, 11, 12): 0.3, (1, 11, 13): 0.2, (1, 11, 14): 0.1,
+        (1, 12, 13): 0.9, (1, 12, 14): 0.4, (1, 13, 14): 0.2,
+        (2, 20, 21): 0.99, (2, 21, 22): 0.0, (2, 20, 22): 0.5,
+    }
+    lam, k = 0.7, 4
+    cand = spark.createDataFrame(
+        [(q, v, r) for (q, v), r in rng_rel.items()], "query_id long, vec_id long, rel double"
+    )
+    ps = spark.createDataFrame(
+        [(q, a, b, s) for (q, a, b), s in sim.items()]
+        + [(q, b, a, s) for (q, a, b), s in sim.items()],
+        "query_id long, a long, b long, sim double",
+    )
+    got = {
+        (r.query_id, r.step): r.vec_id
+        for r in S.mmr_select(cand, ps, k=k, lam=lam).collect()
+    }
+
+    # reference greedy
+    want = {}
+    for q in {1, 2}:
+        rel = {v: r for (qq, v), r in rng_rel.items() if qq == q}
+        sims = {}
+        for (qq, a, b), s in sim.items():
+            if qq == q:
+                sims.setdefault(a, {})[b] = s
+                sims.setdefault(b, {})[a] = s
+        sel = [min(rel, key=lambda c: (-rel[c], c))]
+        want[(q, 1)] = sel[0]
+        for step in range(2, k + 1):
+            pool = [c for c in rel if c not in sel and any(s in sims.get(c, {}) for s in sel)]
+            if not pool:
+                break
+            def score(c):
+                mx = max(sims[c][s] for s in sel if s in sims[c])
+                return (-(lam * rel[c] - (1 - lam) * mx), c)
+            pick = min(pool, key=score)
+            sel.append(pick)
+            want[(q, step)] = pick
+    assert got == want
+    # diversity sanity: near-duplicate 11 of the query-1 winner 10 is
+    # NOT picked second despite having the 2nd-highest rel
+    assert got[(1, 2)] != 11

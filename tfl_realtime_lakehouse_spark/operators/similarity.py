@@ -1422,3 +1422,89 @@ def random_projection(
             F.round(acc.cast("double") * F.lit(scale), 6).alias(f"y{j}")
         )
     return fan_out(df).select(id_col, *outs)
+
+def mmr_select(
+    candidates: DataFrame,
+    pair_sims: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance diverse top-k selection (Carbonell &
+    Goldstein 1998) — the diversity-aware re-ranking used to pick varied
+    training examples / retrieval results.
+
+    ``candidates``: (query_id, id, rel) — the per-query candidate pool,
+    bounded by an upstream top-N (the scale contract: per-group state is
+    O(N), never corpus-sized). ``pair_sims``: (query_id, a, b, sim) with
+    BOTH orientations of every candidate pair. Step 1 takes the argmax
+    of rel; each later step re-scores the remaining pool as
+    ``lam·rel − (1−lam)·max(sim to selected)`` and takes the argmax,
+    ties broken on id.
+
+    Execution: a cogrouped ``applyInPandas`` — the greedy is inherently
+    sequential PER QUERY but embarrassingly parallel ACROSS queries, so
+    one cogroup shuffle lands each query's bounded (N candidates, N²
+    pair sims) state in a single Arrow batch and the k rounds run as an
+    in-memory loop. (A DataFrame-unrolled variant — k rounds of
+    join + window argmax + localCheckpoint, the bfs_khop pattern — is
+    semantically identical but pays ~3 scheduler jobs per round; the
+    cogroup form is one job at any query count.) Determinism: rel/sim
+    arrive pre-rounded at 6 dp, and the python float64 MMR expression
+    ``lam*rel - (1-lam)*mx`` is the same IEEE tree the SQL oracle
+    computes, so argmax decisions replay move-for-move; ties break on
+    id. Output schema types are derived from the input (no hardcoded
+    id dtype).
+    """
+    qt = candidates.schema[query_id_col].dataType
+    it = candidates.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id_col, qt),
+            T.StructField(id_col, it),
+            T.StructField("step", T.IntegerType()),
+        ]
+    )
+
+    def greedy(cand_pdf: pd.DataFrame, ps_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=[query_id_col, id_col, "step"])
+        qid = cand_pdf[query_id_col].iloc[0]
+        rel = dict(zip(cand_pdf[id_col], cand_pdf["rel"]))
+        sims: dict = {}
+        for a, b, s in zip(ps_pdf["a"], ps_pdf["b"], ps_pdf["sim"]):
+            sims.setdefault(a, {})[b] = s
+        # step 1: argmax rel, ties on id
+        first = min(rel, key=lambda c: (-rel[c], c))
+        selected = [first]
+        mx = {c: d.get(first, None) for c, d in sims.items() if c != first}
+        for _ in range(2, k + 1):
+            pool = [
+                c
+                for c in rel
+                if c not in selected and mx.get(c) is not None
+            ]
+            if not pool:
+                break
+            pick = min(
+                pool, key=lambda c: (-(lam * rel[c] - (1.0 - lam) * mx[c]), c)
+            )
+            selected.append(pick)
+            for c in list(mx):
+                s = sims.get(c, {}).get(pick)
+                if s is not None and (mx[c] is None or s > mx[c]):
+                    mx[c] = s
+        return pd.DataFrame(
+            {
+                query_id_col: [qid] * len(selected),
+                id_col: selected,
+                "step": range(1, len(selected) + 1),
+            }
+        )
+
+    return (
+        candidates.groupBy(query_id_col)
+        .cogroup(pair_sims.groupBy(query_id_col))
+        .applyInPandas(lambda l, r: greedy(l, r), schema=out_schema)
+    )

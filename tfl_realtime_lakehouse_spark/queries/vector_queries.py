@@ -850,3 +850,126 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     assets = M.synth_tone_assets(docs)
     return M.audio_frame_rms(assets, frame_len=80)
+
+
+def _mmr_oracle(k: int = 8, n_cand: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy MMR in DuckDB SQL mirroring operators/similarity.py:
+    mmr_select step-for-step (argmax of lam·rel − (1−lam)·max-sim-to-
+    selected per round) over the same rounded-at-6dp cosine inputs."""
+    cos_q = _COSINE_DOUBLE.format(a="q.qe", b="e.embedding")
+    cos_p = _COSINE_DOUBLE.format(a="ex.embedding", b="ey.embedding")
+    steps = []
+    prev = "sel1"
+    for i in range(2, k + 1):
+        steps.append(f"""
+    mx{i} AS MATERIALIZED (
+      SELECT ps.query_id, ps.a AS vec_id, MAX(ps.sim) AS mx
+      FROM ps JOIN {prev} s ON s.query_id = ps.query_id AND s.vec_id = ps.b
+      GROUP BY 1, 2
+    ),
+    pick{i} AS MATERIALIZED (
+      SELECT query_id, vec_id, {i} AS step FROM (
+        SELECT c.query_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY c.query_id
+                                  ORDER BY {lam} * c.rel - {1.0 - lam} * m.mx DESC,
+                                           c.vec_id) AS rn
+        FROM cand c JOIN mx{i} m
+          ON m.query_id = c.query_id AND m.vec_id = c.vec_id
+        LEFT JOIN {prev} s
+          ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+        WHERE s.vec_id IS NULL)
+      WHERE rn = 1
+    ),
+    sel{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL SELECT * FROM pick{i})""")
+        prev = f"sel{i}"
+    return f"""
+    WITH q AS MATERIALIZED (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 3),
+    scored AS MATERIALIZED (
+      SELECT q.query_id, e.vec_id, ROUND({cos_q}, 6) AS rel
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.query_id
+    ),
+    cand AS MATERIALIZED (
+      SELECT query_id, vec_id, rel FROM (
+        SELECT scored.*,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rnk
+        FROM scored)
+      WHERE rnk <= {n_cand}
+    ),
+    ps AS MATERIALIZED (
+      SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+             ROUND({cos_p}, 6) AS sim
+      FROM cand x
+      JOIN cand y ON x.query_id = y.query_id AND x.vec_id != y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, vec_id, 1 AS step FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand)
+      WHERE rn = 1
+    ),
+    {",".join(steps)}
+    SELECT s.query_id, s.vec_id, CAST(s.step AS INTEGER) AS step,
+           c.rel AS relevance
+    FROM {prev} s JOIN cand c
+      ON c.query_id = s.query_id AND c.vec_id = s.vec_id
+    """
+
+
+@register(
+    "embedding_mmr_select",
+    oracle=_mmr_oracle(),
+    doc="Maximal Marginal Relevance diverse top-8 per query: cosine "
+    "top-20 candidate pools (broadcast queries, one corpus scan), "
+    "candidate-pair cosines from two bounded self-joins, then the "
+    "greedy lam·rel − (1−lam)·max-sim-to-selected argmax unrolled "
+    "into the plan — the diversity-aware sampling primitive for "
+    "picking varied training examples. Every post-candidate relation "
+    "is O(|queries|·20): the greedy never touches the corpus again, "
+    "so the 100 TB cost is exactly one top-k scan. Hash-green "
+    "determinism for an 8-round iterative algorithm: rel and sim are "
+    "rounded at 6 dp BEFORE selection, the MMR score is one fixed "
+    "double tree, and the full greedy is replayed move-for-move in "
+    "the unrolled SQL oracle (same pattern as the BFS oracle).",
+)
+def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    # Bounded |queries|·20-row relation; the lineage cut both avoids
+    # re-running the top-k scan for the pair join / greedy / final join
+    # and disambiguates the sel↔cand self-join below.
+    cand = (
+        S.cosine_topk(emb, queries, k=20)
+        .select("query_id", "vec_id", F.col("score").alias("rel"))
+        .localCheckpoint(eager=True)
+    )
+    e_x = emb.select(F.col("vec_id").alias("_xid"), F.col("embedding").alias("_xe"))
+    e_y = emb.select(F.col("vec_id").alias("_yid"), F.col("embedding").alias("_ye"))
+    cx = cand.select("query_id", F.col("vec_id").alias("a"))
+    cy = cand.select("query_id", F.col("vec_id").alias("b"))
+    ps = (
+        cx.join(cy, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .join(F.broadcast(e_x), F.col("a") == F.col("_xid"))
+        .join(F.broadcast(e_y), F.col("b") == F.col("_yid"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(S.cosine(F.col("_xe"), F.col("_ye")), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # bounded N²·|queries| pairs; cuts the
+        # shared cand lineage so the cogroup sides are distinct relations
+    )
+    sel = S.mmr_select(cand, ps, k=8, lam=0.7)
+    return sel.join(cand, ["query_id", "vec_id"]).select(
+        "query_id",
+        "vec_id",
+        F.col("step").cast("int").alias("step"),
+        F.col("rel").alias("relevance"),
+    )

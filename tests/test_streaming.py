@@ -924,3 +924,54 @@ def test_stream_stream_left_outer_interval_join(spark, tmp_path):
     assert (1, t(10, 0), t(10, 20)) in got          # matched pair
     assert (2, t(10, 30), None) in got              # expired -> null right
     assert sum(1 for g in got if g[0] == 2) == 1    # exactly once
+
+
+def test_streaming_kmv_distinct_matches_python_sketch(spark, tmp_path):
+    """Cross-batch KMV merge: after both micro-batches, each key's
+    (n_mins, estimate) equals the python KMV sketch over the UNION of
+    batches (mergeability across time); keys seen only in batch 1 keep
+    their batch-1 sketch. State is bounded at KMV_K longs per key."""
+    import datetime as dt
+    import hashlib
+
+    from tfl_realtime_lakehouse_spark.streaming.kmv import (
+        KMV_K,
+        kmv_estimate,
+        streaming_kmv_distinct,
+    )
+
+    def h60(u):
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+    b1 = [("a", u, t0) for u in range(0, 120)] + [("b", u, t0) for u in range(5)]
+    b2 = [("a", u, t0) for u in range(80, 200)]  # overlaps 80..119 with b1
+    schema = "event_type string, user_id long, ts timestamp"
+    src = str(tmp_path / "kmv-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_kmv_distinct(stream)
+    _run_stream(out, tmp_path, "kmv_out", mode="update")
+    rows = spark.sql("select * from kmv_out").collect()
+
+    # last emitted row per key = final merged sketch
+    final = {}
+    for r in rows:
+        final[r["key"]] = (r["n_mins"], r["est_distinct"])
+
+    def ref(users):
+        mins = sorted({h60(u) for u in users})[:KMV_K]
+        return (len(mins), kmv_estimate(mins))
+
+    assert final["a"] == ref(range(0, 200))  # union across batches
+    assert final["b"] == ref(range(5))       # exact below k: est == 5.0
+    assert final["b"][1] == 5.0
+    # sketch bounded and estimate within 30% of truth at k=64
+    assert final["a"][0] == KMV_K
+    assert abs(final["a"][1] - 200) / 200 < 0.3

@@ -1508,3 +1508,81 @@ def mmr_select(
         .cogroup(pair_sims.groupBy(query_id_col))
         .applyInPandas(lambda l, r: greedy(l, r), schema=out_schema)
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point-traversal coreset selection
+    (Gonzalez 1985) — picks k maximally-spread vectors, the classic
+    2-approximation used for corpus coresets and k-means++-style seeding.
+
+    Seed = min id (deterministic). Each round keeps a per-vector running
+    ``mind`` = min cosine-distance to the chosen centers, updated
+    incrementally against ONLY the newest center (a 1-row broadcast
+    join + one HOF map over the corpus — no k×corpus recompute), then
+    takes argmax(mind) via a single ``max(struct(mind, -id))`` hash
+    aggregate: no global sort, ties on smaller id. k rounds ⇒ k corpus
+    scans of the checkpointed (id, vec, mind) relation — the textbook
+    distributed FPT shape. Distances are rounded at 6 dp before every
+    comparison, so selection replays exactly in the SQL oracle.
+
+    Returns (step, id, sel_dist): sel_dist is the chosen point's
+    distance to the previously-selected set (0.0 for the seed) — the
+    monotone non-increasing coverage-radius sequence.
+    """
+    first = corpus.select(F.min(id_col).alias("_cid"))
+    # Initial mind: distance of every non-seed vector to the seed.
+    seed_vec = corpus.join(F.broadcast(first), F.col(id_col) == F.col("_cid")).select(
+        F.col(vec_col).alias("_cvec"), F.col("_cid")
+    )
+    cur = (
+        corpus.crossJoin(F.broadcast(seed_vec))
+        .select(
+            id_col,
+            vec_col,
+            F.round(F.lit(1.0) - cosine(F.col(vec_col), F.col("_cvec")), 6).alias(
+                "mind"
+            ),
+            F.col("_cid"),
+        )
+        .where(F.col(id_col) != F.col("_cid"))
+        .drop("_cid")
+        .localCheckpoint(eager=True)
+    )
+    sel = first.select(
+        F.lit(1).alias("step"), F.col("_cid").alias(id_col), F.lit(0.0).alias("sel_dist")
+    ).localCheckpoint(eager=True)
+    for i in range(2, k + 1):
+        pick = cur.agg(
+            F.max(F.struct(F.col("mind"), (-F.col(id_col)).alias("_nid"))).alias("m")
+        ).select(
+            F.lit(i).alias("step"),
+            (-F.col("m._nid")).alias(id_col),
+            F.col("m.mind").alias("sel_dist"),
+        )
+        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+        if i == k:
+            break
+        new_center = cur.join(
+            sel.where(F.col("step") == i).select(id_col), id_col
+        ).select(F.col(vec_col).alias("_cvec"), F.col(id_col).alias("_cid"))
+        cur = (
+            cur.crossJoin(F.broadcast(new_center))
+            .where(F.col(id_col) != F.col("_cid"))
+            .select(
+                id_col,
+                vec_col,
+                F.least(
+                    F.col("mind"),
+                    F.round(
+                        F.lit(1.0) - cosine(F.col(vec_col), F.col("_cvec")), 6
+                    ),
+                ).alias("mind"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return sel

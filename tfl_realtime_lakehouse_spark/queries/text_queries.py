@@ -1520,3 +1520,68 @@ def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard_id"),
         (excl - shard * F.lit(65536)).cast("bigint").alias("shard_offset"),
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             CAST(
+               LN((('0x' || SUBSTR(MD5('es:' || CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT + 1)
+                  / 1152921504606846976.0::DOUBLE)
+               / CAST(GREATEST(n_chars, 1) AS DOUBLE)
+             AS DECIMAL(20, 15)) AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+           CAST(priority AS DOUBLE) AS priority,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT t.*,
+                 ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rnk
+          FROM (SELECT * FROM keyed
+                ORDER BY priority DESC, doc_id LIMIT 20) t)
+    """,
+    doc="Weighted sampling WITHOUT replacement via the Efraimidis–"
+    "Spirakis priority key: u = (h+1)/2⁶⁰ from the seeded 60-bit md5 "
+    "hash, priority = ln(u)/w (order-isomorphic to the classic "
+    "u^(1/w)), global top-20 by priority — each doc's inclusion "
+    "probability is proportional to weight (n_chars), reproducible "
+    "run-to-run because the randomness is content-addressed hashing, "
+    "not an RNG. Scale: ORDER BY+LIMIT compiles to Spark's "
+    "TakeOrdered (per-partition partial top-k, then a k-row merge) — "
+    "no global sort, no single-partition window over the corpus; the "
+    "rank column is attached AFTER the 20-row cut. Determinism: the "
+    "double LN is cast to DECIMAL(20,15) BEFORE ranking (the TF-IDF "
+    "pattern), ties break on doc_id, zero-weight docs clamp to w=1.",
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("es:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.log((h + F.lit(1)) / F.lit(1152921504606846976.0))
+            / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+        )
+        .cast("decimal(20,15)")
+        .alias("priority"),
+    )
+    top = keyed.orderBy(F.col("priority").desc(), "doc_id").limit(20)
+    w = Window.orderBy(F.col("priority").desc(), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.col("priority").cast("double").alias("priority"),
+        F.col("rnk").cast("int").alias("rnk"),
+    )

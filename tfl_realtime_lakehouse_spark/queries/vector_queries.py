@@ -973,3 +973,73 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("int").alias("step"),
         F.col("rel").alias("relevance"),
     )
+
+
+def _kcenter_oracle(k: int = 6) -> str:
+    """Unrolled greedy k-center in DuckDB SQL mirroring
+    operators/similarity.py: kcenter_select round-for-round (incremental
+    LEAST() min-distance update against only the newest center, argmax
+    with id tiebreak) over the same rounded-at-6dp cosine distances."""
+    cos = _COSINE_DOUBLE.format(a="e.embedding", b="s.embedding")
+    parts = ["""
+    WITH c1 AS MATERIALIZED (SELECT MIN(vec_id) AS cid FROM embeddings),
+    m1 AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             ROUND(1.0::DOUBLE - ({cos}), 6) AS mind
+      FROM embeddings e,
+           (SELECT e2.embedding FROM embeddings e2
+            JOIN c1 ON e2.vec_id = c1.cid) s
+      WHERE e.vec_id != (SELECT cid FROM c1)
+    )""".format(cos=cos)]
+    selects = ["SELECT 1 AS step, cid AS vec_id, 0.0::DOUBLE AS sel_dist FROM c1"]
+    prev_m = "m1"
+    for i in range(2, k + 1):
+        parts.append(f"""
+    p{i} AS MATERIALIZED (
+      SELECT vec_id, mind FROM {prev_m} ORDER BY mind DESC, vec_id LIMIT 1
+    )""")
+        selects.append(f"SELECT {i} AS step, vec_id, mind AS sel_dist FROM p{i}")
+        if i < k:
+            parts.append(f"""
+    m{i} AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding,
+             LEAST(e.mind, ROUND(1.0::DOUBLE - ({cos}), 6)) AS mind
+      FROM {prev_m} e,
+           (SELECT mm.embedding FROM {prev_m} mm
+            JOIN p{i} ON mm.vec_id = p{i}.vec_id) s
+      WHERE e.vec_id != (SELECT vec_id FROM p{i})
+    )""")
+            prev_m = f"m{i}"
+    return (
+        ",".join(parts)
+        + "\n    SELECT step, vec_id, ROUND(sel_dist, 6) AS sel_dist FROM ("
+        + " UNION ALL ".join(selects)
+        + ")"
+    )
+
+
+@register(
+    "embedding_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    doc="Greedy k-center / farthest-point coreset (Gonzalez 2-approx): "
+    "6 maximally-spread vectors selected by incremental farthest-point "
+    "traversal — the coverage-driven subset-selection primitive for "
+    "coresets and seeding. Scale shape: each round is ONE corpus map "
+    "(update running min-distance against only the newest 1-row "
+    "broadcast center) plus ONE hash-aggregate argmax "
+    "(max(struct(mind, −id)) — no global sort), with a lineage cut "
+    "per round; cost is k corpus scans regardless of corpus size. "
+    "Distances round at 6 dp BEFORE every comparison so the greedy "
+    "replays move-for-move in the unrolled MATERIALIZED-CTE oracle; "
+    "argmax ties break on smaller id in both engines. Output is the "
+    "(step, center, sel_dist) sequence — sel_dist is the monotone "
+    "non-increasing coverage radius.",
+)
+def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    out = S.kcenter_select(emb, k=6)
+    return out.select(
+        F.col("step").cast("int").alias("step"),
+        "vec_id",
+        F.round("sel_dist", 6).alias("sel_dist"),
+    )

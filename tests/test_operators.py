@@ -1980,3 +1980,41 @@ def test_mmr_select_matches_python_greedy(spark):
     # diversity sanity: near-duplicate 11 of the query-1 winner 10 is
     # NOT picked second despite having the 2nd-highest rel
     assert got[(1, 2)] != 11
+
+
+def test_containment_raw_equals_contracted_and_catches_subsets(spark):
+    """Pair-operator checklist: the contraction wrapper is bit-identical
+    to the raw posting join, and containment flags a subset duplicate
+    that jaccard misses."""
+    from tfl_realtime_lakehouse_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_doc = short + " " + " ".join(f"w{i}" for i in range(60))
+    rows = [
+        (1, short),
+        (2, long_doc),       # contains doc 1 verbatim
+        (3, short),          # exact copy of doc 1 (exercises contraction)
+        (4, "totally different words here none shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.containment)
+        for r in ngram_containment_pairs(df, contract_exact=False).collect()
+    }
+    contracted = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.containment)
+        for r in ngram_containment_pairs(df, contract_exact=True).collect()
+    }
+    assert raw == contracted
+    # subset dup found at containment 1.0
+    assert contracted[(1, 2)][1] == 1.0
+    assert contracted[(1, 3)][1] == 1.0  # exact copies via the diagonal
+    # jaccard misses the subset pair at the same 0.5 threshold
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) not in jac and (1, 3) in jac

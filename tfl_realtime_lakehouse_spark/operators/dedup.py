@@ -1058,3 +1058,84 @@ def longest_common_span(
         )
         .where(F.col("max_span_tokens") >= min_span_tokens)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    contract_exact: bool = True,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: max(|A∩B|/|A|, |A∩B|/|B|) =
+    |A∩B| / min(|A|, |B|) ≥ threshold — the asymmetric near-dup measure
+    that catches subset duplicates (a doc embedded verbatim inside a
+    longer one), which Jaccard structurally misses: a 100-shingle doc
+    contained in a 10 000-shingle doc has jaccard ≈ 0.01 but
+    containment 1.0. Standard in training-data dedup for boilerplate
+    wrappers and quote-expansion copies.
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (hashed
+    posting self-join, checkpointed postings feeding both sides and the
+    size aggregate) with the min-size denominator, and the same
+    exact-contraction wrapper — copies of a document contain each other
+    fully, so the diagonal is (full set size, 1.0), the condition
+    :func:`contracted_pairs_generic` requires (raw ≡ contracted pinned
+    by the differential test, per the pair-operator checklist).
+    """
+    if contract_exact:
+        return contracted_pairs_generic(
+            df,
+            lambda reps: ngram_containment_pairs(
+                reps, text_col, id_col, n, threshold, contract_exact=False
+            ),
+            lambda reps: shingle_sizes(reps, text_col, id_col, n)
+            .where(F.col("n_shingles") > 0)
+            .select(
+                F.col(id_col),
+                F.col("n_shingles").cast("long").alias("n_shared"),
+                F.lit(1.0).alias("containment"),
+            ),
+            text_col,
+            id_col,
+        )
+    posts = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.transform(shingles(text_col, n), lambda g: F.xxhash64(g))
+                )
+            ).alias("sh"),
+        )
+        .localCheckpoint()
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = posts.groupBy(id_col).agg(F.count(F.lit(1)).cast("int").alias("n_shingles"))
+    return (
+        shared.join(
+            sizes.withColumnsRenamed({id_col: "doc_a", "n_shingles": "size_a"}), "doc_a"
+        )
+        .join(sizes.withColumnsRenamed({id_col: "doc_b", "n_shingles": "size_b"}), "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("size_a", "size_b").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "n_shared", "containment")
+    )

@@ -2099,3 +2099,77 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("est_distinct"),
         F.col("exact_d").cast("bigint").alias("exact_distinct"),
     )
+
+
+@register(
+    "events_seasonal_anomaly",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+             SUM(CAST(value AS DECIMAL(18, 6))) AS total
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(total) AS DOUBLE) AS s1,
+             CAST(SUM(total * total) AS DOUBLE) AS s2
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT h.event_type, h.hour, h.hod,
+           ROUND(CAST(h.total AS DOUBLE), 6) AS hourly_total,
+           ROUND(CASE WHEN b.n * b.s2 - b.s1 * b.s1 > 0.0::DOUBLE
+                 THEN (CAST(h.total AS DOUBLE) * b.n - b.s1)
+                      / SQRT(b.n * (b.n * b.s2 - b.s1 * b.s1))
+                 END, 6) AS zscore,
+           CAST(CASE WHEN b.n * b.s2 - b.s1 * b.s1 > 0.0::DOUBLE
+                      AND ABS(CAST(h.total AS DOUBLE) * b.n - b.s1)
+                          > 2.0::DOUBLE * SQRT(b.n * (b.n * b.s2 - b.s1 * b.s1))
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+    FROM hourly h JOIN base b USING (event_type, hod)
+    """,
+    doc="Seasonal-baseline anomaly detection: each (type, hour) bucket "
+    "is z-scored against the distribution of OTHER hours sharing its "
+    "hour-of-day — the daily-seasonality-aware version of the rolling "
+    "z-score (X41), catching 'low for 3 AM' that a global threshold "
+    "misses. Two hash aggregates (hourly totals; per-(type, hod) "
+    "sufficient statistics — a 24·|types|-row model relation that "
+    "broadcast-joins back), no windows, no per-row state. Decimal-"
+    "exact sums; z = (x·n − S1)/√(n·(n·S2 − S1²)) — the same "
+    "algebraically-expanded, division-late form as X41, one identical "
+    "double tree in both engines, NULL-guarded for zero variance, "
+    "rounded at 6 dp.",
+)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("total").cast("double").alias("s1"),
+        F.sum(F.col("total") * F.col("total")).cast("double").alias("s2"),
+    )
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    dev = F.col("total").cast("double") * F.col("n") - F.col("s1")
+    return hourly.join(F.broadcast(base), ["event_type", "hod"]).select(
+        "event_type",
+        "hour",
+        "hod",
+        F.round(F.col("total").cast("double"), 6).alias("hourly_total"),
+        F.round(
+            F.when(var_n2 > F.lit(0.0), dev / F.sqrt(F.col("n") * var_n2)),
+            6,
+        ).alias("zscore"),
+        F.when(
+            (var_n2 > F.lit(0.0))
+            & (F.abs(dev) > F.lit(2.0) * F.sqrt(F.col("n") * var_n2)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("is_anomaly"),
+    )

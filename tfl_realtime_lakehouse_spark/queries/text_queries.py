@@ -1585,3 +1585,33 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("priority").cast("double").alias("priority"),
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+@register(
+    "text_containment_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS BIGINT) AS n_shared,
+           ROUND(LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+                 / LEAST(LEN(a.sh), LEN(b.sh))::DOUBLE, 6) AS containment
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE LEN(LIST_INTERSECT(a.sh, b.sh))::DOUBLE
+          / LEAST(LEN(a.sh), LEN(b.sh))::DOUBLE >= 0.5
+    """,
+    doc="Asymmetric n-gram containment pairs — |A∩B|/min(|A|,|B|) ≥ "
+    "0.5 catches subset duplicates (a short doc embedded in a long "
+    "one) that Jaccard structurally misses. Same inverted-index "
+    "posting-join plan and exact-contraction wrapper as the Jaccard "
+    "query (the oracle brute-forces the semantics); integer counts, "
+    "one rounded division.",
+)
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )

@@ -1190,17 +1190,19 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_neighbor_jaccard",
     oracle="""
     WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
-    ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 64),
+    ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 32),
     oks AS (SELECT p FROM ok
-            WHERE ('0x' || SUBSTR(MD5('lpa:' || p), 1, 15))::BIGINT % 16 = 0),
+            WHERE ('0x' || SUBSTR(MD5('lpa:' || p), 1, 15))::BIGINT % 64 = 0),
     psf AS (SELECT ps.p, ps.s FROM ps JOIN oks USING (p)),
     e0 AS (SELECT DISTINCT x.s AS a, y.s AS b
            FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s),
     adj AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
     deg AS (SELECT a AS node, COUNT(*) AS d FROM adj GROUP BY 1),
+    centers AS (SELECT node FROM deg WHERE d <= 96),
+    wadj AS (SELECT adj.a, adj.b FROM adj JOIN centers ON centers.node = adj.b),
     common AS (
       SELECT x.a AS u, y.a AS v, COUNT(*) AS cn
-      FROM adj x JOIN adj y ON x.b = y.b AND x.a < y.a
+      FROM wadj x JOIN wadj y ON x.b = y.b AND x.a < y.a
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
     )
     SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors,
@@ -1211,16 +1213,22 @@ def agg_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN deg dv ON dv.node = v
     """,
     doc="Neighborhood Jaccard node similarity over the part-sampled "
-    "co-supply graph (same capped edge derivation as BFS/LPA/"
-    "PageRank): common-neighbor counts come from the wedge self-join "
-    "adj ⋈ adj on the shared neighbor — the distributed formulation "
-    "that never materializes neighbor SETS per node (a collect_set "
-    "would be the non-scalable alternative) — and J(u,v) = "
-    "|N∩| / (deg(u)+deg(v)−|N∩|) follows from two degree joins. The "
-    "≥2-common-neighbor floor bounds output the way the basket-"
-    "affinity query does; the per-part ≤64 cap bounds wedge fanout "
-    "per neighbor (the same skew control the triangle counter uses). "
-    "Counts are exact ints; one double division rounded at 6 dp.",
+    "co-supply graph: common-neighbor counts come from the wedge "
+    "self-join adj ⋈ adj on the shared neighbor — the distributed "
+    "formulation that never materializes neighbor SETS per node (a "
+    "collect_set would be the non-scalable alternative) — and "
+    "J(u,v) = |N∩| / (deg(u)+deg(v)−|N∩|) follows from two degree "
+    "joins. Wedge work is Σ deg(center)², so the scale control is a "
+    "CENTER-degree cap (≤96): hub centers are excluded from wedge "
+    "generation, bounding wedges at nodes·96² at ANY corpus size, "
+    "while output degrees stay FULL — counts/Jaccard become lower "
+    "bounds, the same precision-safe contract as the ngram "
+    "max_doc_freq stop-shingle cap (measured here: the uncapped "
+    "wedge join on this dense co-supply graph was 458 M wedges / "
+    "26.8 s at sf0.1; capped ~0.6 M / subsecond). The part sample "
+    "(%64, ≤32 suppliers) keeps the demo graph edge count bounded "
+    "too. Counts are exact ints; one double division rounded at "
+    "6 dp.",
 )
 def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = (
@@ -1236,13 +1244,13 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             16,
             10,
         ).cast("bigint")
-        % 16
+        % 64
         == 0
     )
     ok = (
         ps.groupBy("p")
         .agg(F.count(F.lit(1)).alias("ns"))
-        .where("ns <= 64")
+        .where("ns <= 32")
         .where(keep_part)
         .select("p")
     )
@@ -1256,11 +1264,19 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.s").alias("a"), F.col("y.s").alias("b"))
         .distinct()
     )
-    adj = e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # The adj relation feeds the degree agg, the center filter, and both
+    # wedge-join sides; one materialization, not four scans+distincts.
+    adj = (
+        e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     deg = adj.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    centers = deg.where("d <= 96").select(F.col("node").alias("b"))
+    wadj = adj.join(centers, "b").select("a", "b")
     common = (
-        adj.alias("x")
-        .join(adj.alias("y"), (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a")))
+        wadj.alias("x")
+        .join(wadj.alias("y"), (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a")))
         .groupBy(F.col("x.a").alias("u"), F.col("y.a").alias("v"))
         .agg(F.count(F.lit(1)).alias("cn"))
         .where("cn >= 2")
@@ -1280,4 +1296,58 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS class_size
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS c_nationkey,
+           bal_band, CAST(class_size AS BIGINT) AS class_size,
+           CAST(CASE WHEN class_size < 5 THEN 1 ELSE 0 END AS INTEGER)
+             AS violates_k5,
+           CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                OVER () AS BIGINT) AS total_at_risk
+    FROM classes
+    """,
+    doc="K-anonymity audit over quasi-identifiers (segment, nation, "
+    "account-balance band): one hash aggregate sizes every "
+    "equivalence class, classes below k=5 are re-identification "
+    "risks that a release would need to suppress or generalize — "
+    "the privacy gate a training-data pipeline runs next to PII "
+    "redaction (X29). The at-risk total rides along from an "
+    "unpartitioned window over the CLASS relation (|classes| rows — "
+    "model-sized, the same bounded-global-window argument as the KMV "
+    "merge), not over the corpus. Integer bands via FLOOR pin the "
+    "double→bigint cast; all outputs exact.",
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    w = Window.partitionBy()
+    return classes.select(
+        "c_mktsegment",
+        "c_nationkey",
+        "bal_band",
+        F.col("class_size").cast("bigint").alias("class_size"),
+        F.when(F.col("class_size") < 5, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("violates_k5"),
+        F.sum(F.when(F.col("class_size") < 5, F.col("class_size")).otherwise(F.lit(0)))
+        .over(w)
+        .cast("bigint")
+        .alias("total_at_risk"),
     )

@@ -2121,11 +2121,11 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(h.total AS DOUBLE), 6) AS hourly_total,
            ROUND(CASE WHEN b.n * b.s2 - b.s1 * b.s1 > 0.0::DOUBLE
                  THEN (CAST(h.total AS DOUBLE) * b.n - b.s1)
-                      / SQRT(b.n * (b.n * b.s2 - b.s1 * b.s1))
+                      / SQRT(b.n * b.s2 - b.s1 * b.s1)
                  END, 6) AS zscore,
            CAST(CASE WHEN b.n * b.s2 - b.s1 * b.s1 > 0.0::DOUBLE
                       AND ABS(CAST(h.total AS DOUBLE) * b.n - b.s1)
-                          > 2.0::DOUBLE * SQRT(b.n * (b.n * b.s2 - b.s1 * b.s1))
+                          > 2.0::DOUBLE * SQRT(b.n * b.s2 - b.s1 * b.s1)
                  THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
     FROM hourly h JOIN base b USING (event_type, hod)
     """,
@@ -2139,7 +2139,7 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact sums; z = (x·n − S1)/√(n·(n·S2 − S1²)) — the same "
     "algebraically-expanded, division-late form as X41, one identical "
     "double tree in both engines, NULL-guarded for zero variance, "
-    "rounded at 6 dp.",
+    "rounded at 6 dp (population σ, the profile being the whole month).",
 )
 def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -2161,15 +2161,164 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hod",
         F.round(F.col("total").cast("double"), 6).alias("hourly_total"),
         F.round(
-            F.when(var_n2 > F.lit(0.0), dev / F.sqrt(F.col("n") * var_n2)),
+            F.when(var_n2 > F.lit(0.0), dev / F.sqrt(var_n2)),
             6,
         ).alias("zscore"),
         F.when(
             (var_n2 > F.lit(0.0))
-            & (F.abs(dev) > F.lit(2.0) * F.sqrt(F.col("n") * var_n2)),
+            & (F.abs(dev) > F.lit(2.0) * F.sqrt(var_n2)),
             F.lit(1),
         )
         .otherwise(F.lit(0))
         .cast("int")
         .alias("is_anomaly"),
+    )
+
+
+@register(
+    "scalar_variant_props",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(COUNT(*) FILTER (WHERE props ->> '$.missing' IS NULL)
+                AS BIGINT) AS n_missing_path
+    FROM events GROUP BY 1
+    """,
+    doc="Semi-structured ingestion through Spark 4's VARIANT type: "
+    "props parses once via parse_json into the binary variant "
+    "encoding and fields extract with try_variant_get — the "
+    "shred-on-read path that replaces per-access get_json_object "
+    "re-parsing (one parse feeding N extractions instead of N "
+    "parses) and is the engine-native answer for open-schema event "
+    "payloads at scale. Missing paths yield NULL under try_ "
+    "semantics (counted per group to pin that contract). The DuckDB "
+    "oracle uses its native JSON ->> extraction; all outputs are "
+    "exact integers.",
+)
+def scalar_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("pv"),
+    ).select(
+        "event_type",
+        F.try_variant_get(F.col("pv"), "$.k", "long").alias("k"),
+        F.try_variant_get(F.col("pv"), "$.missing", "long").alias("miss"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+        F.count(F.when(F.col("miss").isNull(), F.lit(1))).cast("bigint").alias(
+            "n_missing_path"
+        ),
+    )
+
+
+@register(
+    "anomaly_top_contributors",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+             CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+             SUM(CAST(value AS DECIMAL(18, 6))) AS total
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, hod,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(total) AS DOUBLE) AS s1,
+             CAST(SUM(total * total) AS DOUBLE) AS s2
+      FROM hourly GROUP BY 1, 2
+    ),
+    anom AS (
+      SELECT h.event_type, h.hour
+      FROM hourly h JOIN base b USING (event_type, hod)
+      WHERE b.n * b.s2 - b.s1 * b.s1 > 0.0::DOUBLE
+        AND ABS(CAST(h.total AS DOUBLE) * b.n - b.s1)
+            > 2.0::DOUBLE * SQRT(b.n * b.s2 - b.s1 * b.s1)
+    ),
+    contrib AS (
+      SELECT e.event_type, DATE_TRUNC('hour', e.ts) AS hour, e.user_id,
+             SUM(CAST(e.value AS DECIMAL(18, 6))) AS user_total,
+             COUNT(*) AS n_events
+      FROM events e JOIN anom
+        ON anom.event_type = e.event_type
+       AND anom.hour = DATE_TRUNC('hour', e.ts)
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, hour, user_id,
+           ROUND(CAST(user_total AS DOUBLE), 6) AS user_total,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT contrib.*,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                                    ORDER BY user_total DESC, user_id) AS rnk
+          FROM contrib)
+    WHERE rnk <= 3
+    """,
+    doc="Anomaly root-cause drill-down: the seasonal (hour-of-day) "
+    "z-score detector from events_seasonal_anomaly selects anomalous "
+    "(type, hour) cells, which semi-join back against the raw events "
+    "to rank each cell's top-3 contributing users — the "
+    "detect-then-explain composition an on-call dashboard runs as "
+    "one job. The anomaly set is output-sized (it broadcast-prunes "
+    "the second events pass), per-user totals aggregate in exact "
+    "decimal, and the top-3 window partitions by the anomalous cell. "
+    "Ordering ties (equal decimal totals) break on user_id.",
+)
+def anomaly_top_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).alias("total"))
+    base = hourly.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("total").cast("double").alias("s1"),
+        F.sum(F.col("total") * F.col("total")).cast("double").alias("s2"),
+    )
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    dev = F.col("total").cast("double") * F.col("n") - F.col("s1")
+    anom = (
+        hourly.join(F.broadcast(base), ["event_type", "hod"])
+        .where(
+            (var_n2 > F.lit(0.0))
+            & (F.abs(dev) > F.lit(2.0) * F.sqrt(var_n2))
+        )
+        .select("event_type", "hour")
+    )
+    contrib = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "user_id",
+            F.col("value").cast("decimal(18,6)").alias("dv"),
+        )
+        .join(F.broadcast(anom), ["event_type", "hour"])
+        .groupBy("event_type", "hour", "user_id")
+        .agg(
+            F.sum("dv").alias("user_total"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type", "hour").orderBy(
+        F.col("user_total").desc(), "user_id"
+    )
+    return (
+        contrib.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "event_type",
+            "hour",
+            "user_id",
+            F.round(F.col("user_total").cast("double"), 6).alias("user_total"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )

@@ -269,3 +269,63 @@ def bfs_khop(
             .localCheckpoint()
         )
     return dist
+
+
+def hits_scores(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed bipartite
+    edge set, with the normalization DEFERRED to the end — the trick
+    that keeps every iteration in exact integer arithmetic.
+
+    Classic HITS renormalizes each round, which would put a
+    cross-engine-fragile float division inside the recurrence. Scores
+    scale out of the mutual recursion though: after k un-normalized
+    rounds every value is an exact BIGINT path count (h₀ = 1;
+    aᵢ = Σ h over in-edges; hᵢ = Σ a over out-edges — bounded by
+    deg^(2k)·n, far inside bigint for capped degrees), bit-equal in any
+    engine and any partition order, and one final double division by
+    the side's total yields the same ranking the normalized iteration
+    produces. Per round: two equi-joins + two hash aggregates keyed by
+    node — O(|E|) shuffle, no wedges, lineage cut per round.
+
+    Returns (kind 'hub'|'authority', id, score bigint, share double).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().localCheckpoint()
+    h = e.select("s").distinct().select("s", F.lit(1).cast("bigint").alias("h"))
+    a = None
+    for _ in range(rounds):
+        a = (
+            e.join(h, "s")
+            .groupBy("d")
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        h = (
+            e.join(a, "d")
+            .groupBy("s")
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    tot_a = a.agg(F.sum("a").alias("ta"))
+    tot_h = h.agg(F.sum("h").alias("th"))
+    auth = a.crossJoin(F.broadcast(tot_a)).select(
+        F.lit("authority").alias("kind"),
+        F.col("d").alias("id"),
+        F.col("a").cast("bigint").alias("score"),
+        F.round(F.col("a").cast("double") / F.col("ta").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+    hub = h.crossJoin(F.broadcast(tot_h)).select(
+        F.lit("hub").alias("kind"),
+        F.col("s").alias("id"),
+        F.col("h").cast("bigint").alias("score"),
+        F.round(F.col("h").cast("double") / F.col("th").cast("double"), 6).alias(
+            "share"
+        ),
+    )
+    return auth.unionAll(hub)

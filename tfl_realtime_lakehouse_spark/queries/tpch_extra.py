@@ -1375,3 +1375,89 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_at_risk"),
     )
+
+
+def _hits_oracle(rounds: int = 3) -> str:
+    """Unrolled HITS in DuckDB SQL mirroring operators/graph.py:
+    hits_scores round-for-round — un-normalized exact-integer rounds
+    (deferred normalization), same top-20-per-kind cut."""
+    parts = ["""
+    WITH ed AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS s, l.l_partkey AS d
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_custkey % 4 = 0
+    ),
+    h0 AS (SELECT DISTINCT s, CAST(1 AS BIGINT) AS h FROM ed)"""]
+    prev_h = "h0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT ed.d, SUM({prev_h}.h) AS a
+      FROM ed JOIN {prev_h} USING (s) GROUP BY ed.d
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT ed.s, SUM(a{i}.a) AS h
+      FROM ed JOIN a{i} USING (d) GROUP BY ed.s
+    )""")
+        prev_h = f"h{i}"
+    k = rounds
+    return (
+        ",".join(parts)
+        + f"""
+    , scored AS (
+      SELECT 'authority' AS kind, d AS id, CAST(a AS BIGINT) AS score,
+             ROUND(CAST(a AS DOUBLE)
+                   / (SELECT CAST(SUM(a) AS DOUBLE) FROM a{k}), 6) AS share
+      FROM a{k}
+      UNION ALL
+      SELECT 'hub', s, CAST(h AS BIGINT),
+             ROUND(CAST(h AS DOUBLE)
+                   / (SELECT CAST(SUM(h) AS DOUBLE) FROM h{k}), 6)
+      FROM h{k}
+    )
+    SELECT kind, id, score, share, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT scored.*,
+                 ROW_NUMBER() OVER (PARTITION BY kind
+                                    ORDER BY score DESC, id) AS rnk
+          FROM scored)
+    WHERE rnk <= 20
+    """
+    )
+
+
+@register(
+    "graph_hits_hubs_authorities",
+    oracle=_hits_oracle(),
+    doc="HITS hubs & authorities (Kleinberg) over the customer→part "
+    "purchase bipartite graph (customers sampled %4 to bound the "
+    "demo edge set): 3 un-normalized mutual-recursion rounds — two "
+    "O(|E|) equi-join + hash-agg shuffles per round, lineage cut — "
+    "with normalization DEFERRED to one final double division, so "
+    "every iterate is an exact bigint path count and the whole "
+    "recurrence unrolls into a hash-green SQL oracle (the fragile "
+    "alternative, per-round float renormalization, would put "
+    "order-sensitive double sums inside the recursion). Top-20 per "
+    "kind, ties on id. The family complement: PageRank = global "
+    "importance, LPA = communities, HITS = dual-role importance on "
+    "bipartite interaction graphs.",
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from tfl_realtime_lakehouse_spark.operators.graph import hits_scores
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.where(F.col("o_custkey") % 4 == 0)
+        .select("o_orderkey", "o_custkey")
+        .join(li.select("l_orderkey", "l_partkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+    )
+    scored = hits_scores(edges, rounds=3)
+    w = Window.partitionBy("kind").orderBy(F.col("score").desc(), "id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("kind", "id", "score", "share", F.col("rnk").cast("int").alias("rnk"))
+    )

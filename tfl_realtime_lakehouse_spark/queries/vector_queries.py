@@ -1043,3 +1043,64 @@ def embedding_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("sel_dist", 6).alias("sel_dist"),
     )
+
+
+@register(
+    "multimodal_tile_plan",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS asset_id,
+             CAST(8 + doc_id % 21 AS INTEGER) AS w,
+             CAST(8 + doc_id % 13 AS INTEGER) AS h
+      FROM documents
+    ),
+    tiles AS (
+      SELECT m.asset_id, m.w, m.h, tx.tx, ty.ty
+      FROM meta m,
+           LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(m.w / 8.0) AS INTEGER))) AS tx) tx,
+           LATERAL (SELECT UNNEST(RANGE(0, CAST(CEIL(m.h / 8.0) AS INTEGER))) AS ty) ty
+    )
+    SELECT asset_id, CAST(tx AS INTEGER) AS tile_x, CAST(ty AS INTEGER) AS tile_y,
+           CAST(tx * 8 AS INTEGER) AS x0, CAST(ty * 8 AS INTEGER) AS y0,
+           CAST(LEAST(8, w - tx * 8) AS INTEGER) AS tile_w,
+           CAST(LEAST(8, h - ty * 8) AS INTEGER) AS tile_h
+    FROM tiles
+    """,
+    doc="ViT-style patch/tile extraction plan over REAL header-decoded "
+    "image dims: each asset's 8×8 tile grid (ceil-division edge tiles "
+    "clipped to the image) is produced by two bounded map-side "
+    "sequence-explodes — ≤ ceil(w/8)·ceil(h/8) rows per asset, "
+    "output-sized, zero shuffle, the preprocessing manifest a vision "
+    "training pipeline hands to its crop workers. Dims come from the "
+    "pure-struct image parser (the oracle recomputes the planted "
+    "values from id arithmetic, so a hash match again proves the "
+    "parser); all-integer arithmetic.",
+)
+def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = M.synth_image_assets(table(spark, sf_dir, "documents"))
+    meta = M.decode_image_meta(assets).select("asset_id", "width", "height")
+    tiled = meta.select(
+        "asset_id",
+        "width",
+        "height",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("width") / 8.0).cast("int") - 1)
+        ).alias("tx"),
+    ).select(
+        "asset_id",
+        "width",
+        "height",
+        "tx",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("height") / 8.0).cast("int") - 1)
+        ).alias("ty"),
+    )
+    return tiled.select(
+        "asset_id",
+        F.col("tx").cast("int").alias("tile_x"),
+        F.col("ty").cast("int").alias("tile_y"),
+        (F.col("tx") * 8).cast("int").alias("x0"),
+        (F.col("ty") * 8).cast("int").alias("y0"),
+        F.least(F.lit(8), F.col("width") - F.col("tx") * 8).cast("int").alias("tile_w"),
+        F.least(F.lit(8), F.col("height") - F.col("ty") * 8).cast("int").alias("tile_h"),
+    )

@@ -2018,3 +2018,48 @@ def test_containment_raw_equals_contracted_and_catches_subsets(spark):
         for r in ngram_jaccard_pairs(df, threshold=0.5).collect()
     }
     assert (1, 2) not in jac and (1, 3) in jac
+
+
+def test_pca_matches_numpy_reference(spark, sf_smoke):
+    """Distributed covariance + driver eigh equals a single-machine
+    numpy PCA: same eigenvalues, orthonormal basis, same projection
+    (up to the shared sign convention)."""
+    import numpy as np
+
+    emb = read_table(spark, sf_smoke, "embeddings")
+    mean, comps, vals = S.pca_train(emb, k=4)
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+
+    # reference PCA
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / x.shape[0]
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2)
+    order = np.argsort(evals)[::-1][:4]
+    ref = []
+    for idx in order:
+        v = evecs[:, idx].copy()
+        j = int(np.argmax(np.abs(v)))
+        if v[j] < 0:
+            v = -v
+        ref.append(v)
+    ref = np.stack(ref)
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(sorted(vals, reverse=True), evals[order], atol=1e-9)
+    assert np.allclose(np.abs(np.asarray(comps)), np.abs(ref), atol=1e-6)
+    # orthonormal, decreasing variance
+    w = np.asarray(comps)
+    assert np.allclose(w @ w.T, np.eye(4), atol=1e-8)
+    assert vals == sorted(vals, reverse=True)
+
+    got = {
+        r.vec_id: [r.pc0, r.pc1, r.pc2, r.pc3]
+        for r in S.pca_project(emb, mean, comps)
+        .select("vec_id", *[F.round(F.col("pc")[i], 6).alias(f"pc{i}") for i in range(4)])
+        .collect()
+    }
+    want = (x - mu) @ ref.T
+    ids = [r.vec_id for r in rows]
+    for vid, wrow in zip(ids, want):
+        assert np.allclose(got[vid], np.round(wrow, 6), atol=1e-5)

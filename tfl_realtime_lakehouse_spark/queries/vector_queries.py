@@ -1104,3 +1104,28 @@ def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(8), F.col("width") - F.col("tx") * 8).cast("int").alias("tile_w"),
         F.least(F.lit(8), F.col("height") - F.col("ty") * 8).cast("int").alias("tile_h"),
     )
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition has no SQL form; the projection is
+    # pinned against a single-machine numpy PCA in the differential
+    # pytest, and flattened to scalar output columns for the rows check.
+    doc="PCA dimensionality reduction (top-4 components): exact "
+    "covariance from per-batch BLAS partials — |batches|·d² floats "
+    "shuffled, NOT corpus-sized — eigh on the driver's 64×64 matrix "
+    "(bounded model state, the kmeans/BPE/PQ contract), then a "
+    "map-only broadcast-basis projection. Complements JL random "
+    "projection (X63): data-adaptive axes vs oblivious ones. "
+    "Components carry a sign convention (largest-|coeff| positive) "
+    "so the basis is unique; output flattens pc[0..3] to double "
+    "columns rounded at 6 dp.",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    mean, comps, _ = S.pca_train(emb, k=4)
+    out = S.pca_project(emb, mean, comps)
+    return out.select(
+        "vec_id",
+        *[F.round(F.col("pc")[i], 6).alias(f"pc{i}") for i in range(4)],
+    )

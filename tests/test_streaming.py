@@ -975,3 +975,59 @@ def test_streaming_kmv_distinct_matches_python_sketch(spark, tmp_path):
     # sketch bounded and estimate within 30% of truth at k=64
     assert final["a"][0] == KMV_K
     assert abs(final["a"][1] - 200) / 200 < 0.3
+
+
+def test_streaming_transitions_match_batch_lead(spark, tmp_path):
+    """Cross-batch transition extraction equals the batch lead() window
+    when arrival order respects event order; an out-of-order replay
+    emits a NULL-from pair and does not regress state."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.transitions import (
+        streaming_transitions,
+    )
+
+    t = lambda m: dt.datetime(2025, 1, 1, 10, m)
+    b1 = [
+        (1, 101, t(0), "view"),
+        (1, 102, t(5), "click"),
+        (2, 201, t(1), "signup"),
+    ]
+    b2 = [
+        (1, 103, t(10), "purchase"),   # continues user 1 across batches
+        (2, 202, t(0), "view"),        # OLDER than state (t(1)) → NULL from
+        (2, 203, t(7), "purchase"),
+    ]
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "trans-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_transitions(stream)
+    _run_stream(out, tmp_path, "trans_out")
+    got = {
+        (r["user_id"], r["ts"]): (r["from_type"], r["to_type"])
+        for r in spark.sql("select * from trans_out").collect()
+    }
+    assert got[(1, t(0))] == (None, "view")
+    assert got[(1, t(5))] == ("view", "click")
+    assert got[(1, t(10))] == ("click", "purchase")     # state crossed batches
+    assert got[(2, t(0))] == (None, "view")             # out-of-order: NULL from
+    assert got[(2, t(7))] == ("signup", "purchase")     # state NOT regressed
+
+    # in-order users match the batch lead() exactly
+    batch = spark.createDataFrame(b1 + [r for r in b2 if r[0] == 1], schema)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        (r["user_id"], r["ts"]): (r["prev"], r["event_type"])
+        for r in batch.withColumn("prev", F.lag("event_type").over(w)).collect()
+    }
+    for k, v in want.items():
+        assert got[k] == v

@@ -2322,3 +2322,55 @@ def anomaly_top_contributors(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@register(
+    "events_behavior_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, SUM(n) AS nt FROM c GROUP BY 1)
+    SELECT c.user_id,
+           CAST(tot.nt AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS INTEGER) AS n_types,
+           ROUND(CAST(SUM(CAST(
+             -(CAST(c.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+              * LN(CAST(c.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+           AS DECIMAL(27, 12))) AS DOUBLE) / LN(2.0::DOUBLE), 6) AS entropy_bits
+    FROM c JOIN tot USING (user_id)
+    GROUP BY c.user_id, tot.nt
+    """,
+    doc="Behavioral entropy per user: Shannon entropy (bits) of each "
+    "user's event-type distribution — low entropy = single-behavior "
+    "accounts (bots, scrapers), high = diverse organic use; the "
+    "user-level twin of the character-entropy text signal (X49). Two "
+    "hash aggregates sharing the user_id partitioning; per-term "
+    "−p·ln p values are cast to exact DECIMAL before the sum (float "
+    "SUM is not associative; decimal addition is — the BM25 "
+    "discipline), and the single final /ln 2 + round runs the same "
+    "IEEE tree in both engines.",
+)
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("user_id").agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("nt").cast("double")
+    term = (-p * F.log(p)).cast("decimal(27,12)")
+    return (
+        c.join(tot, "user_id")
+        .groupBy("user_id", "nt")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_types"),
+            F.round(
+                F.sum(term).cast("double") / F.log(F.lit(2.0)), 6
+            ).alias("entropy_bits"),
+        )
+        .select(
+            "user_id",
+            F.col("nt").cast("bigint").alias("n_events"),
+            "n_types",
+            "entropy_bits",
+        )
+    )

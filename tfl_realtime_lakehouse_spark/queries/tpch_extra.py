@@ -1461,3 +1461,143 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 20)
         .select("kind", "id", "score", "share", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+@register(
+    "part_skyline_price_size",
+    oracle="""
+    WITH pp AS (
+      SELECT p_partkey, p_size,
+             CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM part
+    ),
+    per_price AS (
+      SELECT cents, MAX(p_size) AS same_max FROM pp GROUP BY cents
+    ),
+    run AS (
+      SELECT cents, same_max,
+             MAX(same_max) OVER (ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS cheaper_max
+      FROM per_price
+    )
+    SELECT pp.p_partkey,
+           CAST(pp.cents AS BIGINT) AS price_cents,
+           CAST(pp.p_size AS INTEGER) AS p_size
+    FROM pp JOIN run USING (cents)
+    WHERE (run.cheaper_max IS NULL OR run.cheaper_max < pp.p_size)
+      AND run.same_max <= pp.p_size
+    """,
+    doc="2-D skyline (Pareto frontier): parts not dominated on "
+    "(price low, size high) — the classic multi-criteria shortlist "
+    "operator. Dominance test without any pairwise join: group to "
+    "per-price max sizes, one running MAX over the DISTINCT-PRICE "
+    "relation (domain-sized — integer cents, bounded by the price "
+    "domain, not the corpus; the corpus-sized work is two hash "
+    "aggregates), then a part survives iff no strictly-cheaper price "
+    "reaches its size and no same-price part strictly exceeds it. "
+    "Ties on both dims are mutually non-dominating and both kept, "
+    "per the standard definition. Prices keyed as exact integer "
+    "cents (FLOOR(x·100+0.5), 2-dp source values) — no double "
+    "equality joins.",
+)
+def part_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = table(spark, sf_dir, "part")
+    pp = part.select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100.0 + 0.5).cast("bigint").alias("cents"),
+    )
+    per_price = pp.groupBy("cents").agg(F.max("p_size").alias("same_max"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    run = per_price.withColumn("cheaper_max", F.max("same_max").over(w))
+    return (
+        pp.join(run, "cents")
+        .where(
+            (F.col("cheaper_max").isNull() | (F.col("cheaper_max") < F.col("p_size")))
+            & (F.col("same_max") <= F.col("p_size"))
+        )
+        .select(
+            "p_partkey",
+            F.col("cents").alias("price_cents"),
+            F.col("p_size").cast("int").alias("p_size"),
+        )
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH maxd AS (SELECT MAX(o_orderdate) AS dmax FROM orders),
+    rfm AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(DATE_DIFF('day', MAX(o.o_orderdate), maxd.dmax) AS BIGINT)
+               AS r_days,
+             COUNT(*) AS freq,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS monetary
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      CROSS JOIN maxd
+      GROUP BY c.c_custkey, c.c_mktsegment, maxd.dmax
+    )
+    SELECT c_custkey, c_mktsegment, r_days,
+           CAST(freq AS BIGINT) AS freq,
+           ROUND(CAST(monetary AS DOUBLE), 2) AS monetary,
+           CAST(NTILE(5) OVER (PARTITION BY c_mktsegment
+                               ORDER BY r_days DESC, c_custkey) AS INTEGER) AS r_q,
+           CAST(NTILE(5) OVER (PARTITION BY c_mktsegment
+                               ORDER BY freq, c_custkey) AS INTEGER) AS f_q,
+           CAST(NTILE(5) OVER (PARTITION BY c_mktsegment
+                               ORDER BY monetary, c_custkey) AS INTEGER) AS m_q
+    FROM rfm
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation — the "
+    "standard marketing-analytics scoring: per-customer stats from "
+    "one orders aggregate (recency vs the corpus max date, a 1-row "
+    "broadcast), then quintile scores per dimension where 5 = best "
+    "(most recent / most frequent / highest spend). NTILEs partition "
+    "by market segment — segment-relative scores are the better "
+    "practice AND keep every ranking window to one segment's "
+    "customers rather than a global total order (the X77 equi-depth "
+    "trade, with the same sketch alternative at extreme scale). "
+    "Monetary aggregates in exact decimal; all three NTILEs break "
+    "ties on c_custkey.",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max("o_orderdate").alias("dmax"))
+    rfm = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .crossJoin(F.broadcast(maxd))
+        .groupBy("c_custkey", "c_mktsegment", "dmax")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.datediff(F.col("dmax"), F.col("last_order")).cast("bigint").alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    wr = Window.partitionBy("c_mktsegment").orderBy(F.col("r_days").desc(), "c_custkey")
+    wf = Window.partitionBy("c_mktsegment").orderBy("freq", "c_custkey")
+    wm = Window.partitionBy("c_mktsegment").orderBy("monetary", "c_custkey")
+    return rfm.select(
+        "c_custkey",
+        "c_mktsegment",
+        "r_days",
+        F.col("freq").cast("bigint").alias("freq"),
+        F.round(F.col("monetary").cast("double"), 2).alias("monetary"),
+        F.ntile(5).over(wr).cast("int").alias("r_q"),
+        F.ntile(5).over(wf).cast("int").alias("f_q"),
+        F.ntile(5).over(wm).cast("int").alias("m_q"),
+    )

@@ -215,3 +215,87 @@ def test_asof_join_forward_and_nearest_match_bisect_model(spark, left, right):
         else:
             e_near = e_back if (t - e_back) <= (e_fwd - t) else e_fwd
         assert near[i] == e_near, ("nearest", i, k, t)
+
+
+_intervals = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2]),          # user
+        st.integers(0, 500),              # start offset (seconds)
+        st.integers(1, 120),              # duration (seconds)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(iv=_intervals)
+def test_interval_merge_islands_match_python_sweep(spark, iv):
+    """The windowed cummax gaps-and-islands formulation (the
+    events_interval_merge plan shape) equals a per-user sweep-line
+    merge on random interval sets, including touching endpoints
+    (start == running max end merges) and duplicate starts."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        (
+            u,
+            i,
+            base + dt.timedelta(seconds=s),
+            base + dt.timedelta(seconds=s + d),
+        )
+        for i, (u, s, d) in enumerate(iv)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, te timestamp"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = df.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "te",
+        F.when(
+            F.max("te").over(w.rowsBetween(Window.unboundedPreceding, -1))
+            >= F.col("ts"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    got = {
+        (r.user_id, r.island_id): (r.s, r.e, r.n)
+        for r in islands.groupBy("user_id", "island_id")
+        .agg(F.min("ts").alias("s"), F.max("te").alias("e"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    # python sweep-line reference
+    want = {}
+    for u in {1, 2}:
+        evs = sorted(
+            [(ts, te, i) for i, (uu, s, d) in enumerate(iv)
+             for ts, te in [(base + dt.timedelta(seconds=s),
+                             base + dt.timedelta(seconds=s + d))]
+             if uu == u],
+            key=lambda x: (x[0], x[2]),
+        )
+        island, mx, start, n = 0, None, None, 0
+        for ts, te, _ in evs:
+            if mx is None or ts > mx:
+                if island:
+                    want[(u, island)] = (start, mx, n)
+                island += 1
+                start, mx, n = ts, te, 1
+            else:
+                mx = max(mx, te)
+                n += 1
+        if island:
+            want[(u, island)] = (start, mx, n)
+    assert got == want

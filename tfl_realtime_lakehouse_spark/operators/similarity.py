@@ -1705,3 +1705,137 @@ def pca_project(
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(p)})
 
     return fan_out(corpus.select(id_col, vec_col)).mapInPandas(project, out_schema)
+
+
+def rademacher_signs(tag: str, table: int, bit: int, dims: int):
+    """The md5-family ±1 plane row shared by operator and oracle:
+    s(i) = +1 iff the first md5 byte of "tag:table:bit:i" is even —
+    the random_projection (X63) recipe, so an oracle can rebuild the
+    exact hyperplanes in SQL and a pipeline can rebuild them years
+    later from the tag alone."""
+    import hashlib
+
+    return [
+        1.0 - 2 * (int(hashlib.md5(f"{tag}:{table}:{bit}:{i}".encode()).hexdigest()[:2], 16) % 2)
+        for i in range(dims)
+    ]
+
+
+def rademacher_lsh_pairs(
+    corpus: DataFrame,
+    tables: int = 16,
+    bits: int = 8,
+    threshold: float = 0.4,
+    tag: str = "rlsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Sign-LSH near-dup pairs with md5-seeded RADEMACHER (±1) planes —
+    the cross-engine-VERIFIABLE member of the ANN family.
+
+    The Gaussian tier (:func:`hyperplane_lsh_pairs`) draws planes from
+    numpy's RNG, which no SQL engine can replay, so its driver check is
+    rows-only. Rademacher planes from the md5 hash family (the X63
+    random-projection recipe) are rebuildable as SQL literals, which
+    makes every stage — codes, buckets, candidates, verified cosines —
+    hash-checkable against DuckDB. Sign-LSH theory is unchanged
+    (±1 projections are a valid cosine LSH family on isotropic data;
+    same p = 1 − acos(s)/π collision rate).
+
+    Plan: one Arrow-batch BLAS matmul computes all tables·bits dots per
+    vector (planes regenerated in-batch from the tag — model-sized,
+    never shipped); codes melt to (id, tbl, code) rows; candidates are
+    the bucket equi-join (never O(n²)); verification joins the two
+    vectors by id (plain shuffle joins, no corpus broadcast) and
+    row-wise BLAS-cosines each candidate, emitting pairs ≥ threshold
+    rounded at 6 dp. Sign decisions compare a BLAS dot against the
+    oracle's LIST_SUM — different association, same sign unless the
+    true dot lies within ~1 ulp of zero (probability ~1e-13 per
+    decision; the same negligible-collision argument as the 64-bit
+    shingle hashes).
+    """
+    import numpy as np
+
+    w = np.asarray(
+        [
+            rademacher_signs(tag, t, b, dims)
+            for t in range(tables)
+            for b in range(bits)
+        ],
+        dtype=np.float64,
+    )  # (tables·bits, dims)
+    spark = corpus.sparkSession
+    b_w = spark.sparkContext.broadcast(w)
+    powers = [1 << b for b in range(bits)]
+
+    code_schema = T.StructType(
+        [
+            T.StructField("_cid", corpus.schema[id_col].dataType),
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("code", T.IntegerType()),
+        ]
+    )
+
+    def codes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ww = b_w.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            dots = x @ ww.T  # (n, tables·bits)
+            bits_m = (dots >= 0).astype(np.int64).reshape(len(x), tables, bits)
+            code_m = (bits_m * np.asarray(powers)).sum(axis=2)  # (n, tables)
+            ids = np.repeat(pdf[id_col].to_numpy(), tables)
+            yield pd.DataFrame(
+                {
+                    "_cid": ids,
+                    "tbl": np.tile(np.arange(tables), len(x)),
+                    "code": code_m.ravel(),
+                }
+            )
+
+    cd = fan_out(corpus.select(id_col, vec_col)).mapInPandas(codes, code_schema)
+    a = cd.select(F.col("_cid").alias("ida"), "tbl", "code")
+    b = cd.select(F.col("_cid").alias("idb"), "tbl", "code")
+    cand = (
+        a.join(b, ["tbl", "code"])
+        .where(F.col("ida") < F.col("idb"))
+        .select("ida", "idb")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("ida"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("_vb"))
+    joined = cand.join(va, "ida").join(vb, "idb")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", corpus.schema[id_col].dataType),
+            T.StructField("vec_b", corpus.schema[id_col].dataType),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            xa = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
+            xb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
+            _l2_normalize(xa)
+            _l2_normalize(xb)
+            s = np.einsum("ij,ij->i", xa, xb)
+            keep = np.round(s, 6) >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["ida"].to_numpy()[keep],
+                    "vec_b": pdf["idb"].to_numpy()[keep],
+                    "score": np.round(s, 6)[keep],
+                }
+            )
+
+    return joined.mapInPandas(verify, out_schema)

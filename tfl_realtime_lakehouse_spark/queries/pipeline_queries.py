@@ -2374,3 +2374,74 @@ def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+@register(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    scd AS (
+      SELECT user_id, ts AS valid_from, event_type AS status
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type != event_type
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts,
+             ts - INTERVAL 1 HOUR AS lookup_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT MAX(s.valid_from) FROM scd s
+            WHERE s.user_id = p.user_id
+              AND s.valid_from <= p.lookup_ts) AS status_since,
+           (SELECT s2.status FROM scd s2
+            WHERE s2.user_id = p.user_id AND s2.valid_from <= p.lookup_ts
+            ORDER BY s2.valid_from DESC LIMIT 1) AS status_1h_before
+    FROM purchases p
+    """,
+    doc="Point-in-time (temporal) join against an SCD2 dimension: what "
+    "STATUS EPISODE was each user in one hour before purchasing? The "
+    "dimension is the scd2_build change log (X62 family) and the "
+    "lookup is the classic warehouse time-travel join — implemented "
+    "NOT as an interval-overlap join (episodes × facts explodes per "
+    "key) but as an as-of join on valid_from (union + one keyed "
+    "window, the operator's single-shuffle strategy): an episode "
+    "valid at t is exactly the latest valid_from ≤ t. NULL when the "
+    "user had no episode yet. The oracle brute-forces both the "
+    "episode log and the correlated lookup.",
+)
+def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.scd import scd2_build
+
+    ev = table(spark, sf_dir, "events")
+    scd = scd2_build(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    ).select("user_id", "valid_from", F.col("state").alias("status"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("lookup_ts"),
+    )
+    out = asof_join(
+        purchases,
+        scd,
+        on="user_id",
+        left_ts="lookup_ts",
+        right_ts="valid_from",
+        value_alias="status_since",
+        right_values=["status"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "status_since",
+        F.col("status").alias("status_1h_before"),
+    )

@@ -1615,3 +1615,54 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_containment_pairs(
         table(spark, sf_dir, "documents"), n=3, threshold=0.5
     )
+
+
+@register(
+    "text_unigram_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+    ),
+    lm AS (SELECT w, COUNT(*) AS nw FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nt FROM toks),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(LN(CAST(lm.nw AS DOUBLE) / n.nt) AS DECIMAL(27, 12)) AS lp
+      FROM toks t JOIN lm USING (w) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(EXP(-(CAST(SUM(lp) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)), 4)
+             AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram language-model perplexity per document — the CCNet-"
+    "style LM quality filter (low perplexity under an in-domain LM = "
+    "fluent text, high = noise), here with the corpus itself as the "
+    "LM so every token has mass (no OOV smoothing needed). One "
+    "explode feeds both the LM counts and the scoring pass; the "
+    "per-token log-probs join back on the token (shuffle equi-join — "
+    "the vocab is corpus-derived, not broadcastable by assumption) "
+    "and sum as exact decimals per doc (the BM25 discipline); one "
+    "final exp/division rounded at 4 dp. PP = exp(−Σ ln p(w) / n).",
+)
+def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    lm = toks.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
+    n = toks.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    scored = (
+        toks.join(lm, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.log(F.col("nw").cast("double") / F.col("nt"))
+            .cast("decimal(27,12)")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(
+            F.exp(-(F.sum("lp").cast("double")) / F.count(F.lit(1)).cast("double")), 4
+        ).alias("perplexity"),
+    )

@@ -2445,3 +2445,243 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status_since",
         F.col("status").alias("status_1h_before"),
     )
+
+
+@register(
+    "events_abtest_lift",
+    oracle="""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || SUBSTR(MD5('ab:' || CAST(user_id AS VARCHAR)), 1, 15))
+                  ::BIGINT % 2 AS INTEGER) AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+      SELECT a.variant,
+             COUNT(*) AS n_users,
+             SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_conv
+      FROM assign a LEFT JOIN conv c ON c.user_id = a.user_id
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n_users END) AS na,
+        MAX(CASE WHEN variant = 0 THEN n_conv END) AS ca,
+        MAX(CASE WHEN variant = 1 THEN n_users END) AS nb,
+        MAX(CASE WHEN variant = 1 THEN n_conv END) AS cb
+      FROM arms
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           ROUND(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE), 6) AS rate_a,
+           ROUND(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS rate_b,
+           ROUND(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                 / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) - 1.0::DOUBLE, 6)
+             AS lift,
+           ROUND((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                  - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                 / SQRT((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                        * (1.0::DOUBLE - CAST(ca + cb AS DOUBLE)
+                                         / CAST(na + nb AS DOUBLE))
+                        * (1.0::DOUBLE / CAST(na AS DOUBLE)
+                           + 1.0::DOUBLE / CAST(nb AS DOUBLE))), 6) AS z_score
+    FROM wide
+    """,
+    doc="A/B test lift analysis: users assign deterministically to two "
+    "arms by the md5 hash family (content-addressed — the same "
+    "assignment the mixture/split samplers use, reproducible with no "
+    "experiment-state store), conversion = any purchase; the report "
+    "is per-arm rates, relative lift, and the pooled two-proportion "
+    "z statistic — the experimentation readout next to the Wilson CI "
+    "query (X-family: Wilson = one-arm interval, this = two-arm "
+    "comparison). Two hash aggregates and a 2-row pivot; all the "
+    "float arithmetic runs once on the 1-row summary with identical "
+    "trees, rounded at 6 dp.",
+)
+def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    variant = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+    assign = ev.select("user_id").distinct().select("user_id", variant.alias("variant"))
+    conv = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    arms = (
+        assign.join(conv.withColumn("_c", F.lit(1)), "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0)).alias("n_conv"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("na"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("ca"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("nb"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("cb"),
+    )
+    na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
+    nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
+    pooled = (ca + cb) / (na + nb)
+    return wide.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        F.round(ca / na, 6).alias("rate_a"),
+        F.round(cb / nb, 6).alias("rate_b"),
+        F.round(cb / nb / (ca / na) - F.lit(1.0), 6).alias("lift"),
+        F.round(
+            (cb / nb - ca / na)
+            / F.sqrt(
+                pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "events_survival_curve",
+    oracle="""
+    WITH span AS (SELECT MAX(ts) AS tmax FROM events),
+    t0 AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    conv AS (
+      SELECT t0.user_id,
+             MIN(e.ts) AS purchase_ts
+      FROM t0 JOIN events e
+        ON e.user_id = t0.user_id AND e.event_type = 'purchase'
+       AND e.ts >= t0.signup_ts
+      GROUP BY 1
+    ),
+    dur AS (
+      SELECT t0.user_id,
+             CASE WHEN conv.purchase_ts IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(FLOOR(EPOCH(COALESCE(conv.purchase_ts, span.tmax)
+                              - t0.signup_ts) / 86400.0) AS BIGINT) AS d_days
+      FROM t0 LEFT JOIN conv ON conv.user_id = t0.user_id CROSS JOIN span
+    ),
+    daily AS (
+      SELECT d_days,
+             SUM(ev) AS d,
+             SUM(1 - ev) AS c
+      FROM dur GROUP BY 1
+    ),
+    risk AS (
+      SELECT d_days, d, c,
+             (SELECT COUNT(*) FROM dur) -
+             COALESCE(SUM(d + c) OVER (ORDER BY d_days
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS n_risk
+      FROM daily
+    )
+    SELECT CAST(d_days AS BIGINT) AS day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS n_events,
+           CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 1
+           THEN 0.0::DOUBLE
+           ELSE ROUND(EXP(CAST(SUM(CASE WHEN d < n_risk THEN CAST(
+                 LN(1.0::DOUBLE - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+               AS DECIMAL(27, 12)) ELSE CAST(0 AS DECIMAL(27, 12)) END)
+               OVER (ORDER BY d_days ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS DOUBLE)), 6)
+           END AS survival
+    FROM risk
+    """,
+    doc="Kaplan–Meier survival curve for signup→purchase conversion "
+    "latency, right-censored at the corpus horizon — the "
+    "time-to-event estimator behind activation and retention "
+    "analyses. Per-user durations from two aggregates + an as-of-"
+    "style first-purchase lookup; the risk set n_t and the product-"
+    "limit Π(1 − d/n) come from windows over the per-DAY relation "
+    "(day-domain-bounded — ≤ horizon days — the skyline/X77 "
+    "domain-window argument, not a corpus-sized sort). The product "
+    "is computed as exp(Σ ln(1−d/n)) with the ln terms cast to "
+    "exact decimal before the running sum (the BM25 discipline "
+    "applied to a cumulative product), rounded at 6 dp.",
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    span = ev.agg(F.max("ts").alias("tmax"))
+    t0 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    conv = (
+        t0.join(
+            ev.where(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("_cu"), F.col("ts").alias("_pts")
+            ),
+            (F.col("user_id") == F.col("_cu")) & (F.col("_pts") >= F.col("signup_ts")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("_pts").alias("purchase_ts"))
+    )
+    dur = (
+        t0.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.when(F.col("purchase_ts").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.floor(
+                (
+                    F.unix_timestamp(F.coalesce("purchase_ts", "tmax"))
+                    - F.unix_timestamp("signup_ts")
+                )
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("d_days"),
+        )
+    )
+    total = dur.agg(F.count(F.lit(1)).alias("n_total"))
+    daily = dur.groupBy("d_days").agg(
+        F.sum("ev").alias("d"), F.sum(F.lit(1) - F.col("ev")).alias("c")
+    )
+    w_prev = Window.orderBy("d_days").rowsBetween(Window.unboundedPreceding, -1)
+    w_cur = Window.orderBy("d_days").rowsBetween(Window.unboundedPreceding, 0)
+    risk = daily.crossJoin(F.broadcast(total)).select(
+        "d_days",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # S(t) hits exactly 0 the first day the whole risk set events
+    # (1 − d/n = 0 — ln undefined); the running hit-zero flag pins it.
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk").cast("double")
+        ).cast("decimal(27,12)"),
+    ).otherwise(F.lit(0).cast("decimal(27,12)"))
+    hit0 = F.max(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cur)
+    return risk.select(
+        F.col("d_days").cast("bigint").alias("day"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        F.when(hit0 == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.sum(term).over(w_cur).cast("double")), 6))
+        .alias("survival"),
+    )

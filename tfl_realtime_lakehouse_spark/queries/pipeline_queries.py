@@ -2481,13 +2481,15 @@ def join_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
                  / (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)) - 1.0::DOUBLE, 6)
              AS lift,
-           ROUND((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
-                  - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
-                 / SQRT((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
-                        * (1.0::DOUBLE - CAST(ca + cb AS DOUBLE)
-                                         / CAST(na + nb AS DOUBLE))
-                        * (1.0::DOUBLE / CAST(na AS DOUBLE)
-                           + 1.0::DOUBLE / CAST(nb AS DOUBLE))), 6) AS z_score
+           CASE WHEN ca + cb > 0 AND ca + cb < na + nb THEN
+             ROUND((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)
+                    - CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+                   / SQRT((CAST(ca + cb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+                          * (1.0::DOUBLE - CAST(ca + cb AS DOUBLE)
+                                           / CAST(na + nb AS DOUBLE))
+                          * (1.0::DOUBLE / CAST(na AS DOUBLE)
+                             + 1.0::DOUBLE / CAST(nb AS DOUBLE))), 6)
+           END AS z_score
     FROM wide
     """,
     doc="A/B test lift analysis: users assign deterministically to two "
@@ -2540,12 +2542,20 @@ def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ca / na, 6).alias("rate_a"),
         F.round(cb / nb, 6).alias("rate_b"),
         F.round(cb / nb / (ca / na) - F.lit(1.0), 6).alias("lift"),
-        F.round(
-            (cb / nb - ca / na)
-            / F.sqrt(
-                pooled * (F.lit(1.0) - pooled) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        # degenerate arms (0% or 100% pooled conversion) have zero pooled
+        # variance — z undefined, NULL on both engines (ANSI-safe)
+        F.when(
+            (F.col("ca") + F.col("cb") > 0)
+            & (F.col("ca") + F.col("cb") < F.col("na") + F.col("nb")),
+            F.round(
+                (cb / nb - ca / na)
+                / F.sqrt(
+                    pooled
+                    * (F.lit(1.0) - pooled)
+                    * (F.lit(1.0) / na + F.lit(1.0) / nb)
+                ),
+                6,
             ),
-            6,
         ).alias("z_score"),
     )
 

@@ -1666,3 +1666,95 @@ def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(-(F.sum("lp").cast("double")) / F.count(F.lit(1)).cast("double")), 4
         ).alias("perplexity"),
     )
+
+
+@register(
+    "dedup_minhash_recall_eval",
+    oracle=None,  # composed below after both component oracles exist
+    doc="Dedup-quality evaluation: the MinHash+LSH+verify pipeline "
+    "measured AGAINST the exact inverted-index Jaccard pairs on the "
+    "same corpus and threshold — n_exact / n_approx / n_common, "
+    "recall (the banding's theoretical 1−(1−s^r)^b realized on this "
+    "data) and precision (1.0 by construction: candidates are "
+    "exact-verified before emission; the count proves it). The "
+    "evaluation harness a curation team runs before trusting an "
+    "approximate dedup tier at 100 TB — both pair relations are "
+    "output-sized, the comparison is one full-outer join on the "
+    "pair key. Oracle: the two component oracles composed verbatim, "
+    "so the metrics hash-check end-to-end.",
+)
+def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select("doc_a", "doc_b")
+
+    def _pairs(reps):
+        cands = D.minhash_lsh_candidates(
+            reps, n=3, num_hashes=16, bands=4, hash_family="md5"
+        )
+        return D.verify_pairs_jaccard(reps, cands, n=3, threshold=0.2)
+
+    approx = D.contracted_pairs(docs, _pairs, n=3).select("doc_a", "doc_b")
+    e = exact.withColumn("_e", F.lit(1))
+    a = approx.withColumn("_a", F.lit(1))
+    both = e.join(a, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.sum(F.when(F.col("_e").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("_a").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_approx"),
+        F.sum(F.when(F.col("_e").isNotNull() & F.col("_a").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_common"),
+    ).select(
+        "n_exact",
+        "n_approx",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall"),
+        F.round(
+            F.col("n_common").cast("double") / F.col("n_approx").cast("double"), 6
+        ).alias("precision"),
+    )
+
+
+# Compose the evaluation oracle from the two component oracles verbatim
+# (the driver's registry is already built at import time, so patch in
+# place before the module finishes importing).
+from tfl_realtime_lakehouse_spark.queries.registry import REGISTRY as _REG  # noqa: E402
+
+_eval_oracle = f"""
+    WITH exact_p AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_REG["ngram_jaccard_pairs"].oracle})
+    ),
+    approx_p AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM ({_minhash_oracle_sql(16, 4)})
+    ),
+    joined AS (
+      SELECT COALESCE(e.doc_a, a.doc_a) AS doc_a,
+             COALESCE(e.doc_b, a.doc_b) AS doc_b,
+             e.doc_a IS NOT NULL AS in_e,
+             a.doc_a IS NOT NULL AS in_a
+      FROM exact_p e FULL OUTER JOIN approx_p a
+        ON e.doc_a = a.doc_a AND e.doc_b = a.doc_b
+    )
+    SELECT CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_approx,
+           CAST(SUM(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           ROUND(CAST(SUM(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             AS recall,
+           ROUND(CAST(SUM(CASE WHEN in_e AND in_a THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS DOUBLE), 6)
+             AS precision
+    FROM joined
+"""
+_REG["dedup_minhash_recall_eval"] = _REG["dedup_minhash_recall_eval"].__class__(
+    name="dedup_minhash_recall_eval",
+    fn=_REG["dedup_minhash_recall_eval"].fn,
+    oracle=_eval_oracle,
+    doc=_REG["dedup_minhash_recall_eval"].doc,
+)

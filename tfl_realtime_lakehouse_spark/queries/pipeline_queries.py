@@ -2695,3 +2695,92 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(F.sum(term).over(w_cur).cast("double")), 6))
         .alias("survival"),
     )
+
+
+@register(
+    "events_holt_forecast",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             LIST(y ORDER BY day) AS ys,
+             COUNT(*) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    fitted AS (
+      SELECT event_type, n_days,
+             LIST_REDUCE(
+               LIST_PREPEND([ys[1], ys[2] - ys[1]],
+                 LIST_TRANSFORM(ys[3:], y -> [y, 0.0::DOUBLE])),
+               (acc, x) -> [
+                 0.5::DOUBLE * x[1]
+                   + 0.5::DOUBLE * (acc[1] + acc[2]),
+                 0.3::DOUBLE * ((0.5::DOUBLE * x[1]
+                   + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                   + 0.7::DOUBLE * acc[2]
+               ]) AS st
+      FROM series WHERE n_days >= 2
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[1] + 7.0::DOUBLE * st[2], 6) AS forecast_7d
+    FROM fitted
+    """,
+    doc="Holt's linear-trend exponential smoothing (double ES) per "
+    "event_type, fit by a HIGHER-ORDER-FUNCTION FOLD: the recursive "
+    "(level, trend) recurrence — unstreamable as window functions — "
+    "runs as one aggregate() left fold over the per-type daily "
+    "series with a 2-element array as carried state (α=0.5, β=0.3), "
+    "then forecasts 7 days ahead. Scale: series arrays are DAY-"
+    "DOMAIN-bounded per type (the CUSUM/X90 bounding argument); the "
+    "corpus-sized work is the one daily hash aggregate; daily totals "
+    "enter the fold as exact-decimal-cast doubles. Both engines "
+    "execute the IDENTICAL left-to-right IEEE chain (Spark "
+    "aggregate() ≡ DuckDB LIST_REDUCE with the same expression "
+    "tree), so the fitted state hash-matches at 6 dp.",
+)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+        ).alias("ys"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).where(F.col("n_days") >= 2)
+    a, b = F.lit(0.5), F.lit(0.3)
+    init = F.array(
+        F.element_at("ys", 1), F.element_at("ys", 2) - F.element_at("ys", 1)
+    )
+    rest = F.slice(F.col("ys"), 3, 1000000)
+    lvl = lambda acc, y: a * y + (F.lit(1.0) - a) * (
+        F.element_at(acc, 1) + F.element_at(acc, 2)
+    )
+    st = F.aggregate(
+        rest,
+        init,
+        lambda acc, y: F.array(
+            lvl(acc, y),
+            b * (lvl(acc, y) - F.element_at(acc, 1))
+            + (F.lit(1.0) - b) * F.element_at(acc, 2),
+        ),
+    )
+    fitted = series.select(
+        "event_type", F.col("n_days").cast("bigint").alias("n_days"), st.alias("st")
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("trend"),
+        F.round(
+            F.element_at("st", 1) + F.lit(7.0) * F.element_at("st", 2), 6
+        ).alias("forecast_7d"),
+    )

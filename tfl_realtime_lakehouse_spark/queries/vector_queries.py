@@ -1208,3 +1208,114 @@ def _rademacher_lsh_oracle(tables: int = 16, bits: int = 8, dims: int = 64) -> s
 def embedding_ann_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
     return S.rademacher_lsh_pairs(emb, tables=16, bits=8, threshold=0.4)
+
+
+@register(
+    "vl_training_export_manifest",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id AS asset_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+               AS img_format,
+             CAST(8 + doc_id % 21 AS INTEGER) AS width,
+             CAST(8 + doc_id % 13 AS INTEGER) AS height
+      FROM documents
+    ),
+    txt AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    paired AS (
+      SELECT t.doc_id, t.lang, t.n_tokens,
+             m.img_format, m.width, m.height,
+             CAST(t.n_chars + 64 AS BIGINT) AS sample_bytes,
+             ('0x' || SUBSTR(MD5(CAST(t.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS b
+      FROM txt t JOIN meta m ON m.asset_id = t.doc_id
+      WHERE t.n_tokens >= 32 AND m.width >= 12 AND m.height >= 12
+    ),
+    manifest AS (
+      SELECT doc_id, lang, n_tokens, img_format, width, height,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             SUM(sample_bytes) OVER (
+               PARTITION BY CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+                                 ELSE 'test' END, lang
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sample_bytes
+      FROM paired
+    )
+    SELECT doc_id, lang, n_tokens, img_format,
+           CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+           split,
+           CAST(FLOOR(CAST(cum - sample_bytes AS DOUBLE) / 262144.0) AS BIGINT)
+             AS shard_id
+    FROM manifest
+    """,
+    doc="Vision-language training-export manifest — the LAION-style "
+    "end-to-end composition: text docs pair 1:1 with their (REAL "
+    "header-decoded) image assets, quality-gate on token count and "
+    "minimum resolution, split content-addressably (90/5/5 md5 "
+    "family — engine/run/repartition-stable), and pack into ~256 KiB "
+    "tar shards per (split, lang) via the byte-cumsum shard "
+    "assignment (X94) — keys that bound every window partition. One "
+    "scan of each side, one equi-join, one windowed cumsum; image "
+    "dims in the output prove the decode ran (the oracle replants "
+    "them from id arithmetic).",
+)
+def vl_training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    assets = M.synth_image_assets(docs)
+    meta = M.decode_image_meta(assets).select(
+        F.col("asset_id").alias("doc_id"), "img_format", "width", "height"
+    )
+    txt = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    split_b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    paired = (
+        txt.join(meta, "doc_id")
+        .where(
+            (F.col("n_tokens") >= 32) & (F.col("width") >= 12) & (F.col("height") >= 12)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "img_format",
+            "width",
+            "height",
+            (F.col("n_chars") + F.lit(64)).cast("bigint").alias("sample_bytes"),
+            F.when(split_b < 90, "train")
+            .when(split_b < 95, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("sample_bytes").over(w)
+    return paired.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "img_format",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        "split",
+        F.floor((cum - F.col("sample_bytes")).cast("double") / F.lit(262144.0))
+        .cast("bigint")
+        .alias("shard_id"),
+    )

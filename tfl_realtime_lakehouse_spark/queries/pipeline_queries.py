@@ -2784,3 +2784,129 @@ def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("st", 1) + F.lit(7.0) * F.element_at("st", 2), 6
         ).alias("forecast_7d"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, DATE_TRUNC('day', ts) AS d FROM events
+    ),
+    dau AS (
+      SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY 1
+    ),
+    contrib AS (
+      SELECT DISTINCT user_id, d + TO_DAYS(CAST(o.o AS INTEGER)) AS target_d
+      FROM ud CROSS JOIN (SELECT UNNEST(RANGE(28)) AS o) o
+    ),
+    mau AS (
+      SELECT c.target_d AS day, COUNT(DISTINCT c.user_id) AS mau
+      FROM contrib c JOIN (SELECT DISTINCT d FROM ud) days
+        ON days.d = c.target_d
+      GROUP BY 1
+    )
+    SELECT CAST(dau.day AS TIMESTAMP) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(mau.mau AS BIGINT) AS mau,
+           ROUND(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau JOIN mau USING (day)
+    """,
+    doc="DAU / trailing-28-day MAU / stickiness (the DAU:MAU product "
+    "health ratio): same scale shape as the rolling-7-day actives "
+    "(X66) — (user, day) dedup once, each user-day exploded map-side "
+    "to the ≤28 future days it keeps the user 'monthly active' for, "
+    "deduped, counted — never a distinct-inside-range-window, never "
+    "a per-day rescan. Emitted days restricted to days with "
+    "activity; one integer division rounded at 6 dp.",
+)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.date_trunc("day", F.col("ts")).alias("d")).distinct()
+    dau = ud.groupBy(F.col("d").alias("day")).agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(27))).alias("o"),
+            "d",
+        )
+        .select(
+            "user_id",
+            (F.col("d") + F.make_dt_interval(days=F.col("o"))).alias("target_d"),
+        )
+        .distinct()
+    )
+    days = ud.select("d").distinct()
+    mau = (
+        contrib.join(days, contrib["target_d"] == days["d"])
+        .groupBy(F.col("target_d").alias("day"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return dau.join(mau, "day").select(
+        "day",
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("mau").cast("bigint").alias("mau"),
+        F.round(F.col("dau").cast("double") / F.col("mau").cast("double"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "events_gini_concentration",
+    oracle="""
+    WITH ut AS (
+      SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(18, 6))) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, user_id, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY x, user_id) AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(x) OVER (PARTITION BY event_type) AS sx
+      FROM ut
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_users,
+           ROUND(CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(sx) AS DOUBLE)), 6)
+             AS gini
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Gini coefficient of per-user activity concentration, per "
+    "event_type — the inequality measure behind 'do 1% of users "
+    "produce 90% of the traffic?'. Computed by the sorted-rank "
+    "formula G = Σ(2i−n−1)xᵢ / (n·Σx): one window rank over the "
+    "per-(type, user) totals — a USER-DOMAIN-sized relation (the "
+    "corpus-sized work is the first hash aggregate), ties broken on "
+    "user_id. (2i−n−1)·x is an exact integer×decimal product, so "
+    "the numerator sums exactly; one double division rounded at "
+    "6 dp.",
+)
+def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ut = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wp = Window.partitionBy("event_type")
+    ranked = ut.select(
+        "event_type",
+        "user_id",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("sx"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        F.round(
+            F.sum(
+                (F.lit(2) * F.col("i") - F.col("n") - F.lit(1)) * F.col("x")
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("sx").cast("double")),
+            6,
+        ).alias("gini"),
+    )

@@ -1601,3 +1601,62 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(5).over(wf).cast("int").alias("f_q"),
         F.ntile(5).over(wm).cast("int").alias("m_q"),
     )
+
+
+@register(
+    "orders_duplicate_invoice_pairs",
+    oracle="""
+    SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+           CAST(a.o_custkey AS BIGINT) AS custkey,
+           ROUND(a.o_totalprice, 2) AS price_a,
+           ROUND(b.o_totalprice, 2) AS price_b,
+           CAST(ABS(DATE_DIFF('day', a.o_orderdate, b.o_orderdate)) AS BIGINT)
+             AS days_apart
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    WHERE ABS(a.o_totalprice - b.o_totalprice)
+            <= 0.01::DOUBLE * LEAST(a.o_totalprice, b.o_totalprice)
+      AND ABS(DATE_DIFF('day', a.o_orderdate, b.o_orderdate)) <= 7
+    """,
+    doc="Duplicate-invoice detection: order pairs from the SAME "
+    "customer within 7 days whose totals differ by ≤1% — the "
+    "accounts-payable fraud/error screen. The self-join is keyed by "
+    "o_custkey, so the pair space is Σ per-customer-orders² — "
+    "bounded by per-key cardinality, never corpus² (AQE skew-join "
+    "covers a pathological mega-customer; the basket-cap pattern "
+    "would bound it structurally if needed); the price/date bands "
+    "run as residual filters on the joined pairs. Double arithmetic "
+    "is comparison-only (no accumulation) with identical trees; "
+    "emitted prices round at 2 dp.",
+)
+def orders_duplicate_invoice_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("pa"),
+        F.col("o_orderdate").alias("da"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").alias("pb"),
+        F.col("o_orderdate").alias("db"),
+    )
+    return (
+        a.join(b, "custkey")
+        .where(F.col("order_a") < F.col("order_b"))
+        .where(
+            F.abs(F.col("pa") - F.col("pb"))
+            <= F.lit(0.01) * F.least("pa", "pb")
+        )
+        .where(F.abs(F.datediff("da", "db")) <= 7)
+        .select(
+            "order_a",
+            "order_b",
+            F.col("custkey").cast("bigint").alias("custkey"),
+            F.round("pa", 2).alias("price_a"),
+            F.round("pb", 2).alias("price_b"),
+            F.abs(F.datediff("da", "db")).cast("bigint").alias("days_apart"),
+        )
+    )

@@ -1031,3 +1031,67 @@ def test_streaming_transitions_match_batch_lead(spark, tmp_path):
     }
     for k, v in want.items():
         assert got[k] == v
+
+
+def test_streaming_scd2_matches_batch_episodes(spark, tmp_path):
+    """Closed episodes from the streaming SCD2 operator equal
+    scd2_build's, including an episode that OPENS in batch 1 and
+    closes in batch 2; the final open episode matches is_current."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.operators.scd import scd2_build
+    from tfl_realtime_lakehouse_spark.streaming.scd import streaming_scd2
+
+    t = lambda m: dt.datetime(2025, 1, 1, 10, m)
+    b1 = [
+        (1, 101, t(0), "view"),
+        (1, 102, t(5), "view"),    # same value: extends, no episode
+        (1, 103, t(10), "click"),  # closes view@0
+        (2, 201, t(2), "signup"),
+    ]
+    b2 = [
+        (1, 104, t(20), "purchase"),  # closes click@10 ACROSS batches
+        (2, 202, t(9), "error"),      # closes signup@2
+    ]
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "scd-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    _run_stream(streaming_scd2(stream), tmp_path, "scd_out", mode="update")
+    rows = spark.sql("select * from scd_out").collect()
+    closed = {
+        (r["user_id"], r["state"], r["valid_from"]): r["valid_to"]
+        for r in rows
+        if r["is_current"] == 0
+    }
+    # latest open episode per key (last emitted current row)
+    open_eps = {}
+    for r in rows:
+        if r["is_current"] == 1:
+            open_eps[r["user_id"]] = (r["state"], r["valid_from"])
+
+    batch = scd2_build(
+        spark.createDataFrame(b1 + b2, schema),
+        key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    )
+    want_closed = {
+        (r["user_id"], r["state"], r["valid_from"]): r["valid_to"]
+        for r in batch.collect()
+        if r["is_current"] == 0
+    }
+    want_open = {
+        r["user_id"]: (r["state"], r["valid_from"])
+        for r in batch.collect()
+        if r["is_current"] == 1
+    }
+    assert closed == want_closed
+    assert open_eps == want_open
+    # the cross-batch closure is present explicitly
+    assert closed[(1, "click", t(10))] == t(20)

@@ -329,3 +329,56 @@ def hits_scores(
         ),
     )
     return auth.unionAll(hub)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 8,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded k-core peeling: ``rounds`` synchronous rounds of
+    "drop nodes with degree < k (and their edges)".
+
+    Full k-core decomposition iterates to a fixed point (data-dependent
+    round count); the bounded version runs a FIXED number of rounds, so
+    the recurrence unrolls into a SQL oracle like BFS/LPA/HITS — the
+    verifiable tier. Semantics: the survivor set after r rounds is a
+    monotone SUPERSET of the true k-core, exact once a round removes
+    nothing (typical small r on real graphs: most non-core nodes fall
+    in the first peel). Each round is one degree aggregate + one
+    semi-join per endpoint — O(|E|) shuffles keyed by node, lineage cut
+    per round, no driver state.
+
+    Returns (node, deg) for survivors with their degree in the final
+    peeled graph.
+    """
+    e = (
+        edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                     F.greatest(F.col(src), F.col(dst)).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("n")
+        e = (
+            e.join(keep.withColumnRenamed("n", "a"), "a")
+            .join(keep.withColumnRenamed("n", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return deg.where(F.col("deg") >= 0)

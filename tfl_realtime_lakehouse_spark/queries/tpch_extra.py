@@ -1660,3 +1660,92 @@ def orders_duplicate_invoice_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             F.abs(F.datediff("da", "db")).cast("bigint").alias("days_apart"),
         )
     )
+
+
+def _kcore_oracle(k: int = 8, rounds: int = 3) -> str:
+    """Unrolled bounded k-core peel in DuckDB SQL mirroring
+    operators/graph.py:kcore_peel round-for-round over the same
+    part-sampled co-supply graph as graph_neighbor_jaccard."""
+    parts = ["""
+    WITH ps AS MATERIALIZED (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                             FROM lineitem),
+    ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 32),
+    oks AS (SELECT p FROM ok
+            WHERE ('0x' || SUBSTR(MD5('lpa:' || p), 1, 15))::BIGINT % 64 = 0),
+    psf AS (SELECT ps.p, ps.s FROM ps JOIN oks USING (p)),
+    e0 AS MATERIALIZED (SELECT DISTINCT x.s AS a, y.s AS b
+           FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s)"""]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+    d{i} AS MATERIALIZED (
+      SELECT n, COUNT(*) AS deg FROM (
+        SELECT a AS n FROM {prev} UNION ALL SELECT b FROM {prev}) GROUP BY n
+    ),
+    k{i} AS (SELECT n FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN k{i} ka ON ka.n = e.a
+      JOIN k{i} kb ON kb.n = e.b
+    )""")
+        prev = f"e{i}"
+    return (
+        ",".join(parts)
+        + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev})
+    GROUP BY node
+    """
+    )
+
+
+@register(
+    "graph_kcore_members",
+    oracle=_kcore_oracle(),
+    doc="Bounded k-core peeling (k=8, 3 synchronous rounds) over the "
+    "part-sampled co-supply graph — the dense-subgraph / community-"
+    "core extractor completing the graph family (CC, PageRank, LPA, "
+    "triangles, BFS, Jaccard, HITS). Each round: one degree hash "
+    "aggregate + two semi-joins, lineage cut; survivors after r "
+    "rounds are a monotone superset of the true k-core, exact at "
+    "the fixed point — the FIXED round count is what lets the whole "
+    "recurrence unroll into the MATERIALIZED-CTE oracle (the "
+    "BFS/LPA/HITS verification pattern). All-integer output.",
+)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.graph import kcore_peel
+
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    keep_part = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("lpa:"), F.col("p").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 64
+        == 0
+    )
+    ok = (
+        ps.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("ns"))
+        .where("ns <= 32")
+        .where(keep_part)
+        .select("p")
+    )
+    psf = ps.join(ok, "p")
+    pairs = (
+        psf.alias("x")
+        .join(
+            psf.alias("y"),
+            (F.col("x.p") == F.col("y.p")) & (F.col("x.s") < F.col("y.s")),
+        )
+        .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
+    )
+    return kcore_peel(pairs, k=8, rounds=3)

@@ -1758,3 +1758,115 @@ _REG["dedup_minhash_recall_eval"] = _REG["dedup_minhash_recall_eval"].__class__(
     oracle=_eval_oracle,
     doc=_REG["dedup_minhash_recall_eval"].doc,
 )
+
+
+@register(
+    "docs_length_drift_ks",
+    oracle="""
+    WITH vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+    srcs AS (
+      SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1
+    ),
+    corpus_c AS (
+      SELECT n_chars AS v, COUNT(*) AS dc FROM documents GROUP BY 1
+    ),
+    src_c AS (
+      SELECT source, n_chars AS v, COUNT(*) AS ds
+      FROM documents GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.source, s.ns, vals.v,
+             COALESCE(sc.ds, 0) AS ds, cc.dc
+      FROM srcs s CROSS JOIN vals
+      JOIN corpus_c cc ON cc.v = vals.v
+      LEFT JOIN src_c sc ON sc.source = s.source AND sc.v = vals.v
+    ),
+    cums AS (
+      SELECT source, ns, v,
+             SUM(ds) OVER (PARTITION BY source ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cs,
+             SUM(dc) OVER (PARTITION BY source ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cc,
+             (SELECT COUNT(*) FROM documents) AS n
+      FROM grid
+    )
+    SELECT source, CAST(MAX(ns) AS BIGINT) AS n_source,
+           ROUND(CAST(MAX(ABS(cs * n - cc * ns)) AS DOUBLE)
+                 / (CAST(MAX(ns) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)), 6)
+             AS ks_stat,
+           ROUND(CAST(MAX(ABS(cs * n - cc * ns)) AS DOUBLE)
+                 / (CAST(MAX(ns) AS DOUBLE) * CAST(MAX(n) AS DOUBLE))
+                 * SQRT(CAST(MAX(ns) AS DOUBLE) * CAST(MAX(n) AS DOUBLE)
+                        / (CAST(MAX(ns) AS DOUBLE) + CAST(MAX(n) AS DOUBLE))), 6)
+             AS ks_lambda
+    FROM cums GROUP BY source
+    """,
+    doc="Distribution-drift monitor: per-source two-sample Kolmogorov–"
+    "Smirnov statistic of the document-length distribution against "
+    "the whole corpus — the domain-shift tripwire a training-data "
+    "pipeline runs per ingest source (λ ≳ 1.36 ⇒ drift at α=0.05). "
+    "Exact arithmetic throughout: ECDFs compare as the INTEGER "
+    "cross-product |cs·N − cc·ns| (no float ECDF subtraction), "
+    "maximized over a (source × length-domain) grid — both "
+    "dimensions DOMAIN-bounded (the skyline/X116 window argument), "
+    "with the corpus-sized work in two hash aggregates. One double "
+    "division + sqrt at the end, rounded at 6 dp.",
+)
+def docs_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").alias("v")).distinct()
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    corpus_c = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("dc")
+    )
+    src_c = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("ds")
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        srcs.crossJoin(vals)
+        .join(corpus_c, "v")
+        .join(src_c, ["source", "v"], "left")
+        .select(
+            "source",
+            "ns",
+            "v",
+            F.coalesce("ds", F.lit(0)).alias("ds"),
+            "dc",
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = grid.crossJoin(F.broadcast(n_total)).select(
+        "source",
+        "ns",
+        "v",
+        F.sum("ds").over(w).alias("cs"),
+        F.sum("dc").over(w).alias("cc"),
+        "n",
+    )
+    dev = F.abs(F.col("cs") * F.col("n") - F.col("cc") * F.col("ns"))
+    agg = cums.groupBy("source").agg(
+        F.max("ns").cast("bigint").alias("n_source"),
+        F.max(dev).alias("mdev"),
+        F.max("ns").cast("double").alias("nsd"),
+        F.max("n").cast("double").alias("nd"),
+    )
+    ks = F.col("mdev").cast("double") / (F.col("nsd") * F.col("nd"))
+    return agg.select(
+        "source",
+        "n_source",
+        F.round(ks, 6).alias("ks_stat"),
+        F.round(
+            ks
+            * F.sqrt(
+                F.col("nsd") * F.col("nd") / (F.col("nsd") + F.col("nd"))
+            ),
+            6,
+        ).alias("ks_lambda"),
+    )

@@ -2910,3 +2910,134 @@ def events_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    split AS (SELECT MAX(day) - INTERVAL 7 DAY AS cutoff FROM daily),
+    train AS (
+      SELECT d.event_type, LIST(d.y ORDER BY d.day) AS ys, COUNT(*) AS n_train
+      FROM daily d CROSS JOIN split s WHERE d.day <= s.cutoff
+      GROUP BY 1
+    ),
+    fitted AS (
+      SELECT event_type, n_train,
+             LIST_REDUCE(
+               LIST_PREPEND([ys[1], ys[2] - ys[1]],
+                 LIST_TRANSFORM(ys[3:], y -> [y, 0.0::DOUBLE])),
+               (acc, x) -> [
+                 0.5::DOUBLE * x[1] + 0.5::DOUBLE * (acc[1] + acc[2]),
+                 0.3::DOUBLE * ((0.5::DOUBLE * x[1]
+                   + 0.5::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                   + 0.7::DOUBLE * acc[2]
+               ]) AS st
+      FROM train WHERE n_train >= 2
+    ),
+    holdout AS (
+      SELECT d.event_type, d.day, d.y,
+             CAST(DATE_DIFF('day', s.cutoff, d.day) AS BIGINT) AS h
+      FROM daily d CROSS JOIN split s WHERE d.day > s.cutoff
+    ),
+    scored AS (
+      SELECT h.event_type,
+             CAST(ABS(h.y - (f.st[1] + CAST(h.h AS DOUBLE) * f.st[2]))
+                  AS DECIMAL(27, 12)) AS abs_err,
+             CAST(ABS(h.y) AS DECIMAL(27, 12)) AS abs_y,
+             f.n_train
+      FROM holdout h JOIN fitted f USING (event_type)
+    )
+    SELECT event_type,
+           CAST(MAX(n_train) AS BIGINT) AS n_train,
+           CAST(COUNT(*) AS BIGINT) AS n_holdout,
+           ROUND(CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mae,
+           ROUND(CAST(SUM(abs_err) AS DOUBLE) / CAST(SUM(abs_y) AS DOUBLE), 6)
+             AS wape
+    FROM scored GROUP BY event_type
+    """,
+    doc="Forecast BACKTEST: Holt double-ES (X118's exact HOF fold) fit "
+    "on all but the last 7 days, h-step forecasts scored against the "
+    "held-out week — MAE and WAPE (weighted MAPE: Σ|err|/Σ|y|, the "
+    "zero-actual-safe form) per series. The evaluation half every "
+    "forecasting deployment needs next to the fit (the "
+    "dedup_minhash_recall_eval philosophy applied to time series). "
+    "Same bounding as X118 (day-domain series arrays); absolute "
+    "errors cast to exact decimal before summing, final divisions "
+    "rounded at 6 dp.",
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    split = daily.agg(
+        (F.max("day") - F.expr("INTERVAL 7 DAY")).alias("cutoff")
+    )
+    train = (
+        daily.crossJoin(F.broadcast(split))
+        .where(F.col("day") <= F.col("cutoff"))
+        .groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+            ).alias("ys"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+        .where(F.col("n_train") >= 2)
+    )
+    a, b = F.lit(0.5), F.lit(0.3)
+    init = F.array(
+        F.element_at("ys", 1), F.element_at("ys", 2) - F.element_at("ys", 1)
+    )
+    lvl = lambda acc, y: a * y + (F.lit(1.0) - a) * (
+        F.element_at(acc, 1) + F.element_at(acc, 2)
+    )
+    st = F.aggregate(
+        F.slice(F.col("ys"), 3, 1000000),
+        init,
+        lambda acc, y: F.array(
+            lvl(acc, y),
+            b * (lvl(acc, y) - F.element_at(acc, 1))
+            + (F.lit(1.0) - b) * F.element_at(acc, 2),
+        ),
+    )
+    fitted = train.select("event_type", "n_train", st.alias("st"))
+    holdout = (
+        daily.crossJoin(F.broadcast(split))
+        .where(F.col("day") > F.col("cutoff"))
+        .select(
+            "event_type",
+            "y",
+            F.datediff("day", "cutoff").cast("bigint").alias("h"),
+        )
+    )
+    scored = holdout.join(fitted, "event_type").select(
+        "event_type",
+        "n_train",
+        F.abs(
+            F.col("y")
+            - (
+                F.element_at("st", 1)
+                + F.col("h").cast("double") * F.element_at("st", 2)
+            )
+        )
+        .cast("decimal(27,12)")
+        .alias("abs_err"),
+        F.abs("y").cast("decimal(27,12)").alias("abs_y"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.max("n_train").cast("bigint").alias("n_train"),
+        F.count(F.lit(1)).cast("bigint").alias("n_holdout"),
+        F.round(
+            F.sum("abs_err").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mae"),
+        F.round(F.sum("abs_err").cast("double") / F.sum("abs_y").cast("double"), 6).alias(
+            "wape"
+        ),
+    )

@@ -932,20 +932,26 @@ def synth_tone_wav(asset_id: int, n_frames: int, sample_rate: int = 8000) -> byt
     return synth_wav(sample_rate, 1, n_frames, bits=16, data=data)
 
 
-def synth_tone_assets(documents: DataFrame) -> DataFrame:
+def synth_tone_assets(documents: DataFrame, content_mod: int | None = None) -> DataFrame:
     """Tone WAV assets for every 4th document; n_frames = 160 + id % 160
-    so frame counts vary and the tail partial frame is exercised."""
+    so frame counts vary and the tail partial frame is exercised.
+
+    ``content_mod``: plant the waveform from ``doc_id % content_mod``
+    instead of doc_id, so congruent assets are byte-identical
+    RECORDINGS under distinct asset ids — the planted ground truth for
+    audio dedup workloads. Default None keeps per-asset-unique tones."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
             ids = [int(i) for i in pdf["doc_id"]]
+            keys = ids if content_mod is None else [i % content_mod for i in ids]
             yield pd.DataFrame(
                 {
                     "asset_id": ids,
                     "payload": [
-                        synth_tone_wav(i, 160 + i % 160) for i in ids
+                        synth_tone_wav(k, 160 + k % 160) for k in keys
                     ],
                 }
             )

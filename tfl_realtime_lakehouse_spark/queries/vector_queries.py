@@ -1319,3 +1319,82 @@ def vl_training_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard_id"),
     )
+
+
+@register(
+    "multimodal_audio_dedup",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id AS asset_id, doc_id % 16 AS ck,
+             160 + (doc_id % 16) % 160 AS nf
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    fr AS (SELECT asset_id, ck, UNNEST(RANGE(nf // 80)) AS frame_id FROM a),
+    t AS (SELECT asset_id, ck, frame_id, UNNEST(RANGE(80)) AS i FROM fr),
+    s AS (
+      SELECT asset_id, frame_id,
+             ((ck * 31 + (frame_id * 80 + i) * 7) % 2048) - 1024 AS v
+      FROM t
+    ),
+    frames AS (
+      SELECT asset_id, frame_id, SUM(v * v) AS sum_sq
+      FROM s GROUP BY 1, 2
+    ),
+    fp AS (
+      SELECT asset_id,
+             MD5(STRING_AGG(CAST(sum_sq AS VARCHAR), ':'
+                            ORDER BY frame_id)) AS fingerprint
+      FROM frames GROUP BY 1
+    ),
+    grp AS (
+      SELECT fingerprint, COUNT(*) AS group_size,
+             MIN(asset_id) AS rep_asset
+      FROM fp GROUP BY 1 HAVING COUNT(*) >= 2
+    )
+    SELECT fp.asset_id, fp.fingerprint,
+           CAST(grp.group_size AS BIGINT) AS group_size,
+           grp.rep_asset
+    FROM fp JOIN grp USING (fingerprint)
+    """,
+    doc="Audio duplicate detection by acoustic fingerprint: synthesize "
+    "WAVs whose PCM is planted from doc_id % 16 (congruent assets = "
+    "byte-identical recordings under different ids), decode the REAL "
+    "sample bytes back out of the RIFF container, fingerprint each "
+    "asset as md5 over its ordered integer frame-energy sequence "
+    "(sum-of-squares — int64-exact, no float in the digest), and "
+    "group fingerprints with ≥2 members — the energy-profile tier "
+    "of audio dedup (the audio sibling of the aHash image near-dup, "
+    "X57). A hash match proves decode → framing → energy → digest "
+    "end-to-end, since the oracle replants everything from id "
+    "arithmetic. One frame aggregate + one per-asset fold + one "
+    "fingerprint groupBy, all key-partitioned.",
+)
+def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    assets = M.synth_tone_assets(docs, content_mod=16)
+    frames = M.audio_frame_rms(assets, frame_len=80)
+    fp = frames.groupBy("asset_id").agg(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("frame_id", "sum_sq"))),
+                    lambda s: s["sum_sq"].cast("string"),
+                ),
+            )
+        ).alias("fingerprint")
+    )
+    grp = (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min("asset_id").alias("rep_asset"),
+        )
+        .where(F.col("group_size") >= 2)
+    )
+    return fp.join(grp, "fingerprint").select(
+        "asset_id",
+        "fingerprint",
+        F.col("group_size").cast("bigint").alias("group_size"),
+        "rep_asset",
+    )

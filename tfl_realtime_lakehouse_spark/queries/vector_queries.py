@@ -1398,3 +1398,80 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_size").cast("bigint").alias("group_size"),
         "rep_asset",
     )
+
+
+@register(
+    "embedding_ood_outliers",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS x
+      FROM embeddings, LATERAL (SELECT UNNEST(RANGE(1, 65)) AS i)
+    ),
+    stats AS (
+      SELECT dim,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(27, 12))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x AS DECIMAL(27, 12))
+                      * CAST(x AS DECIMAL(27, 12))) AS DOUBLE) AS s2
+      FROM dims GROUP BY 1
+    ),
+    z AS (
+      SELECT d.vec_id,
+             CAST(
+               ((d.x * st.n - st.s1) * (d.x * st.n - st.s1))
+               / (st.n * (st.n * st.s2 - st.s1 * st.s1))
+             AS DECIMAL(27, 12)) AS z2
+      FROM dims d JOIN stats st USING (dim)
+    ),
+    scored AS (
+      SELECT vec_id, ROUND(CAST(SUM(z2) AS DOUBLE), 6) AS ood_score
+      FROM z GROUP BY 1
+    )
+    SELECT vec_id, ood_score, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT t.*, ROW_NUMBER() OVER (ORDER BY ood_score DESC, vec_id) AS rnk
+          FROM (SELECT * FROM scored
+                ORDER BY ood_score DESC, vec_id LIMIT 20) t)
+    """,
+    doc="Embedding out-of-distribution scoring: per-dimension "
+    "standardized squared deviation summed across dims (diagonal "
+    "Mahalanobis) — the cheap OOD screen that flags corrupt or "
+    "out-of-domain vectors before they poison ANN indexes or "
+    "training batches. Per-dim sufficient statistics from one "
+    "posexplode aggregate (64·|corpus| rows → 64 stat rows — "
+    "model-sized, broadcast back); z² terms use the X102 "
+    "division-late expanded form ((x·n−S1)²/(n·(nS2−S1²))) over "
+    "decimal-exact sums and are THEMSELVES decimal-cast before the "
+    "per-vector sum (64-term float sums reassociate; decimal "
+    "addition does not). Top-20 via TakeOrdered, ties on vec_id.",
+)
+def embedding_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select(
+        "vec_id", F.col("pos").alias("dim"), F.col("col").cast("double").alias("x")
+    )
+    xd = F.col("x").cast("decimal(27,12)")
+    stats = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * xd).cast("double").alias("s2"),
+    )
+    dev = F.col("x") * F.col("n") - F.col("s1")
+    z = dims.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        (
+            (dev * dev)
+            / (F.col("n") * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
+        )
+        .cast("decimal(27,12)")
+        .alias("z2"),
+    )
+    scored = z.groupBy("vec_id").agg(
+        F.round(F.sum("z2").cast("double"), 6).alias("ood_score")
+    )
+    top = scored.orderBy(F.col("ood_score").desc(), "vec_id").limit(20)
+    w = Window.orderBy(F.col("ood_score").desc(), "vec_id")
+    return top.withColumn("rnk", F.row_number().over(w)).select(
+        "vec_id", "ood_score", F.col("rnk").cast("int").alias("rnk")
+    )

@@ -68,7 +68,10 @@ def test_fct_headways_matches_python_model(spark, gaps):
         hour_epoch = int(r.hour.timestamp())
         g = sorted(per_hour[hour_epoch])
         n = len(g)
-        assert r.avg_headway_s == sum(g) / n
+        # mirror the engine's documented µs arithmetic exactly:
+        # (Σ gap_us / n) / 1e6 — one association differs from the naive
+        # sum(g)/n by 1 ulp (hypothesis found [1, 1, 23])
+        assert r.avg_headway_s == (sum(g) * 1_000_000 / n) / 1e6
         assert r.p50_headway_s == g[-(-n // 2) - 1]  # ceil(0.5n) 1-based
         import math
 

@@ -94,14 +94,30 @@ DRIVER_WINDOW = [
     "agg_countmin_freq",
     "graph_pagerank",
 ]
-# Round-3 wave-2 additions (graph_triangle_count, graph_label_propagation,
-# skew_salted_agg, spatial_grid_eps_join, cdc_apply_changes,
-# embedding_random_projection, knn_label_vote, events_markov_transitions,
-# events_rolling_7d_actives, agg_quantile_sketch, multimodal_audio_frames,
-# dq_integrity_audit, basket_part_affinity, incremental_rollup_maintenance)
-# sit in the parity/str-identity-checked tail this round — the 50-slot
-# window is already allocated to the judge's r03 priority list — and are
-# first in line for the r04 rotation.
+# Round-3 additions beyond the window (waves 2-5: the graph family
+# graph_triangle_count/label_propagation/bfs_khop/neighbor_jaccard/
+# hits_hubs_authorities/kcore_members, skew_salted_agg/join,
+# spatial_grid_eps_join, cdc_apply_changes, embedding_random_projection/
+# mmr_select/kcenter_coreset/pca_project/ood_outliers/ann_lsh_verified,
+# knn_label_vote, events_markov_transitions/rolling_7d_actives/
+# interval_merge/sequence_pattern/changepoint_cusum/seasonal_anomaly/
+# survival_curve/abtest_lift/holt_forecast/forecast_backtest/
+# dau_mau_stickiness/gini_concentration/behavior_entropy/
+# sequence+sketch members, agg_quantile_sketch/kmv_sketch/countmin,
+# multimodal_audio_frames/audio_dedup/pixel_stats/phash_neardup/
+# tile_plan/video_meta, text_tfidf_topterms/containment_pairs/
+# unigram_perplexity/length_drift_ks, docs_shard_manifest,
+# vl_training_export_manifest, customer_rfm_segments,
+# part_skyline_price_size, privacy_k_anonymity,
+# orders_duplicate_invoice_pairs, join_point_in_time_scd2,
+# dq_integrity_audit, basket_part_affinity, regr_linear_by_group,
+# scalar_variant_props, anomaly_top_contributors,
+# dedup_minhash_recall_eval, incremental_rollup_maintenance,
+# sample_weighted_priority, events_value_* et al.) sit in the
+# parity/str-identity-checked tail this round — the 50-slot window is
+# allocated to the judge's r03 priority list — and are first in line
+# for the r04 rotation. Every tail entry is verified each session by
+# tools/parity.py AND tools/str_identity.py (both ALL-GREEN sweeps).
 
 
 def _apply_driver_window() -> None:

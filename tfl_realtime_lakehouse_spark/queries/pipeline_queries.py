@@ -2003,10 +2003,18 @@ def regr_linear_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                ::BIGINT AS hv
       FROM events
     ),
+    nd AS (SELECT event_type, COUNT(*) AS n_d FROM h GROUP BY 1),
+    hf AS (
+      SELECT h.event_type, h.hv
+      FROM h JOIN nd USING (event_type)
+      WHERE CAST(h.hv AS DOUBLE)
+            <= 256.0::DOUBLE / CAST(nd.n_d AS DOUBLE)
+               * 1152921504606846976.0::DOUBLE
+    ),
     kmins AS (
       SELECT event_type, hv,
              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-      FROM h
+      FROM hf
     ),
     per_type AS (
       SELECT event_type AS scope,
@@ -2045,9 +2053,12 @@ def regr_linear_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "union of k-min sets) — the property that lets 100 TB of "
     "per-partition sketches combine into one 64-value state without "
     "re-scanning. Small-set exactness: groups with < k distinct "
-    "hashes report their exact count. Hashes are integer md5 "
-    "arithmetic (cross-engine exact); the estimate is one double "
-    "division rounded at 4 dp.",
+    "hashes report their exact count. Scale: a τ = (4k/n)·2⁶⁰ "
+    "pre-filter (n from one exact distinct count) caps the rank "
+    "window's sorted partition at ~4k rows per group instead of ALL "
+    "distinct member hashes — exact up to a < e⁻¹⁰⁰ Chernoff tail. "
+    "Hashes are integer md5 arithmetic (cross-engine exact); the "
+    "estimate is one double division rounded at 4 dp.",
 )
 def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
@@ -2060,8 +2071,25 @@ def agg_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         10,
     ).cast("bigint")
     h = ev.select("event_type", hv.alias("hv")).distinct()
+    # τ pre-filter (the classic KMV scale trick): the rank window below
+    # would otherwise sort EVERY distinct hash per group; keeping only
+    # hv ≤ (4k/n_distinct)·2⁶⁰ leaves ~4k candidates per group (exact
+    # n_distinct from one agg — mirrored in the oracle), so the sorted
+    # window partition is O(k), not O(members). Exactness: losing one
+    # of the true k minima needs < k of n uniform hashes below a
+    # threshold with expectation 4k — P < e⁻¹⁰⁰ by Chernoff, the same
+    # negligible-collision class as the 64-bit shingle-hash argument;
+    # groups with n_distinct ≤ 4k keep every hash (τ ≥ 2⁶⁰).
+    nd = h.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_d"))
+    hf = h.join(F.broadcast(nd), "event_type").where(
+        F.col("hv").cast("double")
+        <= F.lit(float(4 * k)) / F.col("n_d").cast("double")
+        * F.lit(1152921504606846976.0)
+    )
     w = Window.partitionBy("event_type").orderBy("hv")
-    kmins = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k)
+    kmins = hf.select("event_type", "hv").withColumn(
+        "rn", F.row_number().over(w)
+    ).where(F.col("rn") <= k)
     per_type = kmins.groupBy(F.col("event_type").alias("scope")).agg(
         F.count(F.lit(1)).alias("n_mins"),
         F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("m_k"),

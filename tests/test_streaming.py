@@ -1165,3 +1165,53 @@ def test_streaming_rolling_anomaly_matches_batch(spark, tmp_path):
     # and the spikes are the only anomalies
     assert stream_flags[("a", h(8))] == 1 and stream_flags[("a", h(15))] == 1
     assert sum(v for v in stream_flags.values() if v) == 2
+
+
+def test_streaming_sessions_event_time_timeout(spark, tmp_path):
+    """Sessions closed by a successor event emit immediately; idle
+    sessions flush via the EVENT-TIME TIMEOUT once a later batch's
+    watermark passes last_ts + gap — no poison-pill event for the idle
+    key. Totals equal the batch gap sessionization."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.session_timeout import (
+        streaming_sessions_with_timeout,
+    )
+
+    t = lambda h, m: dt.datetime(2025, 1, 1, h, m)
+    b1 = [
+        (1, 101, t(10, 0)),
+        (1, 102, t(10, 10)),          # same session (gap 30 min)
+        (2, 201, t(10, 5)),
+    ]
+    b2 = [
+        (1, 103, t(12, 0)),           # > 30 min after 10:10 → closes session 1
+    ]
+    # batch 3 only advances the watermark (a late key-3 event at 14:00):
+    # key 1's 12:00 session and key 2's 10:05 session must flush via
+    # TIMEOUT (no further events for those keys anywhere)
+    b3 = [(3, 301, t(14, 0))]
+    schema = "user_id long, event_id long, ts timestamp"
+    src = str(tmp_path / "sess-to-src")
+    for i, b in enumerate([b1, b2, b3], 1):
+        spark.createDataFrame(b, schema).coalesce(1).write.parquet(f"{src}/f={i}")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_sessions_with_timeout(stream)
+    _run_stream(out, tmp_path, "sess_to_out")
+    rows = spark.sql("select * from sess_to_out").collect()
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"], r["n_events"], r["closed_by"]
+        )
+        for r in rows
+    }
+    assert got[(1, t(10, 0))] == (t(10, 10), 2, "successor")
+    assert got[(1, t(12, 0))] == (t(12, 0), 1, "timeout")
+    assert got[(2, t(10, 5))] == (t(10, 5), 1, "timeout")
+    # key 3's open session has no later watermark to flush it yet
+    assert (3, t(14, 0)) not in got

@@ -3069,3 +3069,65 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wape"
         ),
     )
+
+
+@register(
+    "events_error_budget_burn",
+    oracle="""
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', ts) AS hour,
+             COUNT(*) AS n_total,
+             SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_total) AS grand_total FROM hourly)
+    SELECT hour, CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_err AS BIGINT) AS n_err,
+           ROUND(CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+             AS error_rate,
+           CAST(SUM(n_err) OVER (ORDER BY hour
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_errors,
+           ROUND(CAST(SUM(n_err) OVER (ORDER BY hour
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE)
+                 / (0.05::DOUBLE * CAST(tot.grand_total AS DOUBLE)), 6)
+             AS budget_consumed,
+           CAST(CASE WHEN CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE)
+                          > 0.05::DOUBLE * 14.4::DOUBLE
+                THEN 1 ELSE 0 END AS INTEGER) AS fast_burn_alert
+    FROM hourly CROSS JOIN tot
+    """,
+    doc="SRE error-budget burn-down against a 5% SLO: hourly error "
+    "rates, the cumulative share of the period's total error budget "
+    "consumed (SUM over the HOUR-DOMAIN-bounded hourly relation — "
+    "the X116 window argument), and the Google-SRE fast-burn alert "
+    "(rate > 14.4× budget ⇒ the monthly budget would die in 2 "
+    "days). The 1-row grand total broadcast-joins back; counts are "
+    "exact, two rounded divisions.",
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_err"),
+    )
+    tot = hourly.agg(F.sum("n_total").alias("grand_total"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    rate = F.col("n_err").cast("double") / F.col("n_total").cast("double")
+    return hourly.crossJoin(F.broadcast(tot)).select(
+        "hour",
+        F.col("n_total").cast("bigint").alias("n_total"),
+        F.col("n_err").cast("bigint").alias("n_err"),
+        F.round(rate, 6).alias("error_rate"),
+        F.sum("n_err").over(w).cast("bigint").alias("cum_errors"),
+        F.round(
+            F.sum("n_err").over(w).cast("double")
+            / (F.lit(0.05) * F.col("grand_total").cast("double")),
+            6,
+        ).alias("budget_consumed"),
+        F.when(rate > F.lit(0.05) * F.lit(14.4), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("fast_burn_alert"),
+    )

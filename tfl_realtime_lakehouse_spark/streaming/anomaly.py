@@ -3,7 +3,8 @@
 
 The batch operator windows over the preceding ``history`` buckets; a
 stream cannot re-window, so per-key state carries exactly those
-``history`` (bucket_us, sum) pairs — a bounded ring buffer — and each
+``history`` buckets as two parallel arrays (epoch-µs, raw sum) — a
+bounded ring buffer — and each
 incoming CLOSED bucket (the upstream watermarked window aggregation
 emits those, e.g. ``streaming_rate_per_hour``'s shape) is flagged
 against its predecessors with the SAME division-free algebra:
@@ -14,7 +15,7 @@ NULL and not inserted (bounded-disorder contract of the streaming
 family); in-order replay equals the batch window exactly, which the
 batch-equivalence test pins.
 
-State per key: ≤ ``history`` (long, long) pairs — O(keys·history).
+State per key: two ≤ ``history``-element arrays — O(keys·history).
 """
 
 from __future__ import annotations

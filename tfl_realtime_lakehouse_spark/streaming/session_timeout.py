@@ -61,14 +61,17 @@ _SESS_STATE = T.StructType(
     ]
 )
 
-GAP_SECONDS = 1800
+GAP_SECONDS = 1800  # default inactivity gap (the batch operator's 30 min)
 
 
 def _session_state_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_seconds: int = GAP_SECONDS,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    gap_us = GAP_SECONDS * 1_000_000
+    gap_us = gap_seconds * 1_000_000
     out = {k: [] for k in ("session_start", "session_end", "n_events", "closed_by")}
 
     def emit(s_us, e_us, n, how):
@@ -107,16 +110,22 @@ def _session_state_fn(
 
 
 def streaming_sessions_with_timeout(
-    events: DataFrame, watermark: str = "0 seconds"
+    events: DataFrame,
+    watermark: str = "0 seconds",
+    gap_seconds: int = GAP_SECONDS,
 ) -> DataFrame:
     """Finalized sessions as a stream; idle sessions flush via
     EventTimeTimeout when the watermark passes last_ts + gap."""
+
+    def fn(key, pdfs, state):
+        return _session_state_fn(key, pdfs, state, gap_seconds=gap_seconds)
+
     return (
         events.select("user_id", "ts", "event_id")
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _session_state_fn,
+            fn,
             outputStructType=_SESS_OUTPUT,
             stateStructType=_SESS_STATE,
             outputMode="append",

@@ -1870,3 +1870,77 @@ def docs_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_lambda"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH wf AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk FROM wf
+    ),
+    pts AS (
+      SELECT CAST(LN(CAST(rnk AS DOUBLE)) AS DECIMAL(27, 12)) AS x,
+             CAST(LN(CAST(n AS DOUBLE)) AS DECIMAL(27, 12)) AS y
+      FROM ranked
+    ),
+    sums AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(m AS BIGINT) AS vocab_size,
+           ROUND((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS zipf_exponent,
+           ROUND((m * sxy - sx * sy) * (m * sxy - sx * sy)
+                 / ((m * sxx - sx * sx) * (m * syy - sy * sy)), 6) AS r2
+    FROM sums
+    """,
+    doc="Zipf's-law fit of the corpus vocabulary: OLS of ln(freq) on "
+    "ln(rank) — natural text shows exponent ≈ −1 with high R², and "
+    "deviation flags synthetic/templated/spammy corpora (a standard "
+    "corpus-health check beside perplexity and entropy). Rank comes "
+    "from one window over the VOCAB-domain relation (ties broken on "
+    "the word — vocabulary-sized, not token-sized; the corpus-sized "
+    "work is the explode + count); ln points are decimal-cast before "
+    "the sufficient-statistic sums (the X91 OLS discipline) and the "
+    "normal equations run once on the 1-row summary, rounded at "
+    "6 dp.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "w")
+    pts = wf.select(
+        F.log(F.row_number().over(w).cast("double"))
+        .cast("decimal(27,12)")
+        .alias("x"),
+        F.log(F.col("n").cast("double")).cast("decimal(27,12)").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    cxy = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    cxx = F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")
+    cyy = F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        F.col("m").cast("bigint").alias("vocab_size"),
+        F.round(cxy / cxx, 6).alias("zipf_exponent"),
+        F.round(cxy * cxy / (cxx * cyy), 6).alias("r2"),
+    )

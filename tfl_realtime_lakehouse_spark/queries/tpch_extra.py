@@ -1749,3 +1749,70 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
     )
     return kcore_peel(pairs, k=8, rounds=3)
+
+
+@register(
+    "customer_revenue_concentration",
+    oracle="""
+    WITH ct AS (
+      SELECT c.c_mktsegment, c.c_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18, 2))) AS spend
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    deciled AS (
+      SELECT c_mktsegment, spend,
+             NTILE(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY spend DESC, c_custkey) AS decile
+      FROM ct
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(SUM(CASE WHEN decile = 1 THEN spend
+                          ELSE CAST(0 AS DECIMAL(18, 2)) END) AS DOUBLE)
+                 / CAST(SUM(spend) AS DOUBLE), 6) AS top_decile_share,
+           ROUND(CAST(SUM(CASE WHEN decile <= 5 THEN spend
+                          ELSE CAST(0 AS DECIMAL(18, 2)) END) AS DOUBLE)
+                 / CAST(SUM(spend) AS DOUBLE), 6) AS top_half_share
+    FROM deciled GROUP BY 1
+    """,
+    doc="Revenue concentration ('whale analysis') per market segment: "
+    "the share of segment revenue contributed by the top spending "
+    "decile and the top half — the complement of the Gini "
+    "coefficient (X121) phrased the way revenue teams consume it. "
+    "One decimal-exact per-customer aggregate, then a segment-"
+    "partitioned NTILE (the RFM/X77 domain-window trade) and one "
+    "re-aggregate sharing the same partitioning. Decile ties break "
+    "on c_custkey; shares are single rounded divisions of exact "
+    "decimal sums.",
+)
+def customer_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    ct = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("spend").desc(), "c_custkey")
+    deciled = ct.withColumn("decile", F.ntile(10).over(w))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return deciled.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("decile") == 1, F.col("spend")).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum("spend").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+        F.round(
+            F.sum(F.when(F.col("decile") <= 5, F.col("spend")).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum("spend").cast("double"),
+            6,
+        ).alias("top_half_share"),
+    )

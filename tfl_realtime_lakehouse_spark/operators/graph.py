@@ -294,6 +294,11 @@ def hits_scores(
 
     Returns (kind 'hub'|'authority', id, score bigint, share double).
     """
+    if rounds < 1:
+        raise ValueError(
+            f"hits_scores requires rounds >= 1 (got {rounds}): the authority "
+            "relation only exists after the first half-iteration"
+        )
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct().localCheckpoint()
     h = e.select("s").distinct().select("s", F.lit(1).cast("bigint").alias("h"))
     a = None
@@ -375,10 +380,9 @@ def kcore_peel(
             .select("a", "b")
             .localCheckpoint()
         )
-    deg = (
+    return (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
     )
-    return deg.where(F.col("deg") >= 0)

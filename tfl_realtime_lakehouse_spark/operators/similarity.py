@@ -1810,32 +1810,17 @@ def rademacher_lsh_pairs(
     vb = corpus.select(F.col(id_col).alias("idb"), F.col(vec_col).alias("_vb"))
     joined = cand.join(va, "ida").join(vb, "idb")
 
-    out_schema = T.StructType(
-        [
-            T.StructField("vec_a", corpus.schema[id_col].dataType),
-            T.StructField("vec_b", corpus.schema[id_col].dataType),
-            T.StructField("score", T.DoubleType()),
-        ]
+    # Verify with the SQL HOF cosine() (same left-fold dot/(norm·norm)
+    # expression tree the oracle's LIST_SUM fold replays) rather than a
+    # numpy normalize-then-einsum — the sign decisions AND the emitted
+    # 6-dp score now share one IEEE association with the oracle, so the
+    # hash check covers the score with no rounding-boundary caveat.
+    # Codegen'd JVM expression; no Python stage in the verify path.
+    return (
+        joined.select(
+            F.col("ida").alias("vec_a"),
+            F.col("idb").alias("vec_b"),
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
     )
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            xa = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
-            xb = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
-            _l2_normalize(xa)
-            _l2_normalize(xb)
-            s = np.einsum("ij,ij->i", xa, xb)
-            keep = np.round(s, 6) >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["ida"].to_numpy()[keep],
-                    "vec_b": pdf["idb"].to_numpy()[keep],
-                    "score": np.round(s, 6)[keep],
-                }
-            )
-
-    return joined.mapInPandas(verify, out_schema)

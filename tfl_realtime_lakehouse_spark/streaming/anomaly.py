@@ -85,12 +85,21 @@ def _anom_state_fn(
             else:
                 # exact int sums ≡ the batch DECIMAL(38,6) sums: S1 over
                 # fp6(x), S2 over fp6(x·x) (square in double FIRST, like
-                # the batch _sq staging); compare scaled by 1e12
-                s1 = sum(_fp6(v) for v in xs)
-                s2 = sum(_fp6(v * v) for v in xs)
-                xf = _fp6(x)
-                lhs = (float(xf) * n - float(s1)) * (float(xf) * n - float(s1))
-                rhs = z2_threshold * (n * float(s2) * 1e6 - float(s1) * float(s1))
+                # the batch _sq staging). The COMPARE then replays the
+                # batch expression tree verbatim in binary64: x stays
+                # FULL precision (only S1/S2 are 6-dp-quantized in the
+                # batch operator), and each exact-decimal sum is cast to
+                # double with a single correctly-rounded conversion
+                # (Decimal→float here ≡ the JVM's decimal→double cast),
+                # so boundary flags are bit-equal to the batch window
+                # for ANY input precision, not just ≤6-dp values.
+                s1_int = sum(_fp6(v) for v in xs)  # exact Σ fp6(x),  ×1e6
+                s2_int = sum(_fp6(v * v) for v in xs)  # exact Σ fp6(x²), ×1e6
+                s1d = float(Decimal(s1_int) / 1_000_000)
+                s2d = float(Decimal(s2_int) / 1_000_000)
+                xd, nd = float(x), float(n)
+                lhs = (xd * nd - s1d) * (xd * nd - s1d)
+                rhs = z2_threshold * (nd * s2d - s1d * s1d)
                 flag = 1 if lhs > rhs else 0
             out["bucket"].append(ts)
             out["bucket_sum"].append(float(x))

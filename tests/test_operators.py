@@ -2063,3 +2063,56 @@ def test_pca_matches_numpy_reference(spark, sf_smoke):
     ids = [r.vec_id for r in rows]
     for vid, wrow in zip(ids, want):
         assert np.allclose(got[vid], np.round(wrow, 6), atol=1e-5)
+
+
+def test_pca_iter_converges_on_anisotropic_fixture(spark):
+    """The verifiable PCA tier (fixed-round orthogonal iteration on the
+    decimal-exact covariance) IS PCA: on a fixture with real spectral
+    decay (ratios ≤ 0.35, where 12 rounds give (λ₅/λ₄)¹² < 1e-5
+    subspace error) the learned basis matches numpy eigh to 1e-4 and
+    per-component variances match the eigenvalues. (The registered
+    query's CORRECTNESS comes from the exact cross-engine replay; this
+    test pins the algorithm's identity as PCA, which the near-flat
+    sf-corpus spectrum cannot exhibit.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    d, n = 16, 400
+    scales = np.array([3.0, 1.0, 0.35, 0.12, 0.04] + [0.01] * (d - 5))
+    basis, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    x = (rng.standard_normal((n, d)) * scales) @ basis.T + rng.standard_normal(d)
+    x = np.round(x, 4)  # keep decimal casts honest
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id: long, embedding: array<double>",
+    )
+    mean, comps = S.pca_train_iter(df, k=4, rounds=12, dims=d)
+
+    mu = x.mean(axis=0)
+    cov = (x - mu).T @ (x - mu) / n
+    evals, evecs = np.linalg.eigh((cov + cov.T) / 2)
+    order = np.argsort(evals)[::-1][:4]
+    assert np.allclose(mean, mu, atol=1e-9)
+    w = np.asarray(comps)
+    # orthonormal
+    assert np.allclose(w @ w.T, np.eye(4), atol=1e-10)
+    # each learned axis aligns with the corresponding eigh axis
+    for c, idx in enumerate(order):
+        assert abs(float(np.dot(w[c], evecs[:, idx]))) > 1.0 - 1e-4
+    # per-component variance ≈ eigenvalue, in decreasing order
+    proj = (x - mu) @ w.T
+    var = proj.var(axis=0)
+    assert np.allclose(var, evals[order], rtol=1e-3)
+    assert list(var) == sorted(var, reverse=True)
+
+    # fold-exact JVM projection equals the driver-side fold
+    got = {
+        r.vec_id: [r.pc0, r.pc1, r.pc2, r.pc3]
+        for r in S.pca_project_fold(df, mean, comps).collect()
+    }
+    for i, row in enumerate(x):
+        want = [
+            round(S._fold0([(row[j] - mean[j]) * comps[c][j] for j in range(d)]), 6)
+            for c in range(4)
+        ]
+        assert got[i] == want

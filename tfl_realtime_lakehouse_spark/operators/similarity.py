@@ -1668,6 +1668,147 @@ def pca_train(
     return mean.tolist(), comps, [float(vals[i]) for i in order]
 
 
+def pca_cov_exact(corpus: DataFrame, vec_col: str = "embedding", dims: int = 64):
+    """Decimal-exact covariance: the cross-engine-deterministic input
+    the verifiable PCA tier (:func:`pca_train_iter`) needs.
+
+    The BLAS-partials path (:func:`pca_train`) sums float64 partials on
+    the driver — order-variant at the last ulp, which a near-degenerate
+    spectrum amplifies into O(ulp/gap) basis rotation (measured on this
+    corpus: adjacent eigenvalue ratios ≈ 0.99). This tier instead
+    stages every product xᵢ·xⱼ in double (one IEEE multiply) and sums
+    as DECIMAL(38,12) — exact, order-free, bit-identical in any engine.
+    Plan: posexplode to (row, i, xᵢ), self-join per row for the d²
+    products, ONE map-side-combined hash agg onto d² = 4096 keys — the
+    shuffle carries partitions·d² decimal rows, never corpus-sized.
+    (The d²-per-row map-side expansion is the price of exactness;
+    production training keeps the BLAS-partials path.)
+
+    Returns (n, mean: list, cov: list[list]) with mean/cov derived by
+    the pinned tree  meanᵢ = dbl(Sᵢ)/n,  covᵢⱼ = dbl(Sxxᵢⱼ)/n − mᵢ·mⱼ
+    (each decimal→double cast correctly rounded, each op one rounding).
+    """
+    id_col = corpus.columns[0]  # row key (vec_id) — first column by contract
+    ex = corpus.select(
+        F.col(id_col).alias("_rid"), F.posexplode(vec_col).alias("i", "xr")
+    ).select("_rid", "i", F.col("xr").cast("double").alias("x"))
+    ms = ex.groupBy("i").agg(
+        F.sum(F.col("x").cast("decimal(38,12)")).alias("s")
+    )
+    a, b = ex.alias("a"), ex.alias("b")
+    xx = (
+        a.join(b, "_rid")
+        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+        .agg(
+            F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(38,12)")).alias("s")
+        )
+    )
+    n = corpus.count()
+    nd = float(n)
+    mean = [0.0] * dims
+    for r in ms.collect():  # O(d) driver rows
+        mean[r["i"]] = float(r["s"]) / nd
+    cov = [[0.0] * dims for _ in range(dims)]
+    for r in xx.collect():  # O(d²) driver rows — model-sized
+        i, j = r["i"], r["j"]
+        cov[i][j] = float(r["s"]) / nd - mean[i] * mean[j]
+    return n, mean, cov
+
+
+def _fold0(vals):
+    """Left fold seeded at 0.0 — the shared scalar-sum tree: identical
+    to Spark's F.aggregate(…, lit(0.0), +) and the oracle's
+    list_reduce(list_prepend(0.0, …)) (0.0 + x is exact, so the seed
+    never perturbs the sum)."""
+    acc = 0.0
+    for v in vals:
+        acc = acc + v
+    return acc
+
+
+def pca_train_iter(
+    corpus: DataFrame,
+    k: int = 4,
+    rounds: int = 12,
+    vec_col: str = "embedding",
+    dims: int = 64,
+):
+    """The VERIFIABLE PCA tier: fixed-round orthogonal iteration on the
+    decimal-exact covariance, using ONLY +,−,×,÷,√ — every op IEEE
+    correctly rounded, so the whole recurrence is bit-replayable by a
+    SQL engine (the kcore/HITS bounded-rounds discipline applied to an
+    eigenproblem).
+
+    Why not oracle-ize eigh: LAPACK's tridiagonal-QR iteration is not
+    replayable in SQL, and with this corpus's near-flat spectrum
+    (adjacent ratios ≈ 0.99, measured) the eigenbasis map has condition
+    ~1/gap — a 1-ulp covariance difference legally rotates the basis in
+    the 6th decimal. No cross-engine hash can survive that; COVERAGE.md
+    carries the full argument. Fixed-round iteration sidesteps both:
+    convergence toward the eigenbasis is a PROPERTY (pinned by the
+    anisotropic-fixture pytest, where gaps are real), while the
+    registered result is the exact recurrence output — deterministic in
+    any engine.
+
+    Recurrence per round: Z = C·Q (left folds seeded 0.0, j ascending),
+    then modified Gram-Schmidt column-by-column (projection fold,
+    sequential subtraction wᵢ − r·gᵢ, norm = √fold(w²), divide).
+    Start Q⁰ = [e₀ … e_{k−1}]. After the last round: sign convention —
+    the largest-|coefficient| entry (ties → earlier index) is made
+    positive, so the output is unique. Driver state O(d²); rounds·k·d²
+    flops driver-side — model-sized, corpus-independent.
+
+    Returns (mean, comps) with comps as k rows of d (column c of the
+    final Q, sign-fixed).
+    """
+    _, mean, cov = pca_cov_exact(corpus, vec_col=vec_col, dims=dims)
+    q = [[1.0 if i == c else 0.0 for c in range(k)] for i in range(dims)]
+    for _ in range(rounds):
+        z = [
+            [_fold0([cov[i][j] * q[j][c] for j in range(dims)]) for c in range(k)]
+            for i in range(dims)
+        ]
+        g: list[list[float]] = []  # g[c][i]
+        for c in range(k):
+            w = [z[i][c] for i in range(dims)]
+            for p in range(c):
+                r = _fold0([g[p][i] * w[i] for i in range(dims)])
+                w = [w[i] - r * g[p][i] for i in range(dims)]
+            nrm = _fold0([w[i] * w[i] for i in range(dims)]) ** 0.5
+            g.append([w[i] / nrm for i in range(dims)])
+        q = [[g[c][i] for c in range(k)] for i in range(dims)]
+    comps = []
+    for c in range(k):
+        col = [q[i][c] for i in range(dims)]
+        best = min(range(dims), key=lambda i: (-abs(col[i]), i))
+        s = -1.0 if col[best] < 0.0 else 1.0
+        comps.append([v * s for v in col])
+    return mean, comps
+
+
+def pca_project_fold(
+    corpus: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold-exact JVM projection: pc_c = fold₀((xᵢ − mᵢ)·qᵢ_c), built
+    from zip_with + aggregate HOFs over the literal basis — whole-stage
+    codegen, zero Python, and the SAME expression tree the oracle's
+    ordered list_reduce replays. Map-only, zero shuffle."""
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    m_lit = F.array(*[F.lit(float(v)) for v in mean])
+    cols = [F.col(id_col)]
+    for c, comp in enumerate(components):
+        q_lit = F.array(*[F.lit(float(v)) for v in comp])
+        centered = F.zip_with(xd, m_lit, lambda x, m: x - m)
+        prods = F.zip_with(centered, q_lit, lambda x, w: x * w)
+        pc = F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+        cols.append(F.round(pc, 6).alias(f"pc{c}"))
+    return corpus.select(*cols)
+
+
 def pca_project(
     corpus: DataFrame,
     mean,

@@ -865,12 +865,99 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql(num_merges: int = 12) -> str:
+    """Unrolled DuckDB replay of BPE training + tokenization — the same
+    fixed-round unrolling trick that oracle-ized HITS/LPA/BFS (r3).
+
+    Greedy BPE is deterministic integer arithmetic, so every stage is
+    SQL-expressible once the merge recurrence is unrolled: round r
+    counts adjacent pairs over the (bounded) word-frequency table,
+    picks argmax by (cnt DESC, a, b) — bit-identical to the trainer's
+    ``min(counts, key=(-cnt, pair))`` tiebreak — and applies the rule.
+
+    The greedy-left merge application encodes each word's symbol array
+    as a chr(31)-delimited string (``US sym US US sym US ... US``, one
+    separator on each flank of every symbol) so ONE ``replace(s,
+    US||a||US||US||b||US, US||a||b||US)`` is exactly the operator's
+    left-to-right non-overlapping fold (:func:`operators.bpe
+    ._merge_fold`): replace scans left-to-right and resumes after each
+    substitution, and the flanking separators survive in the
+    replacement so adjacent matches stay joinable. chr(31) is verified
+    absent from the corpus (probe committed with this oracle).
+    Tokenization then replays the rules over the DISTINCT words of the
+    corpus and joins counts back per document.
+    """
+    sep = "chr(31)"
+    s2 = f"{sep} || {sep}"
+    enc = (
+        f"{sep} || array_to_string(string_split(word, ''), {s2}) "
+        f"|| {s2} || '</w>' || {sep}"
+    )
+    parts = [
+        """
+    w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+      WHERE LEN(word) > 0
+      GROUP BY word ORDER BY freq DESC, word LIMIT 65536
+    )""",
+        f"v0 AS MATERIALIZED (SELECT freq, {enc} AS s FROM w0)",
+    ]
+    for r in range(num_merges):
+        parts += [
+            f"""
+    l{r} AS (SELECT freq,
+             string_split(substr(s, 2, length(s) - 2), {s2}) AS l
+             FROM v{r})""",
+            f"""
+    p{r} AS (SELECT l[i] AS a, l[i + 1] AS b, SUM(freq) AS cnt
+             FROM l{r}, UNNEST(range(1, len(l))) AS t(i)
+             GROUP BY 1, 2)""",
+            f"m{r} AS MATERIALIZED (SELECT a, b FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)",
+            f"""
+    v{r + 1} AS MATERIALIZED (SELECT freq,
+             replace(s, {sep} || a || {s2} || b || {sep},
+                        {sep} || a || b || {sep}) AS s
+             FROM v{r} CROSS JOIN m{r})""",
+        ]
+    parts += [
+        """
+    dw AS MATERIALIZED (SELECT doc_id, word
+           FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+                 FROM documents)
+           WHERE LEN(word) > 0)""",
+        f"s0 AS MATERIALIZED (SELECT word, {enc} AS s FROM (SELECT DISTINCT word FROM dw))",
+    ]
+    for r in range(num_merges):
+        parts.append(
+            f"""
+    s{r + 1} AS MATERIALIZED (SELECT word,
+             replace(s, {sep} || a || {s2} || b || {sep},
+                        {sep} || a || b || {sep}) AS s
+             FROM s{r} CROSS JOIN m{r})"""
+        )
+    parts.append(
+        f"""
+    wtok AS (SELECT word,
+             len(string_split(substr(s, 2, length(s) - 2), {s2})) AS n_sym
+             FROM s{num_merges})"""
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+    SELECT d.doc_id,
+           CAST(COALESCE(r.n_tok, 0) AS INTEGER) AS n_bpe_tokens,
+           CAST(COALESCE(r.n_w, 0) AS INTEGER) AS n_words
+    FROM documents d
+    LEFT JOIN (SELECT dw.doc_id, SUM(n_sym) AS n_tok, COUNT(*) AS n_w
+               FROM dw JOIN wtok USING (word) GROUP BY dw.doc_id) r
+      ON d.doc_id = r.doc_id
+    """
+    )
+
+
 @register(
     "bpe_train_tokenize",
-    oracle=None,  # iterative merge learning is not SQL-expressible; the
-    # trainer is pinned against a pure-Python reference implementation
-    # and the two apply paths (JVM folds vs Arrow kernel) are tested
-    # identical in tests/test_operators.py.
+    oracle=_bpe_oracle_sql(12),
     doc="REAL BPE (Sennrich et al. 2016), not the regex approximation: "
     "learn 12 merge rules by iterative pair counting on the contracted "
     "distinct-word table: one distributed pass counts words, the "

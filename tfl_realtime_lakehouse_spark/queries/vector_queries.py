@@ -1106,29 +1106,137 @@ def multimodal_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pca_iter_oracle_sql(k: int = 4, rounds: int = 12, dims: int = 64) -> str:
+    """DuckDB replay of the verifiable PCA tier (:func:`operators.
+    similarity.pca_train_iter`): decimal-exact covariance, then the
+    fixed-round orthogonal iteration unrolled CTE-by-CTE — every op is
+    +,−,×,÷,√ (all IEEE correctly rounded) and every scalar sum is the
+    SAME 0.0-seeded ascending-index left fold the driver computes, so
+    the basis and the 6-dp projections are bit-identical cross-engine.
+    MATERIALIZED throughout (the BPE-oracle lesson: doubly-referenced
+    CTE chains inline exponentially otherwise)."""
+
+    def fold(expr: str, order: str) -> str:
+        return (
+            f"list_reduce(list_prepend(0.0::DOUBLE, list({expr} "
+            f"ORDER BY {order})), (a, b) -> a + b)"
+        )
+
+    parts = [
+        f"""
+    ex AS MATERIALIZED (
+      SELECT vec_id AS _rid, t.i - 1 AS i, embedding[t.i]::DOUBLE AS x
+      FROM embeddings, UNNEST(range(1, {dims + 1})) t(i)),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM embeddings),
+    ms AS MATERIALIZED (
+      SELECT i, SUM(CAST(x AS DECIMAL(38,12))) AS s FROM ex GROUP BY i),
+    mean AS MATERIALIZED (
+      SELECT i, CAST(s AS DOUBLE) / nd AS v FROM ms CROSS JOIN nn),
+    xx AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, SUM(CAST(a.x * b.x AS DECIMAL(38,12))) AS s
+      FROM ex a JOIN ex b USING (_rid) GROUP BY a.i, b.i),
+    cov AS MATERIALIZED (
+      SELECT xx.i, xx.j, CAST(xx.s AS DOUBLE) / nd - ma.v * mb.v AS v
+      FROM xx CROSS JOIN nn
+      JOIN mean ma ON ma.i = xx.i JOIN mean mb ON mb.i = xx.j),
+    q0 AS MATERIALIZED (
+      SELECT i.i, k.k,
+             CASE WHEN i.i = k.k THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS v
+      FROM (SELECT UNNEST(range(0, {dims})) AS i) i,
+           (SELECT UNNEST(range(0, {k})) AS k) k)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""
+    z{r} AS MATERIALIZED (
+      SELECT c.i AS i, q.k AS k, {fold("c.v * q.v", "c.j")} AS v
+      FROM cov c JOIN q{r} q ON c.j = q.i GROUP BY c.i, q.k)"""
+        )
+        for c in range(k):
+            prev = f"(SELECT i, v FROM z{r} WHERE k = {c})"
+            for p in range(c):
+                nxt = f"w{r}_{c}_{p}"
+                parts.append(
+                    f"""
+    {nxt} AS MATERIALIZED (
+      SELECT w.i, w.v - (
+        SELECT {fold("g.v * w2.v", "g.i")}
+        FROM g{r}_{p} g JOIN {prev} w2 ON w2.i = g.i) * g.v AS v
+      FROM {prev} w JOIN g{r}_{p} g USING (i))"""
+                )
+                prev = nxt
+            parts.append(
+                f"""
+    g{r}_{c} AS MATERIALIZED (
+      SELECT w.i, w.v / (
+        SELECT sqrt({fold("v * v", "i")}) FROM {prev}) AS v
+      FROM {prev} w)"""
+            )
+        union = " UNION ALL ".join(
+            f"SELECT i, {c} AS k, v FROM g{r}_{c}" for c in range(k)
+        )
+        parts.append(f"q{r + 1} AS MATERIALIZED ({union})")
+    qf = f"q{rounds}"
+    signs = " ".join(
+        f"WHEN {c} THEN (SELECT CASE WHEN ("
+        f"SELECT v FROM {qf} WHERE k = {c} ORDER BY abs(v) DESC, i LIMIT 1"
+        f") < 0.0 THEN -1.0::DOUBLE ELSE 1.0::DOUBLE END)"
+        for c in range(k)
+    )
+    parts.append(
+        f"""
+    qs AS MATERIALIZED (
+      SELECT i, k, v * (CASE k {signs} END) AS v FROM {qf})"""
+    )
+    parts.append(
+        """
+    ctr AS MATERIALIZED (
+      SELECT ex._rid AS vec_id, ex.i, ex.x - m.v AS cx
+      FROM ex JOIN mean m USING (i))"""
+    )
+    parts.append(
+        f"""
+    pc AS MATERIALIZED (
+      SELECT ctr.vec_id, q.k, {fold("ctr.cx * q.v", "ctr.i")} AS v
+      FROM ctr JOIN qs q ON q.i = ctr.i GROUP BY ctr.vec_id, q.k)"""
+    )
+    pivots = ",\n           ".join(
+        f"ROUND(MAX(CASE WHEN k = {c} THEN v END), 6) AS pc{c}"
+        for c in range(k)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+    SELECT vec_id,
+           {pivots}
+    FROM pc GROUP BY vec_id
+    """
+    )
+
+
 @register(
     "embedding_pca_project",
-    oracle=None,  # eigendecomposition has no SQL form; the projection is
-    # pinned against a single-machine numpy PCA in the differential
-    # pytest, and flattened to scalar output columns for the rows check.
-    doc="PCA dimensionality reduction (top-4 components): exact "
-    "covariance from per-batch BLAS partials — |batches|·d² floats "
-    "shuffled, NOT corpus-sized — eigh on the driver's 64×64 matrix "
-    "(bounded model state, the kmeans/BPE/PQ contract), then a "
-    "map-only broadcast-basis projection. Complements JL random "
-    "projection (X63): data-adaptive axes vs oblivious ones. "
-    "Components carry a sign convention (largest-|coeff| positive) "
-    "so the basis is unique; output flattens pc[0..3] to double "
-    "columns rounded at 6 dp.",
+    oracle=_pca_iter_oracle_sql(k=4, rounds=12),
+    doc="PCA dimensionality reduction (top-4 components) — the "
+    "VERIFIABLE tier (r4): decimal-exact covariance (posexplode + "
+    "d²-key map-side-combined decimal sums — shuffle is partitions·d² "
+    "rows, never corpus-sized) feeding a fixed-round (12) orthogonal "
+    "iteration with modified Gram-Schmidt on the driver's 64×64 "
+    "matrix — only +,−,×,÷,√, all IEEE correctly rounded, so the "
+    "oracle replays the recurrence bit-exactly (the kcore/HITS "
+    "bounded-rounds discipline applied to an eigenproblem; eigh "
+    "itself is cross-engine-unverifiable — see COVERAGE.md). "
+    "Convergence to the true eigenbasis is pinned by the anisotropic-"
+    "fixture pytest; sign convention (largest-|coeff| positive, ties "
+    "to earlier index) keeps the basis unique. Projection is a "
+    "fold-exact zip_with/aggregate HOF — map-only, codegen, zero "
+    "Python. Output flattens pc0..pc3 rounded at 6 dp.",
 )
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    mean, comps, _ = S.pca_train(emb, k=4)
-    out = S.pca_project(emb, mean, comps)
-    return out.select(
-        "vec_id",
-        *[F.round(F.col("pc")[i], 6).alias(f"pc{i}") for i in range(4)],
-    )
+    mean, comps = S.pca_train_iter(emb, k=4, rounds=12)
+    return S.pca_project_fold(emb, mean, comps)
 
 
 def _rademacher_lsh_oracle(tables: int = 16, bits: int = 8, dims: int = 64) -> str:

@@ -1688,20 +1688,32 @@ def pca_cov_exact(corpus: DataFrame, vec_col: str = "embedding", dims: int = 64)
     the pinned tree  meanᵢ = dbl(Sᵢ)/n,  covᵢⱼ = dbl(Sxxᵢⱼ)/n − mᵢ·mⱼ
     (each decimal→double cast correctly rounded, each op one rounding).
     """
-    id_col = corpus.columns[0]  # row key (vec_id) — first column by contract
-    ex = corpus.select(
-        F.col(id_col).alias("_rid"), F.posexplode(vec_col).alias("i", "xr")
-    ).select("_rid", "i", F.col("xr").cast("double").alias("x"))
-    ms = ex.groupBy("i").agg(
-        F.sum(F.col("x").cast("decimal(38,12)")).alias("s")
+    xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    src = fan_out(corpus.select(vec_col))  # small parquet = 1 split; the
+    # d²-per-row expansion must not run single-threaded (decimal sums
+    # are order-free, so spreading rows never changes the result)
+    ms = (
+        src.select(F.posexplode(xd).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"))
     )
-    a, b = ex.alias("a"), ex.alias("b")
+    # all d² products per row as ONE nested-transform/flatten HOF —
+    # no self-join (the r4 bench lesson: the join formulation cost
+    # 11.5 s at sf0.1; this map-only expansion feeds the same
+    # decimal sums straight into the map-side-combined agg). The
+    # double multiply xᵢ·xⱼ and the decimal cast are bit-identical
+    # to the oracle's self-join formulation, so the oracle needn't
+    # mirror the plan — only the expression tree, which is unchanged.
+    prods = F.flatten(
+        F.transform(xd, lambda xi: F.transform(xd, lambda xj: xi * xj))
+    )
     xx = (
-        a.join(b, "_rid")
-        .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
-        .agg(
-            F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(38,12)")).alias("s")
+        src.select(F.posexplode(prods).alias("p", "v"))
+        .groupBy(
+            F.floor(F.col("p") / dims).cast("int").alias("i"),
+            (F.col("p") % dims).cast("int").alias("j"),
         )
+        .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("s"))
     )
     n = corpus.count()
     nd = float(n)

@@ -2116,3 +2116,43 @@ def test_pca_iter_converges_on_anisotropic_fixture(spark):
             for c in range(4)
         ]
         assert got[i] == want
+
+
+def test_fuzzy_levenshtein_contraction_equals_raw(spark):
+    """Raw blocked levenshtein over the full corpus ≡ the contracted
+    operator (compute once per unique text, fan back out) — the
+    standing contraction rule applied to the r4 record-linkage op.
+    Fixture has exact copies (must NOT pair at dist 0), typo pairs
+    within the block, same-block far pairs (dist > max), and
+    cross-block typos (blocked away by design)."""
+    from tfl_realtime_lakehouse_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs,
+        fuzzy_levenshtein_pairs_reps,
+    )
+
+    rows = [
+        (1, "blue anvil"),
+        (2, "blue anvil"),      # exact copy of 1
+        (3, "blue anvyl"),      # typo of 1/2 (dist 1)
+        (4, "blue angel"),      # same block, dist 2 from anvil
+        (5, "blue extraordinary contraption"),  # same block, len-banded away
+        (6, "teal anvil"),      # cross-block typo: never a candidate
+        (7, "blue anvyl"),      # exact copy of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    raw = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in fuzzy_levenshtein_pairs_reps(df, max_dist=4).collect()
+    }
+    contracted = {
+        (r.doc_a, r.doc_b, r.dist)
+        for r in fuzzy_levenshtein_pairs(df, max_dist=4).collect()
+    }
+    assert raw == contracted
+    # typo cluster x copy cluster: all 3x2 member pairs at dist 1
+    assert {(1, 3, 1), (1, 7, 1), (2, 3, 1), (2, 7, 1)} <= contracted
+    # near-threshold pair survives; exact copies never self-pair
+    assert (1, 4, 2) in contracted and not any(d == 0 for _, _, d in contracted)
+    # length band and blocking both prune
+    assert not any(5 in (a, b) for a, b, _ in contracted)
+    assert not any(6 in (a, b) for a, b, _ in contracted)

@@ -1139,3 +1139,103 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "n_shared", "containment")
     )
+
+
+def fuzzy_levenshtein_pairs_reps(
+    df: DataFrame,
+    max_dist: int = 4,
+    len_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Blocked edit-distance near-dup pairs on UNIQUE content — the
+    record-linkage workhorse (typo-level duplicates that shingle
+    Jaccard misses because a 1-char edit changes every overlapping
+    shingle).
+
+    Blocking (the scale contract — never all-pairs): candidates must
+    share the first whitespace token AND sit within ``len_band`` of
+    each other in length. The length band is an EQUI-join, not an
+    inequality: the left side emits its floor(len/band) bucket, the
+    right side emits buckets b-1, b, b+1 (a 3× bounded map-side
+    explode), so the join stays hash-partitioned; the exact
+    |len_a − len_b| ≤ band filter then trims the bucket slack. Pairs
+    at distance 0 are excluded here — exact copies are the contraction
+    layer's job (:func:`contracted_pairs_generic`), which is what
+    keeps k-copy corpora off the k² path.
+
+    Levenshtein itself is Spark's built-in (JVM codegen; identical
+    unit-cost DP as every engine's, so the oracle replays it exactly).
+    Returns (doc_a, doc_b, dist) with doc_a < doc_b.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.split(F.col(text_col), " ")[0].alias("_blk"),
+        F.length(text_col).alias("_len"),
+    )
+    a = base.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_t").alias("_ta"),
+        "_blk",
+        F.col("_len").alias("_la"),
+        F.floor(F.col("_len") / len_band).alias("_bkt"),
+    )
+    b = base.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_t").alias("_tb"),
+        "_blk",
+        F.col("_len").alias("_lb"),
+        F.explode(
+            F.array(
+                F.floor(F.col("_len") / len_band) - 1,
+                F.floor(F.col("_len") / len_band),
+                F.floor(F.col("_len") / len_band) + 1,
+            )
+        ).alias("_bkt"),
+    )
+    return (
+        a.join(b, ["_blk", "_bkt"])
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("_la") - F.col("_lb")) <= len_band)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("_ta", "_tb").alias("dist"),
+        )
+        .where((F.col("dist") > 0) & (F.col("dist") <= max_dist))
+    )
+
+
+def fuzzy_levenshtein_pairs(
+    df: DataFrame,
+    max_dist: int = 4,
+    len_band: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full-corpus fuzzy pairs: exact-first contraction around
+    :func:`fuzzy_levenshtein_pairs_reps` (standing rule: every pair
+    operator ships contraction-wrapped). Exact copies appear as
+    distance-0 diagonal pairs; near-misses are computed once per
+    unique text and fanned back out."""
+
+    def pair_fn(reps: DataFrame) -> DataFrame:
+        return fuzzy_levenshtein_pairs_reps(
+            reps, max_dist=max_dist, len_band=len_band,
+            text_col=text_col, id_col=id_col,
+        )
+
+    def within_fn(reps: DataFrame) -> DataFrame:
+        # a pair of exact copies: the raw blocked operator would emit
+        # it (same text -> same block/bucket) at distance 0 — but the
+        # raw op EXCLUDES dist 0 by contract, so the diagonal is empty.
+        return reps.select(F.col(id_col), F.lit(None).cast("int").alias("dist")).where(
+            F.lit(False)
+        )
+
+    return contracted_pairs_generic(
+        df, pair_fn, within_fn, text_col=text_col, id_col=id_col
+    )

@@ -21,6 +21,7 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     text_queries,
     vector_queries,
     tpch_shapes2,
+    layout_queries,
 )
 
 # The driver's correctness harness checks the FIRST 50 registry entries in

@@ -3131,3 +3131,364 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("fast_burn_alert"),
     )
+
+
+@register(
+    "fuzzy_dedup_part_names",
+    oracle="""
+    WITH g AS (
+      SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM part GROUP BY p_name
+    ),
+    blocked AS (
+      SELECT a.rep AS rep_a, b.rep AS rep_b,
+             a.p_name AS name_a, b.p_name AS name_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+      FROM g a JOIN g b
+        ON SPLIT_PART(a.p_name, ' ', 1) = SPLIT_PART(b.p_name, ' ', 1)
+       AND a.rep < b.rep
+       AND ABS(LEN(a.p_name) - LEN(b.p_name)) <= 4
+    )
+    SELECT rep_a, rep_b, name_a, name_b, dist, n_a, n_b,
+           CAST(n_a * n_b AS BIGINT) AS pair_count
+    FROM blocked WHERE dist > 0 AND dist <= 4
+    """,
+    doc="Record-linkage fuzzy dedup on part names: typo-level "
+    "near-duplicates (edit distance ≤ 4) that shingle Jaccard "
+    "structurally misses. Exact-first contraction (standing rule): "
+    "the corpus collapses to its ~10² distinct names BEFORE the pair "
+    "stage — the raw blocked join would carry 250 k pairs at sf0.01 "
+    "(measured), the contracted one ~10² — then blocked "
+    "first-token + length-band equi-join (banded 3× bucket explode, "
+    "no inequality join), JVM-codegen levenshtein, and cluster "
+    "multiplicities (n_a·n_b raw pairs per surviving cluster pair) "
+    "instead of re-expansion. The operator tier "
+    "(operators/dedup.fuzzy_levenshtein_pairs) fans back out to "
+    "id-level pairs when a consumer needs them; raw ≡ contracted is "
+    "pinned in pytest.",
+)
+def fuzzy_dedup_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs_reps,
+    )
+
+    p = table(spark, sf_dir, "part")
+    g = (
+        p.groupBy("p_name")
+        .agg(
+            F.min("p_partkey").cast("bigint").alias("rep"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(F.col("rep").alias("doc_id"), F.col("p_name").alias("text"), "n")
+    )
+    pairs = fuzzy_levenshtein_pairs_reps(g, max_dist=4, len_band=4)
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("name_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("name_b"),
+        F.col("n").alias("n_b"),
+    )
+    return (
+        pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.col("doc_a").alias("rep_a"),
+            F.col("doc_b").alias("rep_b"),
+            "name_a",
+            "name_b",
+            F.col("dist").cast("int").alias("dist"),
+            "n_a",
+            "n_b",
+            (F.col("n_a") * F.col("n_b")).cast("bigint").alias("pair_count"),
+        )
+    )
+
+
+@register(
+    "kmv_audience_overlap",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || SUBSTR(MD5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS hv
+      FROM events
+    ),
+    kmins AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT event_type AS t, hv FROM kmins WHERE rn <= 64),
+    ty AS (SELECT DISTINCT t FROM sk),
+    pr AS (SELECT a.t AS ta, b.t AS tb FROM ty a JOIN ty b ON a.t < b.t),
+    mem AS (
+      SELECT pr.ta, pr.tb, sk.hv,
+             MAX(CASE WHEN sk.t = pr.ta THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN sk.t = pr.tb THEN 1 ELSE 0 END) AS in_b
+      FROM pr JOIN sk ON sk.t = pr.ta OR sk.t = pr.tb
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+      FROM mem
+    ),
+    est AS (
+      SELECT ta, tb,
+             COUNT(*) AS n_union_mins,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS m_k,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both
+      FROM ranked WHERE rn <= 64 GROUP BY 1, 2
+    ),
+    eu AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+    ex AS (
+      SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS exact_inter
+      FROM eu a JOIN eu b ON a.user_id = b.user_id AND a.t < b.t
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nd FROM eu GROUP BY 1)
+    SELECT est.ta AS type_a, est.tb AS type_b,
+           ROUND(CAST(est.n_both AS DOUBLE)
+                 / CAST(LEAST(64, est.n_union_mins) AS DOUBLE), 4)
+             AS est_jaccard,
+           ROUND(CAST(est.n_both AS DOUBLE)
+                 / CAST(LEAST(64, est.n_union_mins) AS DOUBLE)
+                 * (CASE WHEN est.n_union_mins < 64
+                         THEN CAST(est.n_union_mins AS DOUBLE)
+                         ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                              / CAST(est.m_k AS DOUBLE) END), 4)
+             AS est_intersection,
+           COALESCE(ex.exact_inter, 0) AS exact_inter,
+           ROUND(CAST(COALESCE(ex.exact_inter, 0) AS DOUBLE)
+                 / CAST(sa.nd + sb.nd - COALESCE(ex.exact_inter, 0) AS DOUBLE),
+                 4) AS exact_jaccard
+    FROM est
+    LEFT JOIN ex ON ex.ta = est.ta AND ex.tb = est.tb
+    JOIN sz sa ON sa.t = est.ta
+    JOIN sz sb ON sb.t = est.tb
+    """,
+    doc="Theta-sketch-style set algebra over KMV sketches: pairwise "
+    "audience overlap between event types WITHOUT rescanning members. "
+    "Per pair, the union sketch is the k smallest of the two k-min "
+    "sets (the KMV merge); ρ = fraction of those union minima present "
+    "in BOTH sketches estimates Jaccard, and ρ · est(|A∪B|) estimates "
+    "the intersection (Beyer et al. 2007). Exact intersection/Jaccard "
+    "computed alongside as the audit columns. At 100 TB the sketch "
+    "relation is |types|·k rows — set algebra over arbitrarily many "
+    "segments runs on KB of state, the whole point of the mergeable-"
+    "sketch family. Hashes are integer md5 arithmetic; estimates are "
+    "single shared double trees rounded at 4 dp — fully oracle-"
+    "replayable, including the estimator's error vs the exact columns.",
+)
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = 64
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(F.col("event_type").alias("t"), "hv")
+    )
+    ty = sk.select("t").distinct()
+    pr = ty.alias("a").join(
+        ty.alias("b"), F.col("a.t") < F.col("b.t")
+    ).select(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+    mem = (
+        F.broadcast(pr)
+        .join(sk, (sk["t"] == F.col("ta")) | (sk["t"] == F.col("tb")))
+        .groupBy("ta", "tb", "hv")
+        .agg(
+            F.max(F.when(F.col("t") == F.col("ta"), 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("t") == F.col("tb"), 1).otherwise(0)).alias("in_b"),
+        )
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("hv")
+    est = (
+        mem.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= k)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n_union_mins"),
+            F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("m_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+        )
+    )
+    eu = ev.select(F.col("event_type").alias("t"), "user_id").distinct()
+    ex = (
+        eu.alias("a")
+        .join(
+            eu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.t") < F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    )
+    sz = eu.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    rho = F.col("n_both").cast("double") / F.least(
+        F.lit(k), F.col("n_union_mins")
+    ).cast("double")
+    est_union = F.when(
+        F.col("n_union_mins") < k, F.col("n_union_mins").cast("double")
+    ).otherwise(
+        F.lit(63.0) * F.lit(1152921504606846976.0) / F.col("m_k").cast("double")
+    )
+    ein = F.coalesce(F.col("exact_inter"), F.lit(0).cast("bigint"))
+    return (
+        est.join(ex, ["ta", "tb"], "left")
+        .join(sz.withColumnsRenamed({"t": "ta", "nd": "nd_a"}), "ta")
+        .join(sz.withColumnsRenamed({"t": "tb", "nd": "nd_b"}), "tb")
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.round(rho, 4).alias("est_jaccard"),
+            F.round(rho * est_union, 4).alias("est_intersection"),
+            ein.alias("exact_inter"),
+            F.round(
+                ein.cast("double")
+                / (F.col("nd_a") + F.col("nd_b") - ein).cast("double"),
+                4,
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+@register(
+    "events_holt_winters_seasonal",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, DATE_TRUNC('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, LIST(y ORDER BY day) AS ys, COUNT(*) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    init AS (
+      SELECT event_type, ys, n_days,
+             (ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6] + ys[7])
+               / 7.0::DOUBLE AS lvl0
+      FROM series WHERE n_days >= 14
+    ),
+    init2 AS (
+      SELECT event_type, ys, n_days, lvl0,
+             ((ys[8] + ys[9] + ys[10] + ys[11] + ys[12] + ys[13] + ys[14])
+               / 7.0::DOUBLE - lvl0) / 7.0::DOUBLE AS trd0
+      FROM init
+    ),
+    fitted AS (
+      SELECT event_type, n_days,
+             LIST_REDUCE(
+               LIST_PREPEND(
+                 LIST_CONCAT(
+                   [lvl0, trd0],
+                   LIST_TRANSFORM(ys[1:7], v -> v - lvl0)),
+                 LIST_TRANSFORM(ys[15:], y -> [y, 0.0::DOUBLE, 0.0::DOUBLE,
+                   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                   0.0::DOUBLE, 0.0::DOUBLE])),
+               (acc, x) -> LIST_CONCAT(LIST_CONCAT(
+                 [0.3::DOUBLE * (x[1] - acc[3])
+                    + 0.7::DOUBLE * (acc[1] + acc[2]),
+                  0.2::DOUBLE * ((0.3::DOUBLE * (x[1] - acc[3])
+                    + 0.7::DOUBLE * (acc[1] + acc[2])) - acc[1])
+                    + 0.8::DOUBLE * acc[2]],
+                 acc[4:9]),
+                 [0.4::DOUBLE * (x[1] - (0.3::DOUBLE * (x[1] - acc[3])
+                    + 0.7::DOUBLE * (acc[1] + acc[2])))
+                    + 0.6::DOUBLE * acc[3]])) AS st
+      FROM init2
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           ROUND(st[1], 6) AS level,
+           ROUND(st[2], 6) AS trend,
+           ROUND(st[3], 6) AS season_next,
+           ROUND(st[1] + 7.0::DOUBLE * st[2] + st[9], 6) AS forecast_7d
+    FROM fitted
+    """,
+    doc="Holt-Winters ADDITIVE seasonal smoothing (α=0.3, β=0.2, "
+    "γ=0.4, weekly m=7 over the daily series) — the seasonality-aware "
+    "upgrade of events_holt_forecast: level, trend AND a rotating "
+    "7-slot seasonal state carried through ONE aggregate() fold whose "
+    "accumulator is [level, trend, s_head..s_tail]; each step consumes "
+    "the head seasonal slot (the t−m component) and appends the "
+    "re-estimated one, so no modular indexing enters the expression "
+    "tree. Init is the classic two-week recipe (first-week mean "
+    "level, week-over-week mean trend, first-week deviations as "
+    "seasonals), written as explicit left-associated chains so both "
+    "engines share the IEEE tree. Forecast h=7 lands on the same "
+    "weekday: level + 7·trend + tail slot. Same bounded-series "
+    "contract as Holt (day-domain-bounded arrays per type).",
+)
+def events_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "y"))), lambda s: s["y"]
+            ).alias("ys"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .where(F.col("n_days") >= 14)
+    )
+    e = lambda i: F.element_at("ys", i)  # noqa: E731
+    lvl0 = (e(1) + e(2) + e(3) + e(4) + e(5) + e(6) + e(7)) / F.lit(7.0)
+    trd0 = (
+        (e(8) + e(9) + e(10) + e(11) + e(12) + e(13) + e(14)) / F.lit(7.0) - lvl0
+    ) / F.lit(7.0)
+    init = F.concat(
+        F.array(lvl0, trd0),
+        F.transform(F.slice("ys", 1, 7), lambda v: v - lvl0),
+    )
+    al, be, ga = F.lit(0.3), F.lit(0.2), F.lit(0.4)
+    lvl_n = lambda acc, y: al * (y - F.element_at(acc, 3)) + F.lit(0.7) * (  # noqa: E731
+        F.element_at(acc, 1) + F.element_at(acc, 2)
+    )
+    st = F.aggregate(
+        F.slice(F.col("ys"), 15, 1000000),
+        init,
+        lambda acc, y: F.concat(
+            F.array(
+                lvl_n(acc, y),
+                be * (lvl_n(acc, y) - F.element_at(acc, 1))
+                + F.lit(0.8) * F.element_at(acc, 2),
+            ),
+            F.slice(acc, 4, 6),
+            F.array(
+                ga * (y - lvl_n(acc, y)) + F.lit(0.6) * F.element_at(acc, 3)
+            ),
+        ),
+    )
+    fitted = series.select(
+        "event_type", F.col("n_days").cast("bigint").alias("n_days"), st.alias("st")
+    )
+    return fitted.select(
+        "event_type",
+        "n_days",
+        F.round(F.element_at("st", 1), 6).alias("level"),
+        F.round(F.element_at("st", 2), 6).alias("trend"),
+        F.round(F.element_at("st", 3), 6).alias("season_next"),
+        F.round(
+            F.element_at("st", 1)
+            + F.lit(7.0) * F.element_at("st", 2)
+            + F.element_at("st", 9),
+            6,
+        ).alias("forecast_7d"),
+    )

@@ -2031,3 +2031,138 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cxy / cxx, 6).alias("zipf_exponent"),
         F.round(cxy * cxy / (cxx * cyy), 6).alias("r2"),
     )
+
+
+@register(
+    "text_bigram_interpolated_perplexity",
+    oracle="""
+    WITH l AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
+      FROM (SELECT UNNEST(toks) AS w FROM l) GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(nw) AS DOUBLE) AS nt FROM uni),
+    bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM l, UNNEST(range(1, len(toks))) t(i)
+    ),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb FROM bi GROUP BY 1, 2),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(LN(0.75 * (CAST(cb.nb AS DOUBLE) / CAST(u1.nw AS DOUBLE))
+                     + 0.25 * (CAST(u2.nw AS DOUBLE) / n.nt))
+                  AS DECIMAL(27, 12)) AS lp
+      FROM bi b
+      JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN n
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(EXP(-(CAST(SUM(lp) AS DOUBLE)) / CAST(COUNT(*) AS DOUBLE)), 4)
+             AS perplexity
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Bigram language-model perplexity with Jelinek-Mercer "
+    "interpolation (λ=0.75 bigram, 0.25 unigram backoff) — the "
+    "stronger CCNet-style fluency filter: unigram perplexity scores "
+    "vocabulary, bigram scores WORD ORDER, so shuffled or "
+    "template-stitched text that fools the unigram filter lights up "
+    "here. Bigrams come from an array zip (slice+zip_with, one "
+    "explode — no window pass); counts are exact; the interpolated "
+    "probability is computed in ONE shared double tree, per-token "
+    "log-probs pinned as 12-dp decimals before the exact per-doc sum "
+    "(the unigram query's discipline), final exp rounded at 4 dp. "
+    "All shuffles key on tokens or doc_id — corpus-sized vocab "
+    "stays distributed, nothing broadcast by assumption.",
+)
+def text_bigram_interpolated_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    l = F.split("text", " ")
+    toks = docs.select("doc_id", l.alias("toks"))
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nw"))
+    )
+    n = uni.agg(F.sum("nw").cast("double").alias("nt"))
+    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("nw").alias("n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("nw").alias("n2"))
+    p = F.lit(0.75) * (F.col("nb").cast("double") / F.col("n1").cast("double")) + F.lit(
+        0.25
+    ) * (F.col("n2").cast("double") / F.col("nt"))
+    scored = (
+        bi.join(cb, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", F.log(p).cast("decimal(27,12)").alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.exp(-(F.sum("lp").cast("double")) / F.count(F.lit(1)).cast("double")), 4
+        ).alias("perplexity"),
+    )
+
+
+@register(
+    "sample_stratified_fixed_k",
+    oracle="""
+    WITH pri AS (
+      SELECT lang, doc_id,
+             ('0x' || SUBSTR(MD5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS pri
+      FROM documents
+    ),
+    ranked AS (
+      SELECT lang, doc_id, pri,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rn
+      FROM pri
+    )
+    SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+    doc="Stratified fixed-k sampling — the balanced-class draw a "
+    "training-data pipeline needs (equal representation per language/"
+    "source regardless of stratum skew): per stratum keep the k rows "
+    "with the smallest seeded md5 priority. Uniform-without-"
+    "replacement within each stratum (hashes of distinct ids are "
+    "i.i.d. uniform), EXACTLY k per stratum, and reproducible from "
+    "the seed alone — re-running on a grown corpus keeps previously "
+    "sampled rows comparable (priorities never change; the classic "
+    "consistent-sampling property hash-seeded draws give for free). "
+    "Plan: one map to compute priorities, one per-stratum top-k "
+    "window (TakeOrdered under AQE — no global sort). Complements "
+    "sample_weighted_priority (Efraimidis-Spirakis weighted) with "
+    "the uniform-per-stratum contract.",
+)
+def sample_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pri = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    return (
+        docs.select("lang", "doc_id", pri.alias("pri"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .where(F.col("rn") <= 20)
+        .select("lang", "doc_id", "rn")
+    )

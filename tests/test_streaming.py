@@ -1303,3 +1303,79 @@ def test_streaming_sessions_event_time_timeout(spark, tmp_path):
     assert got[(2, t(10, 5))] == (t(10, 5), 1, "timeout")
     # key 3's open session has no later watermark to flush it yet
     assert (3, t(14, 0)) not in got
+
+
+def test_streaming_gapfill_locf_matches_batch(spark, tmp_path):
+    """Dense rows from the streaming gap-fill twin equal the batch
+    bucket_gapfill (zero-filled counts + LOCF) restricted to each key's
+    [first, last] observed-bucket range (trailing gaps flush only when
+    a later bucket arrives — a stream cannot know the global span) —
+    including a gap that SPANS the micro-batch boundary; a replayed old bucket emits was_gap NULL and
+    leaves state untouched."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.operators.timeseries import bucket_gapfill
+    from tfl_realtime_lakehouse_spark.streaming.gapfill import (
+        streaming_gapfill_locf,
+    )
+
+    h = lambda i: dt.datetime(2025, 1, 1, 0, 0) + dt.timedelta(hours=i)
+    # key 'a': observed hours 0,1,4,9 (gaps 2-3 inside batch 1; 5-8
+    # spanning the batch boundary). key 'b' starts late at hour 6.
+    obs = {
+        "a": [(0, 3, 2.0), (1, 2, 4.0), (4, 1, 6.0), (9, 5, 1.0)],
+        "b": [(6, 1, 7.0), (7, 2, 9.0)],
+    }
+    rows = [
+        (k, h(i), n, v) for k, lst in obs.items() for i, n, v in lst
+    ]
+    b1 = [r for r in rows if r[1] <= h(4)]
+    b2 = [r for r in rows if r[1] > h(4)] + [("a", h(1), 2, 4.0)]  # replay
+    schema = "key string, bucket timestamp, n_events long, avg_value double"
+    src = str(tmp_path / "gap-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_gapfill_locf(stream)
+    _run_stream(out, tmp_path, "gap_out")
+    got_rows = spark.sql("select * from gap_out").collect()
+
+    replay = [r for r in got_rows if r.key == "a" and r.bucket == h(1)]
+    flags = sorted((r.was_gap for r in replay), key=lambda x: (x is None, x))
+    assert flags == [0, None]  # original emission + NULL-flagged replay
+
+    stream_vals = {
+        (r.key, r.bucket): (r.n_events, r.was_gap, r.avg_value, r.avg_value_locf)
+        for r in got_rows
+        if r.was_gap is not None
+    }
+    # batch reference: events whose hourly agg reproduces the buckets
+    ev = spark.createDataFrame(
+        [
+            (k, h(i) + dt.timedelta(minutes=j), v)
+            for k, lst in obs.items()
+            for i, n, v in lst
+            for j in range(n)
+        ],
+        "event_type string, ts timestamp, value double",
+    )
+    first_obs = {k: min(i for i, _, _ in lst) for k, lst in obs.items()}
+    last_obs = {k: max(i for i, _, _ in lst) for k, lst in obs.items()}
+    batch = {
+        (r.key, r.bucket): (
+            r.n_events,
+            int(r.was_gap),
+            r.avg_value,
+            r.avg_value_locf,
+        )
+        for r in bucket_gapfill(ev).collect()
+        if h(first_obs[r.key]) <= r.bucket <= h(last_obs[r.key])
+    }
+    assert stream_vals == batch
+    # the boundary-spanning gap was filled with the pre-boundary LOCF
+    assert stream_vals[("a", h(6))] == (0, 1, None, 6.0)
+    assert stream_vals[("b", h(6))][1] == 0  # b starts at its own range

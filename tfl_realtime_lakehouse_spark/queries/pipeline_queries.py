@@ -3492,3 +3492,120 @@ def events_holt_winters_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("forecast_7d"),
     )
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Incremental materialized-JOIN maintenance — the delta-join "
+    "algebra every incremental view engine rests on: with base/delta "
+    "splits A∪ΔA (orders) and B∪ΔB (customer), the maintained join is "
+    "M ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — three DELTA-sized joins unioned onto "
+    "the existing materialization, never a rescan-and-rejoin of the "
+    "base relations. Extends incremental_rollup_maintenance (algebraic "
+    "aggregates) to the join operator; the oracle computes the full "
+    "join of the complete tables, so the hash check proves the "
+    "incremental algebra ≡ full recompute, including the ΔA⋈ΔB corner "
+    "every naive implementation forgets. Scale: maintenance cost is "
+    "O(|Δ| · join fan-out), independent of |base|; at 100 TB the delta "
+    "joins broadcast (delta-sized) while the base materialization is "
+    "never touched.",
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = o.where(F.col("o_orderkey") % 10 < 8)
+    da = o.where(F.col("o_orderkey") % 10 >= 8)
+    b = c.where(F.col("c_custkey") % 10 < 8)
+    db = c.where(F.col("c_custkey") % 10 >= 8)
+
+    def j(left, right):
+        return left.join(right, left["o_custkey"] == right["c_custkey"]).select(
+            "o_orderkey", "o_custkey", "c_name", "o_totalprice"
+        )
+
+    m = j(a, b)  # the existing materialization
+    return m.unionByName(j(da, b)).unionByName(j(a, db)).unionByName(j(da, db))
+
+
+@register(
+    "events_last_touch_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT p.user_id, p.event_id, p.ts, p.value,
+             (SELECT MAX(c.click_ts) FROM clicks c
+              WHERE c.user_id = p.user_id AND c.click_ts <= p.ts
+                AND c.click_ts >= p.ts - INTERVAL 7 DAY) AS attr_click_ts
+      FROM purchases p
+    )
+    SELECT user_id, event_id,
+           ts AS purchase_ts,
+           attr_click_ts,
+           CAST(attr_click_ts IS NOT NULL AS INTEGER) AS attributed,
+           ROUND(CASE WHEN attr_click_ts IS NOT NULL
+                      THEN CAST(EPOCH_US(ts) - EPOCH_US(attr_click_ts)
+                                AS DOUBLE) / 3600000000.0
+                 END, 6) AS hours_to_convert,
+           ROUND(value, 6) AS value
+    FROM attributed
+    """,
+    doc="Last-touch marketing attribution: each purchase is attributed "
+    "to the user's most recent click within a 7-day lookback — the "
+    "as-of join (backward, tolerance-bounded) composed into the "
+    "attribution shape analytics teams ship on every events table. "
+    "One union+window as-of pass (no range-explosion join); "
+    "unattributed purchases survive with NULL. Output carries "
+    "time-to-convert hours (single double division rounded at 6 dp).",
+)
+def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        value_alias="attr_click_ts",
+        direction="backward",
+        tolerance_seconds=7 * 86400,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("purchase_ts"),
+        "attr_click_ts",
+        F.col("attr_click_ts").isNotNull().cast("int").alias("attributed"),
+        F.round(
+            F.when(
+                F.col("attr_click_ts").isNotNull(),
+                (
+                    F.unix_micros("ts") - F.unix_micros("attr_click_ts")
+                ).cast("double")
+                / F.lit(3600000000.0),
+            ),
+            6,
+        ).alias("hours_to_convert"),
+        F.round("value", 6).alias("value"),
+    )

@@ -2166,3 +2166,69 @@ def sample_stratified_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("lang", "doc_id", "rn")
     )
+
+
+@register(
+    "text_vocab_coverage_curve",
+    oracle="""
+    WITH tf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
+      FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+      WHERE LEN(w) > 0 GROUP BY 1
+    ),
+    ranked AS (
+      SELECT w, nw,
+             ROW_NUMBER() OVER (ORDER BY nw DESC, w) AS rnk,
+             SUM(nw) OVER (ORDER BY nw DESC, w
+                           ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(nw) OVER () AS total
+      FROM tf
+    )
+    SELECT CAST(rnk AS BIGINT) AS vocab_size, w AS boundary_token,
+           CAST(cum AS BIGINT) AS tokens_covered,
+           ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+    FROM ranked
+    WHERE rnk IN (1, 2, 4, 8, 16, 24, 31) OR CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) >= 0.999
+    """,
+    doc="Vocabulary coverage curve — the tokenizer-sizing question "
+    "('how big a vocab covers 99.9% of the corpus?') answered from "
+    "one token-frequency aggregate: rank tokens by frequency (ties "
+    "alphabetical for determinism), cumulative-sum coverage, report "
+    "the curve at power-of-two checkpoints plus the 99.9% knee. At "
+    "100 TB the ranked relation is vocab-sized (Heaps-bounded), the "
+    "corpus-sized work is the one map-side-combined count; the "
+    "cumulative window runs on the contracted table. Pairs with "
+    "bpe_train_tokenize (how many merges) and text_vocab_oov_rate "
+    "(what the cut excludes).",
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nw"))
+    )
+    w_rank = Window.orderBy(F.col("nw").desc(), "w")
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = tf.select(
+        "w",
+        "nw",
+        F.row_number().over(w_rank).cast("bigint").alias("vocab_size"),
+        F.sum("nw").over(w_cum).alias("tokens_covered"),
+        F.sum("nw").over(w_all).alias("total"),
+    )
+    coverage = F.col("tokens_covered").cast("double") / F.col("total").cast("double")
+    return (
+        ranked.where(
+            F.col("vocab_size").isin(1, 2, 4, 8, 16, 24, 31)
+            | (coverage >= 0.999)
+        )
+        .select(
+            "vocab_size",
+            F.col("w").alias("boundary_token"),
+            "tokens_covered",
+            F.round(coverage, 6).alias("coverage"),
+        )
+    )

@@ -2156,3 +2156,43 @@ def test_fuzzy_levenshtein_contraction_equals_raw(spark):
     # length band and blocking both prune
     assert not any(5 in (a, b) for a, b, _ in contracted)
     assert not any(6 in (a, b) for a, b, _ in contracted)
+
+
+def test_tfidf_cosine_contraction_expands_copies(spark):
+    """tfidf_cosine_pairs on a corpus WITH exact copies: the diagonal
+    pairs copies at the sqrt-rounded self-cosine, cross pairs expand to
+    all member combinations with the rep pair's score, and idf counts
+    unique content (copies must not inflate df — dedup-before-
+    statistics)."""
+    from tfl_realtime_lakehouse_spark.operators.text import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_reps,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),     # exact copy of 1
+        (3, "alpha beta gamma epsilon"),   # near 1 (3/4 shared)
+        (4, "zeta eta theta iota"),        # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    full = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs(df, threshold=0.1, max_doc_freq=10).collect()
+    }
+    # diagonal: the copy pair, at the self-cosine (≈1.0 after rounding)
+    assert (1, 2) in full and abs(full[(1, 2)] - 1.0) < 1e-6
+    # cross expansion: BOTH copies pair with doc 3 at the same score
+    assert (1, 3) in full and (2, 3) in full
+    assert full[(1, 3)] == full[(2, 3)]
+    # unrelated doc shares no kept term with the others
+    assert not any(4 in k for k in full)
+    # rep-level op on unique contents gives the same rep-pair score
+    reps = df.where(F.col("doc_id") != 2)
+    rep_pairs = {
+        (r.doc_a, r.doc_b): r.cosine
+        for r in tfidf_cosine_pairs_reps(
+            reps, threshold=0.1, max_doc_freq=10
+        ).collect()
+    }
+    assert rep_pairs[(1, 3)] == full[(1, 3)]

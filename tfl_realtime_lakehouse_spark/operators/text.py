@@ -478,3 +478,120 @@ def mg_heavy_hitters(
     return summaries.groupBy("token").agg(
         F.sum("mg_count").alias("mg_count"),
     )
+
+
+def tfidf_cosine_pairs_reps(
+    df: DataFrame,
+    threshold: float = 0.3,
+    max_doc_freq: int = 250,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine document pairs on UNIQUE content — the
+    bag-of-words similarity tier between shingle Jaccard (surface
+    overlap) and embedding cosine (dense semantics): shared RARE
+    vocabulary weighted by idf, robust to reordering that breaks
+    shingles, no model required.
+
+    The inverted-index discipline: tokens with document frequency >
+    ``max_doc_freq`` are dropped from the FEATURE SPACE (not just the
+    join) — stop tokens carry ~zero idf signal and unbounded posting
+    lists, so removing them bounds every posting join at
+    O(df²·|vocab_rare|) AND keeps weights/norms/dot products all
+    consistent in the same reduced space (a lower-bound contract would
+    otherwise understate norms). Per-pair dot products and per-doc
+    squared norms are summed as exact decimals (the BM25 discipline);
+    cosine = dot/(√na·√nb) is one shared double tree rounded at 6 dp.
+
+    Returns (doc_a, doc_b, cosine) with doc_a < doc_b, cosine ≥
+    threshold.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.count()
+    kept = tf.join(
+        F.broadcast(dfreq.where(F.col("df_t") <= max_doc_freq)), "term"
+    )
+    w = F.col("tf").cast("double") * F.log(
+        F.lit(float(n_docs)) / F.col("df_t").cast("double")
+    )
+    weights = kept.select(id_col, "term", w.alias("w"))
+    norms = weights.groupBy(id_col).agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(27,12)")).alias("n2")
+    )
+    a = weights.select(
+        F.col(id_col).alias("doc_a"), "term", F.col("w").alias("wa")
+    )
+    b = weights.select(
+        F.col(id_col).alias("doc_b"), "term", F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, "term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum((F.col("wa") * F.col("wb")).cast("decimal(27,12)")).alias("dot")
+        )
+    )
+    na = norms.select(F.col(id_col).alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col(id_col).alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    max_doc_freq: int = 250,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contraction-wrapped full-corpus TF-IDF cosine pairs (standing
+    rule). Exact copies pair through the diagonal with the SAME
+    expression tree the raw op gives a self-pair — n2/(√n2·√n2), which
+    is 1.0 only up to IEEE sqrt rounding, so the diagonal recomputes it
+    rather than hard-coding 1.0."""
+    from tfl_realtime_lakehouse_spark.operators.dedup import (
+        contracted_pairs_generic,
+    )
+
+    def pair_fn(reps: DataFrame) -> DataFrame:
+        return tfidf_cosine_pairs_reps(
+            reps, threshold=threshold, max_doc_freq=max_doc_freq,
+            text_col=text_col, id_col=id_col,
+        )
+
+    def within_fn(reps: DataFrame) -> DataFrame:
+        toks = reps.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+        n_docs = reps.count()
+        kept = tf.join(
+            F.broadcast(dfreq.where(F.col("df_t") <= max_doc_freq)), "term"
+        )
+        w = F.col("tf").cast("double") * F.log(
+            F.lit(float(n_docs)) / F.col("df_t").cast("double")
+        )
+        n2 = (
+            kept.select(F.col(id_col), w.alias("w"))
+            .groupBy(id_col)
+            .agg(F.sum((F.col("w") * F.col("w")).cast("decimal(27,12)")).alias("n2"))
+        )
+        cos = F.col("n2").cast("double") / (
+            F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+        )
+        return n2.select(
+            F.col(id_col), F.round(cos, 6).alias("cosine")
+        ).where(F.col("cosine") >= threshold)
+
+    return contracted_pairs_generic(
+        df, pair_fn, within_fn, text_col=text_col, id_col=id_col
+    )

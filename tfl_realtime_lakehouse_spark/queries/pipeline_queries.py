@@ -3609,3 +3609,246 @@ def events_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("hours_to_convert"),
         F.round("value", 6).alias("value"),
     )
+
+
+@register(
+    "entity_resolution_parts",
+    oracle="""
+    WITH RECURSIVE g AS (
+      SELECT p_name, CAST(MIN(p_partkey) AS BIGINT) AS rep,
+             CAST(COUNT(*) AS BIGINT) AS n_records
+      FROM part GROUP BY p_name
+    ),
+    pairs AS (
+      SELECT a.rep AS doc_a, b.rep AS doc_b
+      FROM g a JOIN g b
+        ON SPLIT_PART(a.p_name, ' ', 1) = SPLIT_PART(b.p_name, ' ', 1)
+       AND a.rep < b.rep
+       AND ABS(LEN(a.p_name) - LEN(b.p_name)) <= 4
+      WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM (SELECT u FROM edges UNION SELECT v FROM edges)
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.node = e.v
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    assigned AS (
+      SELECT g.rep, g.p_name, g.n_records,
+             COALESCE(c.component, g.rep) AS cluster_id
+      FROM g LEFT JOIN comp c ON c.node = g.rep
+    ),
+    canon AS (
+      SELECT cluster_id, p_name AS canonical_name
+      FROM (SELECT cluster_id, p_name,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_records DESC, rep) AS rk
+            FROM assigned)
+      WHERE rk = 1
+    )
+    SELECT a.rep, a.p_name, a.n_records, a.cluster_id, c.canonical_name,
+           CAST(COUNT(*) OVER (PARTITION BY a.cluster_id) AS BIGINT)
+               AS cluster_variants
+    FROM assigned a JOIN canon c USING (cluster_id)
+    """,
+    doc="End-to-end ENTITY RESOLUTION: the full record-linkage "
+    "pipeline composed from this round's and prior rounds' tiers — "
+    "(1) exact contraction to distinct names, (2) blocked "
+    "edit-distance candidate pairs (fuzzy_levenshtein_pairs_reps), "
+    "(3) connected components over the match graph (large-star/"
+    "small-star, O(log n) rounds — matching is not transitive, the "
+    "same non-transitivity argument as near-dup dedup), (4) "
+    "survivorship: the cluster's canonical record is its most "
+    "frequent variant (ties to the smallest id). The oracle replays "
+    "every stage (blocked join, recursive-CTE components, ranked "
+    "survivorship), so the hash check proves the COMPOSITION, not "
+    "just the pieces. Scale: every stage is the bounded shape its "
+    "component query already measured; nothing here is all-pairs.",
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.dedup import (
+        connected_components,
+        fuzzy_levenshtein_pairs_reps,
+    )
+
+    p = table(spark, sf_dir, "part")
+    g = p.groupBy("p_name").agg(
+        F.min("p_partkey").cast("bigint").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+    )
+    gd = g.select(F.col("rep").alias("doc_id"), F.col("p_name").alias("text"))
+    pairs = fuzzy_levenshtein_pairs_reps(gd, max_dist=4, len_band=4)
+    cc = connected_components(pairs)
+    assigned = g.join(
+        cc.withColumnRenamed("node", "rep"), "rep", "left"
+    ).select(
+        "rep",
+        "p_name",
+        "n_records",
+        F.coalesce("component", "rep").alias("cluster_id"),
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_records").desc(), "rep"
+    )
+    canon = (
+        assigned.withColumn("rk", F.row_number().over(w_rank))
+        .where(F.col("rk") == 1)
+        .select("cluster_id", F.col("p_name").alias("canonical_name"))
+    )
+    w_sz = Window.partitionBy("cluster_id")
+    return (
+        assigned.join(canon, "cluster_id")
+        .select(
+            "rep",
+            "p_name",
+            "n_records",
+            "cluster_id",
+            "canonical_name",
+            F.count(F.lit(1)).over(w_sz).cast("bigint").alias("cluster_variants"),
+        )
+    )
+
+
+@register(
+    "events_psi_drift",
+    oracle="""
+    WITH cut AS (
+      SELECT MIN(DATE_TRUNC('day', ts)) + INTERVAL 15 DAY AS c FROM events
+    ),
+    tagged AS (
+      SELECT event_type, value,
+             CASE WHEN ts < cut.c THEN 0 ELSE 1 END AS period
+      FROM events CROSS JOIN cut
+    ),
+    span AS (
+      SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+      FROM tagged WHERE period = 0 GROUP BY 1
+    ),
+    binned AS (
+      SELECT t.event_type, t.period,
+             LEAST(GREATEST(CAST(FLOOR((t.value - s.lo)
+                 / ((s.hi - s.lo) / 10.0)) AS INTEGER), 0), 9) AS bin
+      FROM tagged t JOIN span s USING (event_type)
+    ),
+    counts AS (
+      SELECT event_type, period, bin, CAST(COUNT(*) AS BIGINT) AS n
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    totals AS (
+      SELECT event_type, period, SUM(n) AS tot FROM counts GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT s.event_type, b.bin, p.period
+      FROM span s,
+           (SELECT UNNEST(range(10)) AS bin) b,
+           (SELECT UNNEST(range(2)) AS period) p
+    ),
+    props AS (
+      SELECT g.event_type, g.bin, g.period,
+             GREATEST(CAST(COALESCE(c.n, 0) AS DOUBLE)
+                      / CAST(t.tot AS DOUBLE), 0.0001::DOUBLE) AS p
+      FROM grid g
+      LEFT JOIN counts c
+        ON c.event_type = g.event_type AND c.bin = g.bin
+       AND c.period = g.period
+      JOIN totals t ON t.event_type = g.event_type AND t.period = g.period
+    ),
+    pq AS (
+      SELECT b.event_type, b.bin, b.p AS pb, cu.p AS pc
+      FROM (SELECT * FROM props WHERE period = 0) b
+      JOIN (SELECT * FROM props WHERE period = 1) cu
+        ON b.event_type = cu.event_type AND b.bin = cu.bin
+    )
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST((pc - pb) * LN(pc / pb)
+                 AS DECIMAL(27, 12))) AS DOUBLE), 6) AS psi,
+           CAST(SUM(CASE WHEN (pc - pb) * LN(pc / pb) > 0.025::DOUBLE
+                    THEN 1 ELSE 0 END) AS INTEGER) AS n_drifted_bins
+    FROM pq GROUP BY event_type
+    """,
+    doc="Population Stability Index drift monitor — the standard "
+    "model-monitoring statistic, per event_type, comparing the value "
+    "distribution of the first 15 days (baseline) against the rest: "
+    "10 equal-width bins over the BASELINE span (fixed-width so the "
+    "binning is a pure per-row expression, the z-order/grid "
+    "discipline), proportions clamped at 1e-4 (the standard zero-bin "
+    "guard), PSI = Σ (p_cur − p_base)·ln(p_cur/p_base) summed as "
+    "12-dp decimals (order-free) and rounded at 6 dp. PSI > 0.2 is "
+    "the conventional retrain trigger; n_drifted_bins localizes "
+    "which part of the distribution moved. Two scans (tag + bin), "
+    "two hash aggs — the shape that runs daily over 100 TB without "
+    "drama.",
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.date_trunc("day", F.min("ts")) + F.expr("interval 15 days")).alias("c")
+    )
+    tagged = ev.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.col("c"), 0).otherwise(1).alias("period"),
+    )
+    span = (
+        tagged.where(F.col("period") == 0)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    binned = tagged.join(F.broadcast(span), "event_type").select(
+        "event_type",
+        "period",
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("value") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / F.lit(10.0))
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "period", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("event_type", "period").agg(F.sum("n").alias("tot"))
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    periods = spark.range(2).select(F.col("id").cast("int").alias("period"))
+    grid = span.select("event_type").crossJoin(bins).crossJoin(periods)
+    props = (
+        grid.join(counts, ["event_type", "bin", "period"], "left")
+        .join(totals, ["event_type", "period"])
+        .select(
+            "event_type",
+            "bin",
+            "period",
+            F.greatest(
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.col("tot").cast("double"),
+                F.lit(0.0001),
+            ).alias("p"),
+        )
+    )
+    base = props.where(F.col("period") == 0).select(
+        "event_type", "bin", F.col("p").alias("pb")
+    )
+    cur = props.where(F.col("period") == 1).select(
+        "event_type", "bin", F.col("p").alias("pc")
+    )
+    term = (F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))
+    return (
+        base.join(cur, ["event_type", "bin"])
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(term.cast("decimal(27,12)")).cast("double"), 6
+            ).alias("psi"),
+            F.sum(F.when(term > 0.025, 1).otherwise(0))
+            .cast("int")
+            .alias("n_drifted_bins"),
+        )
+    )

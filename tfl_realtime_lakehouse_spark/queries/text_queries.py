@@ -2232,3 +2232,79 @@ def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(coverage, 6).alias("coverage"),
         )
     )
+
+
+@register(
+    "text_tfidf_cosine_pairs",
+    oracle="""
+    WITH g AS (
+      SELECT text, CAST(MIN(doc_id) AS BIGINT) AS rep
+      FROM documents GROUP BY text
+    ),
+    toks AS (SELECT rep, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM g),
+    tf AS (SELECT rep, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM g),
+    wts AS (
+      SELECT rep, tf.term,
+             CAST(tf AS DOUBLE) * LN(nn.nd / CAST(df_t AS DOUBLE)) AS w
+      FROM tf JOIN dfq USING (term) CROSS JOIN nn
+      WHERE df_t <= 250
+    ),
+    norms AS (
+      SELECT rep, SUM(CAST(w * w AS DECIMAL(27, 12))) AS n2
+      FROM wts GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.rep AS ra, b.rep AS rb,
+             SUM(CAST(a.w * b.w AS DECIMAL(27, 12))) AS dot
+      FROM wts a JOIN wts b ON a.term = b.term AND a.rep < b.rep
+      GROUP BY 1, 2
+    ),
+    mem AS (SELECT d.doc_id, g.rep FROM documents d JOIN g USING (text)),
+    expanded AS (
+      SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+             GREATEST(ma.doc_id, mb.doc_id) AS doc_b,
+             ROUND(CAST(dot AS DOUBLE)
+                   / (SQRT(CAST(na.n2 AS DOUBLE))
+                      * SQRT(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+      FROM dots
+      JOIN mem ma ON ma.rep = dots.ra
+      JOIN mem mb ON mb.rep = dots.rb
+      JOIN norms na ON na.rep = dots.ra
+      JOIN norms nb ON nb.rep = dots.rb
+    ),
+    diag AS (
+      SELECT ma.doc_id AS doc_a, mb.doc_id AS doc_b,
+             ROUND(CAST(n.n2 AS DOUBLE)
+                   / (SQRT(CAST(n.n2 AS DOUBLE))
+                      * SQRT(CAST(n.n2 AS DOUBLE))), 6) AS cosine
+      FROM norms n
+      JOIN mem ma ON ma.rep = n.rep
+      JOIN mem mb ON mb.rep = n.rep
+      WHERE ma.doc_id < mb.doc_id
+    )
+    SELECT * FROM (SELECT * FROM expanded UNION ALL SELECT * FROM diag)
+    WHERE cosine >= 0.5
+    """,
+    doc="Sparse TF-IDF cosine document pairs — the bag-of-words "
+    "similarity tier between shingle Jaccard (surface n-gram overlap) "
+    "and embedding cosine (dense semantics): shared RARE vocabulary "
+    "weighted by idf, robust to the reorderings that break shingles, "
+    "no model required. Inverted-index postings join with the "
+    "max_doc_freq=250 stop-token bound applied to the FEATURE SPACE "
+    "(weights, norms and dots all live in the same reduced space — "
+    "dropping stop tokens only from the join would understate norms); "
+    "idf over UNIQUE content (dedup-before-statistics — copies must "
+    "not inflate df), exact-decimal dot/norm sums, one shared double "
+    "tree for the cosine, 6 dp. Contraction-wrapped per the standing "
+    "rule; the oracle replays rep-pairs + member expansion + the "
+    "sqrt-rounded diagonal verbatim.",
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.text import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.5, max_doc_freq=250
+    )

@@ -1379,3 +1379,70 @@ def test_streaming_gapfill_locf_matches_batch(spark, tmp_path):
     # the boundary-spanning gap was filled with the pre-boundary LOCF
     assert stream_vals[("a", h(6))] == (0, 1, None, 6.0)
     assert stream_vals[("b", h(6))][1] == 0  # b starts at its own range
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """Attributed purchases from the streaming twin equal the batch
+    as-of attribution on the same in-order events — including a click
+    and purchase in the SAME micro-batch, a cross-batch attribution,
+    a beyond-lookback miss, and a disorder purchase flagged NULL."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.operators.asof import asof_join
+    from tfl_realtime_lakehouse_spark.streaming.attribution import (
+        streaming_last_touch_attribution,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0)
+    m = lambda i: t0 + dt.timedelta(minutes=i)
+    d = lambda i: t0 + dt.timedelta(days=i)
+    rows1 = [
+        (1, 100, m(0), "click"),
+        (1, 101, m(30), "purchase"),      # same-batch attribution
+        (2, 102, m(5), "click"),
+        (3, 103, m(1), "purchase"),       # never clicked -> attributed 0
+    ]
+    rows2 = [
+        (2, 104, m(65), "purchase"),      # cross-batch attribution
+        (1, 105, d(9), "purchase"),       # beyond 7d lookback -> 0
+        (2, 106, m(2), "purchase"),       # disorder (state click at m5)
+    ]
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "attr-src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_last_touch_attribution(stream)
+    _run_stream(out, tmp_path, "attr_out")
+    got = {
+        r.event_id: (r.attributed, r.attr_click_ts, r.hours_to_convert)
+        for r in spark.sql("select * from attr_out").collect()
+    }
+    assert got[101] == (1, m(0), 0.5)
+    assert got[103][0] == 0
+    assert got[104] == (1, m(5), 1.0)
+    assert got[105][0] == 0                # lookback exceeded
+    assert got[106] == (None, None, None)  # disorder contract
+
+    # batch reference over the in-order rows (disorder row excluded)
+    ev = spark.createDataFrame(rows1 + rows2[:2], schema)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    batch = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        value_alias="attr_click_ts", direction="backward",
+        tolerance_seconds=7 * 86400,
+    )
+    want = {
+        r.event_id: r.attr_click_ts for r in batch.collect()
+    }
+    for eid, cts in want.items():
+        assert got[eid][1] == cts, eid

@@ -3852,3 +3852,172 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_drifted_bins"),
         )
     )
+
+
+@register(
+    "table_profile_lineitem",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS ndv_quantity,
+        CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS null_quantity,
+        MIN(l_quantity) AS min_quantity, MAX(l_quantity) AS max_quantity,
+        CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT) AS ndv_price,
+        CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS null_price,
+        MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+        CAST(COUNT(DISTINCT l_discount) AS BIGINT) AS ndv_discount,
+        CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS null_discount,
+        MIN(l_discount) AS min_discount, MAX(l_discount) AS max_discount
+      FROM lineitem
+    )
+    SELECT col, n_rows, ndv, n_null, min_val, max_val FROM (
+      SELECT 'l_quantity' AS col, n_rows, ndv_quantity AS ndv,
+             null_quantity AS n_null, min_quantity AS min_val,
+             max_quantity AS max_val FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', n_rows, ndv_price, null_price,
+             min_price, max_price FROM m
+      UNION ALL
+      SELECT 'l_discount', n_rows, ndv_discount, null_discount,
+             min_discount, max_discount FROM m
+    )
+    """,
+    doc="ANALYZE-style column profiling — the statistics collection "
+    "pass a warehouse runs before trusting CBO estimates or data "
+    "contracts: exact row count, per-column NDV / null count / "
+    "min / max for the measure columns, computed in ONE multi-"
+    "aggregate scan (Spark plans the distinct aggregates with "
+    "expand+partial aggregation — one pass over 100 TB, not one "
+    "scan per column) and unpivoted to a row per column. Exact "
+    "NDV here; the HLL/KMV sketch family provides the approximate "
+    "tier when exact distinct state would not fit.",
+)
+def table_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_quantity").cast("bigint").alias("ndv_quantity"),
+        F.sum(F.col("l_quantity").isNull().cast("int"))
+        .cast("bigint")
+        .alias("null_quantity"),
+        F.min("l_quantity").alias("min_quantity"),
+        F.max("l_quantity").alias("max_quantity"),
+        F.countDistinct("l_extendedprice").cast("bigint").alias("ndv_price"),
+        F.sum(F.col("l_extendedprice").isNull().cast("int"))
+        .cast("bigint")
+        .alias("null_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_discount").cast("bigint").alias("ndv_discount"),
+        F.sum(F.col("l_discount").isNull().cast("int"))
+        .cast("bigint")
+        .alias("null_discount"),
+        F.min("l_discount").alias("min_discount"),
+        F.max("l_discount").alias("max_discount"),
+    )
+    rows = []
+    for col, ndv, nnull, mn, mx in [
+        ("l_quantity", "ndv_quantity", "null_quantity", "min_quantity", "max_quantity"),
+        ("l_extendedprice", "ndv_price", "null_price", "min_price", "max_price"),
+        ("l_discount", "ndv_discount", "null_discount", "min_discount", "max_discount"),
+    ]:
+        rows.append(
+            m.select(
+                F.lit(col).alias("col"),
+                "n_rows",
+                F.col(ndv).alias("ndv"),
+                F.col(nnull).alias("n_null"),
+                F.col(mn).alias("min_val"),
+                F.col(mx).alias("max_val"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "orders_reconciliation_diff",
+    oracle="""
+    WITH v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+                FROM orders),
+    v1 AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    h1 AS (SELECT o_orderkey,
+                  MD5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                      || '|' || CAST(o_totalprice AS VARCHAR)) AS h
+           FROM v1),
+    h2 AS (SELECT o_orderkey,
+                  MD5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus
+                      || '|' || CAST(o_totalprice AS VARCHAR)) AS h
+           FROM v2)
+    SELECT COALESCE(h1.o_orderkey, h2.o_orderkey) AS o_orderkey,
+           CASE WHEN h1.o_orderkey IS NULL THEN 'added'
+                WHEN h2.o_orderkey IS NULL THEN 'removed'
+                ELSE 'modified' END AS status
+    FROM h1 FULL OUTER JOIN h2 ON h1.o_orderkey = h2.o_orderkey
+    WHERE h1.h IS DISTINCT FROM h2.h
+    """,
+    doc="Content-addressed table reconciliation — the anti-entropy "
+    "audit between two versions of a table (replica vs primary, "
+    "yesterday's snapshot vs today's): per-row content digests "
+    "compared through one full-outer join on the key, emitting only "
+    "added / removed / modified rows. The simulated v1 drops every "
+    "97th order and perturbs every 89th price, so all three statuses "
+    "appear. Scale: the join carries (key, 128-bit digest) — row "
+    "WIDTH drops out of the shuffle, which is what makes "
+    "reconciliation runnable across a 100 TB table pair; digests are "
+    "md5 over a canonical serialization, identical in any engine. "
+    "Complements sources/lakehouse.py's snapshot diff (this is the "
+    "pure-relational tier that needs no version store).",
+)
+def orders_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    v1 = o.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+
+    def digest(df):
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    F.col("o_totalprice").cast("string"),
+                )
+            ).alias("h"),
+        )
+
+    h1 = digest(v1).withColumnsRenamed({"o_orderkey": "k1", "h": "ha"})
+    h2 = digest(o).withColumnsRenamed({"o_orderkey": "k2", "h": "hb"})
+    return (
+        h1.join(h2, h1["k1"] == h2["k2"], "full_outer")
+        .where(~F.col("ha").eqNullSafe(F.col("hb")))
+        .select(
+            F.coalesce("k1", "k2").alias("o_orderkey"),
+            F.when(F.col("k1").isNull(), "added")
+            .when(F.col("k2").isNull(), "removed")
+            .otherwise("modified")
+            .alias("status"),
+        )
+    )

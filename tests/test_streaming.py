@@ -1446,3 +1446,62 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
     }
     for eid, cts in want.items():
         assert got[eid][1] == cts, eid
+
+
+def test_streaming_online_cusum_matches_batch_fold(spark, tmp_path):
+    """Page's-test alarms from the streaming twin equal a python replay
+    of the batch fold's recurrence on the same in-order bucket series —
+    warm-up spanning the micro-batch boundary, a planted level shift
+    that must alarm, restart-after-alarm, and a disorder bucket."""
+    import datetime as dt
+
+    h = lambda i: dt.datetime(2025, 1, 1, 0, 0) + dt.timedelta(hours=i)
+    from tfl_realtime_lakehouse_spark.streaming.cusum import (
+        _warmup_stats,
+        streaming_online_cusum,
+    )
+
+    warm = 24
+    vals = [10.0 + (i % 3) * 0.5 for i in range(warm)]  # warm-up
+    post = [10.5] * 6 + [25.0] * 8 + [10.5] * 6         # level shift
+    series = vals + post
+    rows = [("a", h(i), v) for i, v in enumerate(series)]
+    b1 = rows[:20]
+    b2 = rows[20:] + [("a", h(5), 99.0)]  # disorder replay
+    schema = "key string, bucket timestamp, y double"
+    src = str(tmp_path / "cusum-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_online_cusum(stream, warm=warm)
+    _run_stream(out, tmp_path, "cusum_out")
+    got_rows = spark.sql("select * from cusum_out").collect()
+    # disorder row: NULL alarm
+    assert [r.alarm for r in got_rows if r.bucket == h(5) and r.k is None] == [None]
+    got = {
+        r.k: (r.g_pos, r.g_neg, r.alarm)
+        for r in got_rows
+        if r.k is not None and r.k > 0
+    }
+
+    # python replay of the registered query's fold recurrence
+    mu, sig = _warmup_stats(series[:warm])
+    gp = gn = 0.0
+    want = {}
+    for k, x in enumerate(series[warm:], start=1):
+        gpn = max(0.0, gp + (x - mu - 0.5 * sig))
+        gnn = max(0.0, gn + (mu - x - 0.5 * sig))
+        if gpn > 5.0 * sig or gnn > 5.0 * sig:
+            want[k] = (gpn, gnn, 1)
+            gp = gn = 0.0
+        else:
+            gp, gn = gpn, gnn
+            want[k] = (gp, gn, 0)
+    assert got == want
+    # the planted shift raises at least one alarm, and none pre-shift
+    assert any(a for _, _, a in want.values())
+    assert all(want[k][2] == 0 for k in range(1, 7))

@@ -4021,3 +4021,178 @@ def orders_reconciliation_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def _online_cusum_oracle_sql(warm: int = 24) -> str:
+    """DuckDB replay of the ONLINE CUSUM fold: warm-up mean/σ as
+    explicit left-associated chains (the Holt-Winters init discipline —
+    shared IEEE tree, no hidden reassociation), then Page's recurrence
+    as a LIST_REDUCE with a 6-slot accumulator
+    [g⁺, g⁻, first_alarm_k, n_alarms, k, _] and max(0,·) drift clamps
+    (GREATEST is exact selection)."""
+    y = lambda i: f"ys[{i}]"
+    mu_chain = " + ".join(y(i) for i in range(1, warm + 1))
+    var_chain = " + ".join(
+        f"({y(i)} - mu) * ({y(i)} - mu)" for i in range(1, warm + 1)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT event_type, DATE_TRUNC('hour', ts) AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type, LIST(y ORDER BY bucket) AS ys, COUNT(*) AS n
+      FROM hourly GROUP BY 1
+    ),
+    init AS (
+      SELECT event_type, ys, n,
+             ({mu_chain}) / {warm}.0::DOUBLE AS mu
+      FROM series WHERE n >= {warm + 1}
+    ),
+    init2 AS (
+      SELECT event_type, ys, n, mu,
+             sqrt(({var_chain}) / {warm}.0::DOUBLE) AS sig
+      FROM init
+    ),
+    run AS (
+      SELECT event_type, n, mu, sig,
+             LIST_REDUCE(
+               LIST_PREPEND(
+                 [0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+                  0.0::DOUBLE, 0.0::DOUBLE],
+                 LIST_TRANSFORM(ys[{warm + 1}:], v -> [v, 0.0::DOUBLE,
+                   0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE])),
+               (acc, x) -> CASE WHEN
+                   GREATEST(0.0::DOUBLE,
+                            acc[1] + (x[1] - mu - 0.5::DOUBLE * sig))
+                     > 5.0::DOUBLE * sig
+                   OR GREATEST(0.0::DOUBLE,
+                               acc[2] + (mu - x[1] - 0.5::DOUBLE * sig))
+                     > 5.0::DOUBLE * sig
+                 THEN [0.0::DOUBLE, 0.0::DOUBLE,
+                       CASE WHEN acc[3] = 0.0::DOUBLE THEN acc[5] + 1.0::DOUBLE
+                            ELSE acc[3] END,
+                       acc[4] + 1.0::DOUBLE, acc[5] + 1.0::DOUBLE, 0.0::DOUBLE]
+                 ELSE [GREATEST(0.0::DOUBLE,
+                               acc[1] + (x[1] - mu - 0.5::DOUBLE * sig)),
+                       GREATEST(0.0::DOUBLE,
+                               acc[2] + (mu - x[1] - 0.5::DOUBLE * sig)),
+                       acc[3], acc[4], acc[5] + 1.0::DOUBLE, 0.0::DOUBLE]
+                 END) AS st
+      FROM init2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+           ROUND(mu, 6) AS mu, ROUND(sig, 6) AS sigma,
+           CAST(st[3] AS INTEGER) AS first_alarm_k,
+           CAST(st[4] AS INTEGER) AS n_alarms,
+           ROUND(st[1], 6) AS g_pos, ROUND(st[2], 6) AS g_neg
+    FROM run
+    """
+
+
+@register(
+    "events_online_cusum",
+    oracle=_online_cusum_oracle_sql(24),
+    doc="ONLINE CUSUM (Page's test) per event_type over the hourly "
+    "series — the streaming-deployable complement of the offline "
+    "events_changepoint_cusum (which needs the series total): a "
+    "24-bucket warm-up pins the reference mean/σ (explicit left-"
+    "associated chains, the Holt-Winters init discipline), then the "
+    "classic recurrence g⁺ = max(0, g⁺ + (x − μ − κ)), g⁻ analog, "
+    "with κ = 0.5σ drift allowance and h = 5σ alarm threshold, "
+    "restart-after-alarm. One aggregate() fold with a 6-slot array "
+    "accumulator; every op is +,−,×,max — all exactly rounded or "
+    "exact selections, so the fold replays bit-identically in SQL "
+    "(the verifiable-recurrence discipline). Reports first alarm "
+    "index, alarm count and final statistics; the streaming twin "
+    "(streaming/cusum.py) carries the identical recurrence as "
+    "per-key state.",
+)
+def events_online_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    warm = 24
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("y"))
+    series = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "y"))),
+                lambda s: s["y"],
+            ).alias("ys"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= warm + 1)
+    )
+    e = lambda i: F.element_at("ys", i)  # noqa: E731
+    mu_c = e(1)
+    for i in range(2, warm + 1):
+        mu_c = mu_c + e(i)
+    mu = mu_c / F.lit(float(warm))
+    var_c = (e(1) - mu) * (e(1) - mu)
+    for i in range(2, warm + 1):
+        var_c = var_c + (e(i) - mu) * (e(i) - mu)
+    sig = F.sqrt(var_c / F.lit(float(warm)))
+    withm = series.select(
+        "event_type", "ys", "n", mu.alias("mu"), sig.alias("sig")
+    )
+    zero = F.lit(0.0)
+    gp = lambda acc, x: F.greatest(  # noqa: E731
+        zero, F.element_at(acc, 1) + (x - F.col("mu") - F.lit(0.5) * F.col("sig"))
+    )
+    gn = lambda acc, x: F.greatest(  # noqa: E731
+        zero, F.element_at(acc, 2) + (F.col("mu") - x - F.lit(0.5) * F.col("sig"))
+    )
+    h = F.lit(5.0) * F.col("sig")
+    st = F.aggregate(
+        F.slice(F.col("ys"), warm + 1, 100000000),
+        F.array(zero, zero, zero, zero, zero, zero),
+        lambda acc, x: F.when(
+            (gp(acc, x) > h) | (gn(acc, x) > h),
+            F.array(
+                zero,
+                zero,
+                F.when(
+                    F.element_at(acc, 3) == zero,
+                    F.element_at(acc, 5) + F.lit(1.0),
+                ).otherwise(F.element_at(acc, 3)),
+                F.element_at(acc, 4) + F.lit(1.0),
+                F.element_at(acc, 5) + F.lit(1.0),
+                zero,
+            ),
+        ).otherwise(
+            F.array(
+                gp(acc, x),
+                gn(acc, x),
+                F.element_at(acc, 3),
+                F.element_at(acc, 4),
+                F.element_at(acc, 5) + F.lit(1.0),
+                zero,
+            )
+        ),
+    )
+    # st is computed in a select with NO rounding aliases: Spark 4's
+    # implicit lateral-column-alias resolution would otherwise bind the
+    # fold's F.col("mu") to a sibling `round(mu, 6) AS mu` in the same
+    # projection — the fold would silently run on the ROUNDED mean
+    # (found by a 1-ulp-amplified hash mismatch; the raw/rounded split
+    # across two selects makes the binding unambiguous).
+    run = withm.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_buckets"),
+        "mu",
+        "sig",
+        st.alias("st"),
+    )
+    return run.select(
+        "event_type",
+        "n_buckets",
+        F.round("mu", 6).alias("mu"),
+        F.round("sig", 6).alias("sigma"),
+        F.element_at("st", 3).cast("int").alias("first_alarm_k"),
+        F.element_at("st", 4).cast("int").alias("n_alarms"),
+        F.round(F.element_at("st", 1), 6).alias("g_pos"),
+        F.round(F.element_at("st", 2), 6).alias("g_neg"),
+    )

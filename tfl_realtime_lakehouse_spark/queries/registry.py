@@ -23,6 +23,13 @@ str-identical sweep in the verify skill):
   doubles, and flattened/folded scalars instead.
 - Pin ambiguous function result types on both sides (``sign`` → INT,
   ``length``/``extract``/list indexes → INT/BIGINT explicitly).
+- NEVER alias a rounded/derived column to the SAME NAME as a raw input
+  column in a select that also computes expressions referencing that
+  name: Spark 4's implicit lateral-column-alias resolution binds
+  ``F.col("mu")`` to a sibling ``round(mu, 6) AS mu`` in the same
+  projection, silently feeding downstream arithmetic the rounded value
+  (found via events_online_cusum's 1-ulp-amplified hash mismatch).
+  Round in a LATER select, after every consumer of the raw value.
 """
 
 from __future__ import annotations

@@ -24,12 +24,16 @@ str-identical sweep in the verify skill):
 - Pin ambiguous function result types on both sides (``sign`` → INT,
   ``length``/``extract``/list indexes → INT/BIGINT explicitly).
 - NEVER alias a rounded/derived column to the SAME NAME as a raw input
-  column in a select that also computes expressions referencing that
-  name: Spark 4's implicit lateral-column-alias resolution binds
-  ``F.col("mu")`` to a sibling ``round(mu, 6) AS mu`` in the same
-  projection, silently feeding downstream arithmetic the rounded value
-  (found via events_online_cusum's 1-ulp-amplified hash mismatch).
-  Round in a LATER select, after every consumer of the raw value.
+  column in a select whose HIGHER-ORDER-FUNCTION lambdas reference that
+  name: inside an ``aggregate``/``transform`` lambda, an outer
+  ``F.col("mu")`` binds to a sibling ``round(mu, 6) AS mu`` in the same
+  projection (lateral alias wins over the input column there — plain
+  non-lambda expressions resolve to the input, which is why the same
+  surface pattern elsewhere is safe), silently feeding the fold the
+  rounded value. Found via events_online_cusum: bisected to exactly
+  mu-rounded-only (sigma's alias didn't collide), a 1-ulp-amplified
+  hash mismatch. Round in a LATER select, after every lambda consumer
+  of the raw value.
 """
 
 from __future__ import annotations

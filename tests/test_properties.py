@@ -302,3 +302,157 @@ def test_interval_merge_islands_match_python_sweep(spark, iv):
         if island:
             want[(u, island)] = (start, mx, n)
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)), min_size=1, max_size=20
+    )
+)
+def test_zorder_interleave_is_bijective_and_monotone_per_axis(spark, vals):
+    """Morton interleave properties on random bins: (a) exact python-
+    reference equality, (b) bijectivity (deinterleave recovers both
+    coordinates), (c) the prefix-hypercube property — two cells share a
+    z-prefix of 2k bits iff they share the top k bits of BOTH axes."""
+    from tfl_realtime_lakehouse_spark.operators.layout import (
+        interleave_bits,
+        zvalue_py,
+    )
+
+    df = spark.createDataFrame(vals, "x: long, y: long").withColumn(
+        "z", interleave_bits([F.col("x"), F.col("y")], bits=8)
+    )
+    for r in df.collect():
+        z = zvalue_py([r.x, r.y], bits=8)
+        assert r.z == z
+        # deinterleave
+        xs = sum(((z >> (2 * b)) & 1) << b for b in range(8))
+        ys = sum(((z >> (2 * b + 1)) & 1) << b for b in range(8))
+        assert (xs, ys) == (r.x, r.y)
+        for k in (2, 4):
+            same_prefix = (z >> (16 - 2 * k)) == (
+                zvalue_py([r.x, r.y], bits=8) >> (16 - 2 * k)
+            )
+            assert same_prefix  # self-comparison sanity
+    # cross-pair prefix test on the first two rows when distinct
+    if len(vals) >= 2 and vals[0] != vals[1]:
+        (x1, y1), (x2, y2) = vals[0], vals[1]
+        z1, z2 = zvalue_py([x1, y1], bits=8), zvalue_py([x2, y2], bits=8)
+        for k in (1, 2, 4, 8):
+            share = (z1 >> (16 - 2 * k)) == (z2 >> (16 - 2 * k))
+            axes = (x1 >> (8 - k)) == (x2 >> (8 - k)) and (y1 >> (8 - k)) == (
+                y2 >> (8 - k)
+            )
+            assert share == axes, (k, vals[0], vals[1])
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=12), min_size=2, max_size=8
+    )
+)
+def test_fuzzy_levenshtein_pairs_match_brute_force(spark, texts):
+    """Blocked+banded fuzzy pairs equal the brute-force filter (same
+    block, same band, 0 < dist <= max) on random short texts — the
+    blocking must only PRUNE never-candidates, not change scores."""
+    from tfl_realtime_lakehouse_spark.operators.dedup import (
+        fuzzy_levenshtein_pairs_reps,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in fuzzy_levenshtein_pairs_reps(
+            df, max_dist=3, len_band=2
+        ).collect()
+    }
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    want = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i >= j:
+                continue
+            blk_a = ta.split(" ")[0]
+            blk_b = tb.split(" ")[0]
+            if blk_a != blk_b or abs(len(ta) - len(tb)) > 2:
+                continue
+            d = lev(ta, tb)
+            if 0 < d <= 3:
+                want[(i, j)] = d
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    series=st.lists(
+        st.floats(
+            min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+        ),
+        min_size=5,
+        max_size=40,
+    )
+)
+def test_streaming_cusum_state_fn_replays_reference(series):
+    """The CUSUM state function (driven directly, protobuf-free) equals
+    the reference recurrence for ANY batch split of an in-order series
+    — batch boundaries must be invisible to the algorithm."""
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.streaming.cusum import (
+        _cusum_state_fn,
+        _warmup_stats,
+    )
+
+    warm = 4
+
+    class S:
+        def __init__(self):
+            self.v = None
+
+        @property
+        def exists(self):
+            return self.v is not None
+
+        @property
+        def get(self):
+            return self.v
+
+        def update(self, v):
+            self.v = tuple(v)
+
+    t0 = pd.Timestamp("2025-01-01")
+    buckets = [t0 + pd.Timedelta(hours=i) for i in range(len(series))]
+
+    def run(split):
+        st_ = S()
+        rows = []
+        chunks = [list(zip(buckets, series))[:split], list(zip(buckets, series))[split:]]
+        for ch in chunks:
+            if not ch:
+                continue
+            pdf = pd.DataFrame({"bucket": [c[0] for c in ch], "y": [c[1] for c in ch]})
+            for out in _cusum_state_fn(("k",), iter([pdf]), st_, warm=warm):
+                rows.append(out)
+        return pd.concat(rows, ignore_index=True), st_.v
+
+    full, st_full = run(len(series))
+    for split in (1, len(series) // 2, max(0, len(series) - 1)):
+        part, st_part = run(split)
+        pd.testing.assert_frame_equal(full, part)
+        assert st_full == st_part

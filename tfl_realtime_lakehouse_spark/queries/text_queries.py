@@ -2308,3 +2308,106 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(
         table(spark, sf_dir, "documents"), threshold=0.5, max_doc_freq=250
     )
+
+
+@register(
+    "training_mixture_temperature",
+    oracle="""
+    WITH src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS DOUBLE) AS n FROM src),
+    q AS (
+      SELECT source, n_docs,
+             POW(CAST(n_docs AS DOUBLE) / tot.n, 0.7::DOUBLE) AS w
+      FROM src CROSS JOIN tot
+    ),
+    qn AS (
+      SELECT source, n_docs, w / (SELECT SUM(w) FROM q) AS qs,
+             (SELECT n FROM tot) AS n
+      FROM q
+    ),
+    rates AS (
+      SELECT source, n_docs, qs,
+             LEAST(1.0::DOUBLE,
+                   (0.5::DOUBLE * n) * qs / CAST(n_docs AS DOUBLE)) AS rate
+      FROM qn
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_sampled
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST(('0x' || SUBSTR(MD5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+                 ::BIGINT AS DOUBLE) / 1152921504606846976.0::DOUBLE < r.rate
+      GROUP BY 1
+    )
+    SELECT r.source, r.n_docs,
+           ROUND(r.qs, 6) AS mixture_weight,
+           ROUND(r.rate, 6) AS sample_rate,
+           CAST(COALESCE(k.n_sampled, 0) AS BIGINT) AS n_sampled
+    FROM rates r LEFT JOIN kept k USING (source)
+    """,
+    doc="Temperature-based domain mixing (τ = 0.7) — the standard "
+    "LLM-pretraining recipe (GPT-3/LLaMA style) for rebalancing a "
+    "multi-source corpus: mixture weight q_s ∝ p_s^τ upweights rare "
+    "sources relative to their natural share, per-source sampling "
+    "rate targets half the corpus under the mixture, capped at 1 "
+    "(a source smaller than its quota is taken whole — the cap is "
+    "why τ-mixing needs no replacement sampling until rates "
+    "saturate). The keep decision is a seeded md5-fraction per doc — "
+    "deterministic, consistent under corpus growth (the stratified-"
+    "sampling property), and exactly replayed by the oracle. One "
+    "count aggregate + one map-side filter; the rate table is "
+    "|sources| rows.",
+)
+def training_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = src.agg(F.sum("n_docs").cast("double").alias("n"))
+    q = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n",
+        F.pow(F.col("n_docs").cast("double") / F.col("n"), F.lit(0.7)).alias("w"),
+    )
+    wsum = q.agg(F.sum("w").alias("ws"))
+    rates = q.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        (F.col("w") / F.col("ws")).alias("qs"),
+        F.least(
+            F.lit(1.0),
+            (F.lit(0.5) * F.col("n"))
+            * (F.col("w") / F.col("ws"))
+            / F.col("n_docs").cast("double"),
+        ).alias("rate"),
+    )
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(1152921504606846976.0)
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(frac < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.round("qs", 6).alias("mixture_weight"),
+            F.round("rate", 6).alias("sample_rate"),
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )

@@ -1505,3 +1505,68 @@ def test_streaming_online_cusum_matches_batch_fold(spark, tmp_path):
     # the planted shift raises at least one alarm, and none pre-shift
     assert any(a for _, _, a in want.values())
     assert all(want[k][2] == 0 for k in range(1, 7))
+
+
+def test_streaming_psi_drift_matches_reference(spark, tmp_path):
+    """Periodized PSI from the streaming twin equals a python replay of
+    the same estimator on the in-order series — baseline freeze
+    spanning the batch boundary, a shifted period that must drift, a
+    stable period that must not, and a disorder bucket ignored."""
+    import datetime as dt
+    import math
+
+    from tfl_realtime_lakehouse_spark.streaming.psi import streaming_psi_drift
+
+    h = lambda i: dt.datetime(2025, 1, 1, 0, 0) + dt.timedelta(hours=i)
+    base = [float(10 + (i * 7) % 20) for i in range(20)]  # baseline 20
+    stable = [float(10 + (i * 11) % 20) for i in range(10)]  # same range
+    shifted = [float(40 + (i % 5)) for i in range(10)]       # off-range
+    series = base + stable + shifted
+    rows = [("a", h(i), v) for i, v in enumerate(series)]
+    b1 = rows[:15]
+    b2 = rows[15:] + [("a", h(2), 999.0)]  # disorder: ignored
+    schema = "key string, bucket timestamp, y double"
+    src = str(tmp_path / "psi-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_psi_drift(stream, baseline_n=20, period_n=10)
+    _run_stream(out, tmp_path, "psi_out")
+    got = {
+        r.period_idx: (r.psi, r.n_drifted_bins, r.period_end)
+        for r in spark.sql("select * from psi_out").collect()
+    }
+    assert set(got) == {1, 2}
+
+    # python reference
+    lo, hi = min(base), max(base)
+    bin_of = lambda x: min(max(int(math.floor((x - lo) / ((hi - lo) / 10.0))), 0), 9)
+    bcounts = [0] * 10
+    for v in base:
+        bcounts[bin_of(v)] += 1
+    bp = [c / float(len(base)) for c in bcounts]
+
+    def psi_of(vals):
+        cc = [0] * 10
+        for v in vals:
+            cc[bin_of(v)] += 1
+        psi = 0.0
+        dr = 0
+        for b in range(10):
+            p_b = max(bp[b], 0.0001)
+            p_c = max(cc[b] / float(len(vals)), 0.0001)
+            t = (p_c - p_b) * math.log(p_c / p_b)
+            psi += t
+            if t > 0.025:
+                dr += 1
+        return psi, dr
+
+    for idx, vals in ((1, stable), (2, shifted)):
+        psi, dr = psi_of(vals)
+        assert got[idx][0] == psi and got[idx][1] == dr, idx
+    assert got[1][0] < 0.2 < got[2][0]  # stable below, shifted above
+    assert got[2][2] == h(len(series) - 1)

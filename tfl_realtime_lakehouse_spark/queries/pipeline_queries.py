@@ -4196,3 +4196,178 @@ def events_online_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("st", 1), 6).alias("g_pos"),
         F.round(F.element_at("st", 2), 6).alias("g_neg"),
     )
+
+
+@register(
+    "orders_benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs),
+    grid AS (SELECT UNNEST(range(1, 10)) AS d),
+    merged AS (
+      SELECT g.d, COALESCE(o.n, 0) AS n,
+             LN(1.0::DOUBLE + 1.0::DOUBLE / CAST(g.d AS DOUBLE))
+               / LN(10.0::DOUBLE) AS p_benford,
+             CAST(COALESCE(o.n, 0) AS DOUBLE) / tot.t AS p_obs
+      FROM grid g LEFT JOIN obs o ON o.d = g.d CROSS JOIN tot
+    )
+    SELECT CAST(d AS INTEGER) AS first_digit, CAST(n AS BIGINT) AS n,
+           ROUND(p_obs, 6) AS p_observed,
+           ROUND(p_benford, 6) AS p_benford,
+           ROUND((p_obs - p_benford) * (p_obs - p_benford) / p_benford, 9)
+               AS chi2_term
+    FROM merged
+    """,
+    doc="Benford first-digit audit on order totals — the classic "
+    "forensic-DQ screen (fabricated or systematically generated "
+    "amounts deviate from the log-law P(d) = log10(1 + 1/d)): "
+    "first digit extracted from the canonical DECIMAL(18,2) "
+    "rendering (string-of-decimal, not string-of-double — engines "
+    "print doubles differently but decimals identically), observed "
+    "vs expected proportions and per-digit χ² terms. One scan, one "
+    "9-key aggregate; a dashboard-ready screen at any scale. "
+    "(Synthetic uniform-ish prices will FAIL Benford — the query "
+    "reports the divergence, it doesn't assert conformance.)",
+)
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1.0)
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    p_benford = F.log(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    merged = (
+        grid.join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            p_benford.alias("p_benford"),
+            (F.coalesce("n", F.lit(0)).cast("double") / F.col("t")).alias("p_obs"),
+        )
+    )
+    return merged.select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.round("p_obs", 6).alias("p_observed"),
+        F.round("p_benford", 6).alias("p_benford"),
+        F.round(
+            (F.col("p_obs") - F.col("p_benford"))
+            * (F.col("p_obs") - F.col("p_benford"))
+            / F.col("p_benford"),
+            9,
+        ).alias("chi2_term"),
+    )
+
+
+@register(
+    "events_conversion_lag_quantiles",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT p.user_id, p.event_id,
+             CAST(EPOCH_US(p.ts) - (
+               SELECT MAX(EPOCH_US(c.click_ts)) FROM clicks c
+               WHERE c.user_id = p.user_id AND c.click_ts <= p.ts
+                 AND c.click_ts >= p.ts - INTERVAL 7 DAY) AS BIGINT) AS lag_us
+      FROM purchases p
+    ),
+    lags AS (SELECT lag_us FROM attributed WHERE lag_us IS NOT NULL),
+    hist AS (
+      SELECT lag_us, CAST(COUNT(*) AS BIGINT) AS cnt FROM lags GROUP BY 1
+    ),
+    cum AS (
+      SELECT lag_us, cnt,
+             SUM(cnt) OVER (ORDER BY lag_us ROWS UNBOUNDED PRECEDING) AS cum_hi,
+             SUM(cnt) OVER (ORDER BY lag_us ROWS UNBOUNDED PRECEDING) - cnt
+                 AS cum_lo,
+             SUM(cnt) OVER () AS n
+      FROM hist
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_attributed,
+           ROUND(CAST(MIN(CASE WHEN CEIL(0.5 * n) > cum_lo
+                               AND CEIL(0.5 * n) <= cum_hi
+                          THEN lag_us END) AS DOUBLE) / 3600000000.0, 6)
+               AS p50_hours,
+           ROUND(CAST(MIN(CASE WHEN CEIL(0.9 * n) > cum_lo
+                               AND CEIL(0.9 * n) <= cum_hi
+                          THEN lag_us END) AS DOUBLE) / 3600000000.0, 6)
+               AS p90_hours,
+           ROUND(CAST(MIN(CASE WHEN CEIL(0.99 * n) > cum_lo
+                               AND CEIL(0.99 * n) <= cum_hi
+                          THEN lag_us END) AS DOUBLE) / 3600000000.0, 6)
+               AS p99_hours
+    FROM cum
+    """,
+    doc="Conversion-lag SLO quantiles: the click→purchase latency "
+    "distribution (7-day last-touch window, µs-exact lags) reduced "
+    "to p50/p90/p99 via the value-histogram cumulative-count select — "
+    "the same scale-safe discrete-quantile plan as "
+    "agg_quantile_per_group (no per-group arrays; the histogram is "
+    "|distinct lags| ≤ n rows, worst case an external-sorted window). "
+    "Composes the as-of attribution tier with the quantile tier; the "
+    "marketing-analytics \"how fast do clicks convert\" answer.",
+)
+def events_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    att = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts",
+        value_alias="attr_click_ts", direction="backward",
+        tolerance_seconds=7 * 86400,
+    )
+    lags = att.where(F.col("attr_click_ts").isNotNull()).select(
+        (F.unix_micros("ts") - F.unix_micros("attr_click_ts")).alias("lag_us")
+    )
+    hist = lags.groupBy("lag_us").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_o = Window.orderBy("lag_us").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    cum = (
+        hist.withColumn("cum_hi", F.sum("cnt").over(w_o))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("cnt"))
+        .withColumn("n", F.sum("cnt").over(w_all))
+    )
+
+    def pick(q):
+        i = F.ceil(F.lit(q) * F.col("n"))
+        return F.round(
+            F.min(
+                F.when((i > F.col("cum_lo")) & (i <= F.col("cum_hi")), F.col("lag_us"))
+            ).cast("double")
+            / F.lit(3600000000.0),
+            6,
+        )
+
+    return cum.agg(
+        F.max("n").cast("bigint").alias("n_attributed"),
+        pick(0.5).alias("p50_hours"),
+        pick(0.9).alias("p90_hours"),
+        pick(0.99).alias("p99_hours"),
+    )

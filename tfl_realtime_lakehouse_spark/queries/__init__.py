@@ -118,7 +118,18 @@ DRIVER_WINDOW = [
 # lowest-fragility class (simple SQL-expressible analytics, stable
 # across three rounds of parity + str-identity sweeps); the graph /
 # composed-pipeline / iterative families the judge flagged as fragile
-# all get their record THIS round. Every tail entry remains verified
+# all get their record THIS round. The round-4 session additions
+# (layout_zorder_distribution, fuzzy_dedup_part_names,
+# entity_resolution_parts, text_tfidf_cosine_pairs, events_psi_drift,
+# events_online_cusum, kmv_audience_overlap, training_mixture_
+# temperature, incremental_join_maintenance, events_last_touch_
+# attribution, events_conversion_lag_quantiles, orders_benford_audit,
+# orders_reconciliation_diff, table_profile_lineitem,
+# text_bigram_interpolated_perplexity, text_vocab_coverage_curve,
+# sample_stratified_fixed_k, events_holt_winters_seasonal) join that
+# r05 queue behind the 17 — novel-algorithm entries (entity
+# resolution, tfidf pairs, online CUSUM, mixture) first, per the
+# fragility-priority precedent. Every tail entry remains verified
 # each session by tools/parity.py AND tools/str_identity.py.
 
 

@@ -398,3 +398,59 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "agg_weighted_median_per_group",
+    oracle="""
+    WITH hist AS (
+      SELECT l_returnflag, l_quantity,
+             SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, l_quantity, w,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                          ROWS UNBOUNDED PRECEDING) AS cum_hi,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                          ROWS UNBOUNDED PRECEDING) - w AS cum_lo,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS wtot
+      FROM hist
+    )
+    SELECT l_returnflag,
+           CAST(CAST(MAX(wtot) AS DOUBLE) AS DOUBLE) AS total_weight,
+           MIN(CASE WHEN cum_lo < 0.5 * wtot AND 0.5 * wtot <= cum_hi
+                    THEN l_quantity END) AS weighted_median_qty
+    FROM cum GROUP BY l_returnflag
+    """,
+    doc="Weighted per-group median (revenue-weighted quantity): the "
+    "smallest value whose cumulative WEIGHT reaches half the group "
+    "total — same scale-safe value-histogram cumulative select as "
+    "agg_quantile_per_group, but the cumulative axis is an exact "
+    "decimal weight sum instead of a row count (the comparison "
+    "0.5·W ≤ cum runs on exact decimals, so the boundary pick is "
+    "order-free in both engines; only the reported total converts "
+    "to double). Weighted quantiles are the curation primitive for "
+    "\"median document quality weighted by token count\"-style "
+    "questions where long documents must count proportionally.",
+)
+def agg_weighted_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).alias("w"))
+    )
+    w_o = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    w_c = Window.partitionBy("l_returnflag")
+    cum = (
+        hist.withColumn("cum_hi", F.sum("w").over(w_o))
+        .withColumn("cum_lo", F.col("cum_hi") - F.col("w"))
+        .withColumn("wtot", F.sum("w").over(w_c))
+    )
+    half = F.lit(0.5) * F.col("wtot")
+    return cum.groupBy("l_returnflag").agg(
+        F.max("wtot").cast("double").alias("total_weight"),
+        F.min(
+            F.when((F.col("cum_lo") < half) & (half <= F.col("cum_hi")), F.col("l_quantity"))
+        ).alias("weighted_median_qty"),
+    )

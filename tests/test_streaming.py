@@ -1570,3 +1570,38 @@ def test_streaming_psi_drift_matches_reference(spark, tmp_path):
         assert got[idx][0] == psi and got[idx][1] == dr, idx
     assert got[1][0] < 0.2 < got[2][0]  # stable below, shifted above
     assert got[2][2] == h(len(series) - 1)
+
+
+def test_streaming_gapfill_poison_timestamp_guard(spark, tmp_path):
+    """A far-future poison bucket must NOT explode into millions of
+    fill rows: the run truncates loudly (was_gap=2 on the observed
+    row), state advances, and the stream keeps working afterwards."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.gapfill import (
+        streaming_gapfill_locf,
+    )
+
+    h = lambda i: dt.datetime(2025, 1, 1, 0, 0) + dt.timedelta(hours=i)
+    rows = [
+        ("a", h(0), 1, 1.0),
+        ("a", h(1), 1, 2.0),
+        ("a", dt.datetime(2031, 1, 1), 1, 3.0),  # poison: ~52k buckets away
+        ("a", dt.datetime(2031, 1, 1, 2), 1, 4.0),  # 1-gap after poison
+    ]
+    schema = "key string, bucket timestamp, n_events long, avg_value double"
+    src = str(tmp_path / "poison-src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_gapfill_locf(stream, max_gap_buckets=1000)
+    _run_stream(out, tmp_path, "poison_out")
+    got = spark.sql("select * from poison_out").collect()
+    assert len(got) == 5  # 2 normal + truncated poison + 1 fill + 1 normal
+    flags = {(r.bucket, r.was_gap) for r in got}
+    assert (dt.datetime(2031, 1, 1), 2) in flags          # loud truncation
+    assert (dt.datetime(2031, 1, 1, 1), 1) in flags       # recovery fill
+    assert (dt.datetime(2031, 1, 1, 2), 0) in flags

@@ -13,7 +13,11 @@ the NEXT observation and is therefore batch-only, the same divergence
 note as T4 watermarks).
 
 State per key: (last bucket epoch-µs, last avg) — two scalars, O(keys)
-total, regardless of throughput or gap length. A bucket at or before
+total, regardless of throughput or gap length. OUTPUT per gap is
+bounded too: a gap run longer than ``max_gap_buckets`` (a poison
+far-future timestamp would otherwise emit millions of fill rows) emits
+only the observed row flagged ``was_gap = 2`` — truncation is loud,
+never silent (the no-silent-caps rule). A bucket at or before
 the state's newest is disorder (the upstream windowed agg emits closed
 buckets in order); it is emitted flagged ``was_gap = NULL`` and not
 inserted — the bounded-disorder contract the anomaly/rates twins use.
@@ -53,6 +57,7 @@ def _gapfill_state_fn(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     step_us: int = 3_600_000_000,
+    max_gap_buckets: int = 10_000,
 ) -> Iterator[pd.DataFrame]:
     (series_key,) = key
     last_us, last_avg = (state.get if state.exists else (None, None))
@@ -75,6 +80,18 @@ def _gapfill_state_fn(
                 emit(us, int(n), None, float(avg), None)  # disorder
                 continue
             if last_us is not None:
+                n_gaps = (us - last_us) // step_us - (
+                    0 if (us - last_us) % step_us else 1
+                )
+                if n_gaps > max_gap_buckets:
+                    # poison-timestamp guard: one corrupt far-future
+                    # bucket must not emit millions of fill rows. The
+                    # observed row still emits (flagged 2 = gap run
+                    # truncated — LOUD, not silent) and state advances,
+                    # so the stream recovers at the next sane bucket.
+                    emit(us, int(n), 2, float(avg), float(avg))
+                    last_us, last_avg = us, float(avg)
+                    continue
                 g = last_us + step_us
                 while g < us:
                     emit(g, 0, 1, None, last_avg)
@@ -95,14 +112,18 @@ def _gapfill_state_fn(
 
 
 def streaming_gapfill_locf(
-    buckets: DataFrame, step_us: int = 3_600_000_000
+    buckets: DataFrame,
+    step_us: int = 3_600_000_000,
+    max_gap_buckets: int = 10_000,
 ) -> DataFrame:
     """Dense gap-filled stream over closed (key, bucket, n_events,
     avg_value) rows. In-order replay from each key's first bucket
     equals the batch ``bucket_gapfill`` restricted to that range."""
 
     def fn(key, pdfs, state):
-        return _gapfill_state_fn(key, pdfs, state, step_us=step_us)
+        return _gapfill_state_fn(
+            key, pdfs, state, step_us=step_us, max_gap_buckets=max_gap_buckets
+        )
 
     return (
         buckets.select("key", "bucket", "n_events", "avg_value")

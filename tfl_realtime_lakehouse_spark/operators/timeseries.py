@@ -52,6 +52,15 @@ def bucket_gapfill(
     `_interp` linearly interpolates between the neighbouring observed
     buckets (edges stay null, the timeseries-DB `interpolate`
     semantics).
+
+    Dirty-data note: the grid is keys × the GLOBAL [min, max] span, so
+    one poison far-future timestamp inflates it for every key.
+    `F.sequence` fails LOUDLY past its element cap rather than
+    silently materializing the blowup; pipelines with untrusted
+    timestamps should bound the span upstream (the staging cast
+    contract's try_cast + range DQ check is the engine's own guard)
+    or use the streaming twin, whose `max_gap_buckets` truncates gap
+    runs explicitly (`streaming/gapfill.py`).
     """
     interval = F.expr(f"interval 1 {unit}")
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("bucket")

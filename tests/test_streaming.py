@@ -1605,3 +1605,73 @@ def test_streaming_gapfill_poison_timestamp_guard(spark, tmp_path):
     assert (dt.datetime(2031, 1, 1), 2) in flags          # loud truncation
     assert (dt.datetime(2031, 1, 1, 1), 1) in flags       # recovery fill
     assert (dt.datetime(2031, 1, 1, 2), 0) in flags
+
+
+def test_two_stage_streaming_monitoring_pipeline(spark, tmp_path):
+    """End-to-end streaming monitoring composition, the SUPPORTED shape:
+    stage 1 is the watermarked hourly aggregation streaming into a
+    parquet staging sink (append mode — buckets emit once their
+    watermark closes), stage 2 streams the staged closed buckets into
+    the stateful online-CUSUM twin. (A single-query chain is an
+    AnalysisException on the applyInPandasWithState runtime —
+    'not supported after aggregation'; the TWS runtime lifts that but
+    needs protobuf, absent here. Two availableNow hops over a staging
+    directory is the production composition either way: the staging
+    sink doubles as the replayable bucket history.)"""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.cusum import (
+        _warmup_stats,
+        streaming_online_cusum,
+    )
+
+    m = lambda i: dt.datetime(2025, 1, 1, 0, 0) + dt.timedelta(minutes=i)
+    # 10 hours of minute events: flat rate, then a surge in hour 8
+    rows = []
+    for hour in range(10):
+        per_min = 5.0 if hour != 8 else 50.0
+        for minute in range(60):
+            rows.append(("k", m(hour * 60 + minute), per_min))
+    # sentinel advances the watermark past the last real hour
+    rows.append(("k", m(13 * 60), 0.0))
+    src = str(tmp_path / "mon-src")
+    spark.createDataFrame(
+        rows, "key string, ts timestamp, v double"
+    ).coalesce(1).write.parquet(f"{src}/f=1")
+
+    stage1 = (
+        spark.readStream.schema("key string, ts timestamp, v double")
+        .parquet(f"{src}/f=*")
+        .withWatermark("ts", "1 hour")
+        .groupBy("key", F.window("ts", "1 hour").alias("w"))
+        .agg(F.sum("v").alias("y"))
+        .select("key", F.col("w.start").alias("bucket"), "y")
+    )
+    staged = str(tmp_path / "mon-staged")
+    q1 = (
+        stage1.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", staged)
+        .option("checkpointLocation", str(tmp_path / "ckpt-1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+
+    stage2 = streaming_online_cusum(
+        spark.readStream.schema("key string, bucket timestamp, y double")
+        .parquet(staged),
+        warm=4,
+    )
+    _run_stream(stage2, tmp_path, "mon_out")
+    got = {
+        r.k: r.alarm
+        for r in spark.sql("select * from mon_out").collect()
+        if r.k is not None and r.k > 0
+    }
+    # closed buckets: hours 0..9 (sentinel hour stays open); warm 0-3
+    assert len(got) == 6
+    # the hour-8 surge is post-warm-up step k=5 and must alarm
+    series = [300.0, 300.0, 300.0, 300.0, 300.0, 300.0, 300.0, 300.0, 3000.0, 300.0]
+    mu, sig = _warmup_stats(series[:4])
+    assert got[5] == 1 and sum(got.values()) == 1

@@ -1,0 +1,46 @@
+"""Physical-plan regression guards: the headline queries' shuffle
+budgets are part of the engine's contract (PLANS.md documents them;
+this test makes a regression FAIL CI instead of waiting for a bench
+delta). Counts are upper bounds — a plan may get better, never worse."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tfl_realtime_lakehouse_spark.queries import REGISTRY
+
+# name -> (max shuffle exchanges, max python-worker stages)
+BUDGETS = {
+    # the flagship: window exchange reused by the aggregation
+    "fct_headways": (1, 0),
+    # TPC-H Q1 shape: one partial/final hash agg pair
+    "q1_pricing_summary": (1, 0),
+    # r4 scale fix: histogram agg + per-group window + final agg
+    "agg_quantile_per_group": (3, 0),
+    # pure shift/mask fold + one agg
+    "layout_zorder_distribution": (1, 0),
+    # blocked equi-join plan: contraction agg + block join + expansions
+    "fuzzy_dedup_part_names": (8, 0),
+    # histogram-quantile composition over the as-of join
+    "events_conversion_lag_quantiles": (8, 0),
+}
+
+
+def _counts(plan: str) -> tuple[int, int]:
+    ex = len(re.findall(r"\bExchange hashpartitioning", plan))
+    py = len(
+        re.findall(r"\b(ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas)\b", plan)
+    )
+    return ex, py
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_headline_plan_shuffle_budget(spark, sf_smoke, name):
+    df = REGISTRY[name].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ex, py = _counts(plan)
+    max_ex, max_py = BUDGETS[name]
+    assert ex <= max_ex, f"{name}: {ex} shuffle exchanges > budget {max_ex}"
+    assert py <= max_py, f"{name}: {py} python stages > budget {max_py}"

@@ -2411,3 +2411,60 @@ def training_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
         )
     )
+
+
+@register(
+    "scalar_url_parse_battery",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+               || '&n=' || CAST(n_chars AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           SPLIT_PART(SPLIT_PART(url, '://', 2), '/', 1) AS host,
+           '/' || SPLIT_PART(SPLIT_PART(SPLIT_PART(url, '://', 2), '?', 1),
+                             '/', 2) || '/'
+               || SPLIT_PART(SPLIT_PART(url, '?', 1), '/', 5) AS path,
+           SPLIT_PART(SPLIT_PART(SPLIT_PART(url, '?', 2), 'lang=', 2),
+                      '&', 1) AS lang_param,
+           CAST(SPLIT_PART(SPLIT_PART(url, '?', 2), 'n=', 2) AS BIGINT)
+               AS n_param,
+           SPLIT_PART(url, '://', 1) AS protocol
+    FROM u
+    """,
+    doc="URL parsing battery (SURVEY §2.8 scalar-family extension — "
+    "the web-corpus staple: provenance URLs → host/path/query "
+    "features for per-domain dedup and quality policies): URLs are "
+    "constructed from row columns (the corpus carries none), then "
+    "decomposed with Spark's parse_url(HOST/PATH/QUERY-key/PROTOCOL) "
+    "— a JVM intrinsic; the oracle replays the decomposition with "
+    "SPLIT_PART string algebra on the same well-formed inputs. "
+    "Map-only, codegen.",
+)
+def scalar_url_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("n"))
+        .cast("bigint")
+        .alias("n_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

@@ -1448,6 +1448,47 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
         assert got[eid][1] == cts, eid
 
 
+def test_streaming_attribution_ts_tie_click_first(spark, tmp_path):
+    """A purchase sharing the EXACT timestamp of a click attributes to
+    it (the batch as-of join uses click_ts <= purchase_ts) even when the
+    purchase's event_id sorts smaller — clicks process before purchases
+    on ts ties."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.attribution import (
+        streaming_last_touch_attribution,
+    )
+
+    ts = dt.datetime(2025, 1, 1, 12, 0)
+    rows = [
+        (1, 200, ts, "purchase"),  # smaller event_id than the tied click
+        (1, 201, ts, "click"),
+    ]
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    src = str(tmp_path / "attr-tie-src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    stream = spark.readStream.schema(schema).parquet(f"{src}/f=*")
+    out = streaming_last_touch_attribution(stream)
+    _run_stream(out, tmp_path, "attr_tie_out")
+    got = {
+        r.event_id: (r.attributed, r.attr_click_ts, r.hours_to_convert)
+        for r in spark.sql("select * from attr_tie_out").collect()
+    }
+    assert got[200] == (1, ts, 0.0)
+
+
+def test_streaming_psi_constant_baseline_degenerate_span():
+    """A constant warm-up (hi == lo) must map every value to bin 0
+    instead of raising ZeroDivisionError at baseline freeze — a crash
+    there replays the same batch on restart and wedges the key."""
+    from tfl_realtime_lakehouse_spark.streaming.psi import _bin_of
+
+    assert _bin_of(5.0, 5.0, 5.0) == 0
+    assert _bin_of(7.5, 5.0, 5.0) == 0   # above the degenerate span
+    assert _bin_of(-1.0, 5.0, 5.0) == 0  # below it
+    assert _bin_of(6.0, 5.0, 7.0) == 5   # normal span unchanged
+
+
 def test_streaming_online_cusum_matches_batch_fold(spark, tmp_path):
     """Page's-test alarms from the streaming twin equal a python replay
     of the batch fold's recurrence on the same in-order bucket series —
@@ -1605,6 +1646,47 @@ def test_streaming_gapfill_poison_timestamp_guard(spark, tmp_path):
     assert (dt.datetime(2031, 1, 1), 2) in flags          # loud truncation
     assert (dt.datetime(2031, 1, 1, 1), 1) in flags       # recovery fill
     assert (dt.datetime(2031, 1, 1, 2), 0) in flags
+
+
+def test_streaming_gapfill_single_poison_does_not_wedge_key(spark, tmp_path):
+    """One corrupt far-future row must NOT wedge the key: legitimate
+    buckets arriving after the poison (all ≤ poison ts) are processed
+    normally against the pre-poison state — filled, flagged 0/1, never
+    misclassified as disorder. The poison emits flagged 2 and is
+    discarded as a candidate once a sane bucket lands."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.streaming.gapfill import (
+        streaming_gapfill_locf,
+    )
+
+    h = lambda i: dt.datetime(2025, 1, 1, 0, 0) + dt.timedelta(hours=i)
+    rows = [
+        ("a", h(0), 1, 1.0),
+        ("a", h(1), 1, 2.0),
+        ("a", dt.datetime(2031, 1, 1), 1, 99.0),  # single corrupt row
+        ("a", h(3), 1, 4.0),  # legit: 1 gap after h(1)
+        ("a", h(4), 1, 5.0),  # legit: consecutive
+    ]
+    schema = "key string, bucket timestamp, n_events long, avg_value double"
+    src = str(tmp_path / "poison1-src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_gapfill_locf(stream, max_gap_buckets=1000)
+    _run_stream(out, tmp_path, "poison1_out")
+    got = spark.sql("select * from poison1_out").collect()
+    by_bucket = {r.bucket: r for r in got}
+    assert by_bucket[dt.datetime(2031, 1, 1)].was_gap == 2  # loud, once
+    # post-poison legit buckets: normal fill from pre-poison state
+    assert by_bucket[h(2)].was_gap == 1  # gap filled, not wedged
+    assert by_bucket[h(2)].avg_value_locf == 2.0  # LOCF from h(1), not 99
+    assert by_bucket[h(3)].was_gap == 0
+    assert by_bucket[h(4)].was_gap == 0
+    assert len(got) == 6  # no disorder-NULL rows, no mass fills
 
 
 def test_two_stage_streaming_monitoring_pipeline(spark, tmp_path):

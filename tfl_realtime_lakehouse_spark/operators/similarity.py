@@ -17,6 +17,7 @@ Three tiers, by scale:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -1786,7 +1787,10 @@ def pca_train_iter(
             for p in range(c):
                 r = _fold0([g[p][i] * w[i] for i in range(dims)])
                 w = [w[i] - r * g[p][i] for i in range(dims)]
-            nrm = _fold0([w[i] * w[i] for i in range(dims)]) ** 0.5
+            # math.sqrt, not **0.5: IEEE 754 guarantees correct rounding
+            # for sqrt but not pow, and the oracle replays SQRT() — the
+            # bit-exact cross-engine contract is +,−,×,÷,√ only.
+            nrm = math.sqrt(_fold0([w[i] * w[i] for i in range(dims)]))
             g.append([w[i] / nrm for i in range(dims)])
         q = [[g[c][i] for c in range(k)] for i in range(dims)]
     comps = []

@@ -447,10 +447,18 @@ def agg_weighted_median_per_group(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("cum_lo", F.col("cum_hi") - F.col("w"))
         .withColumn("wtot", F.sum("w").over(w_c))
     )
-    half = F.lit(0.5) * F.col("wtot")
+    # Boundary decision in EXACT decimal: cum < 0.5·W ⟺ 2·cum < W when
+    # both sides are decimals (the oracle's 0.5 literal is decimal, so
+    # its compare is exact; a double 0.5·W here would diverge once the
+    # ulp of 0.5·W exceeds the 0.005 grid, W ≳ 5e12 cents).
+    two = F.lit(2).cast("decimal(2,0)")
     return cum.groupBy("l_returnflag").agg(
         F.max("wtot").cast("double").alias("total_weight"),
         F.min(
-            F.when((F.col("cum_lo") < half) & (half <= F.col("cum_hi")), F.col("l_quantity"))
+            F.when(
+                (two * F.col("cum_lo") < F.col("wtot"))
+                & (F.col("wtot") <= two * F.col("cum_hi")),
+                F.col("l_quantity"),
+            )
         ).alias("weighted_median_qty"),
     )

@@ -53,7 +53,11 @@ def _attr_state_fn(
     (last_click_us,) = state.get if state.exists else (None,)
     out = {k: [] for k in ("event_id", "pts", "cts", "attributed", "hours")}
     for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+        # Clicks must process before purchases sharing the exact same
+        # timestamp ("click" < "purchase" lexically), mirroring the batch
+        # as-of join's allow_exact_match (click_ts <= purchase_ts);
+        # event_id last for determinism among same-type ties.
+        pdf = pdf.sort_values(["ts", "event_type", "event_id"])
         for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
             if pd.isna(ts):
                 continue

@@ -19,6 +19,7 @@ O(keys), independent of stream length.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -64,7 +65,9 @@ def _warmup_stats(vals: list) -> tuple:
     var_c = (vals[0] - mu) * (vals[0] - mu)
     for i in range(1, n):
         var_c = var_c + (vals[i] - mu) * (vals[i] - mu)
-    sig = (var_c / float(n)) ** 0.5
+    # math.sqrt, not **0.5: IEEE guarantees correct rounding for sqrt
+    # only; the oracle's SQRT() must replay bit-exactly.
+    sig = math.sqrt(var_c / float(n))
     return mu, sig
 
 

@@ -12,12 +12,16 @@ that sub-range (pinned by the batch-equivalence test; interpolation needs
 the NEXT observation and is therefore batch-only, the same divergence
 note as T4 watermarks).
 
-State per key: (last bucket epoch-µs, last avg) — two scalars, O(keys)
-total, regardless of throughput or gap length. OUTPUT per gap is
-bounded too: a gap run longer than ``max_gap_buckets`` (a poison
-far-future timestamp would otherwise emit millions of fill rows) emits
-only the observed row flagged ``was_gap = 2`` — truncation is loud,
-never silent (the no-silent-caps rule). A bucket at or before
+State per key: (last bucket epoch-µs, last avg) plus a far-jump
+candidate pair — four scalars, O(keys) total, regardless of throughput
+or gap length. OUTPUT per gap is bounded too: a gap run longer than
+``max_gap_buckets`` (a poison far-future timestamp would otherwise
+emit millions of fill rows) emits only the observed row flagged
+``was_gap = 2`` — truncation is loud, never silent (the no-silent-caps
+rule) — and the committed state does NOT advance past the last sane
+bucket, so one corrupt row cannot wedge the key; a SECOND far bucket
+landing near the first confirms a genuine regime change and fill
+resumes from there. A bucket at or before
 the state's newest is disorder (the upstream windowed agg emits closed
 buckets in order); it is emitted flagged ``was_gap = NULL`` and not
 inserted — the bounded-disorder contract the anomaly/rates twins use.
@@ -48,6 +52,9 @@ _GAPFILL_STATE = T.StructType(
     [
         T.StructField("last_us", T.LongType()),
         T.StructField("last_avg", T.DoubleType()),
+        # far-jump candidate (poison vs regime change disambiguation)
+        T.StructField("cand_us", T.LongType()),
+        T.StructField("cand_avg", T.DoubleType()),
     ]
 )
 
@@ -60,7 +67,9 @@ def _gapfill_state_fn(
     max_gap_buckets: int = 10_000,
 ) -> Iterator[pd.DataFrame]:
     (series_key,) = key
-    last_us, last_avg = (state.get if state.exists else (None, None))
+    last_us, last_avg, cand_us, cand_avg = (
+        state.get if state.exists else (None, None, None, None)
+    )
     out = {k: [] for k in ("bucket", "n_events", "was_gap", "avg_value", "locf")}
 
     def emit(us, n, gap, avg, locf):
@@ -69,6 +78,9 @@ def _gapfill_state_fn(
         out["was_gap"].append(gap)
         out["avg_value"].append(avg)
         out["locf"].append(locf)
+
+    def gaps_between(a, b):
+        return (b - a) // step_us - (0 if (b - a) % step_us else 1)
 
     for pdf in pdfs:
         pdf = pdf.sort_values("bucket")
@@ -79,26 +91,40 @@ def _gapfill_state_fn(
             if last_us is not None and us <= last_us:
                 emit(us, int(n), None, float(avg), None)  # disorder
                 continue
-            if last_us is not None:
-                n_gaps = (us - last_us) // step_us - (
-                    0 if (us - last_us) % step_us else 1
-                )
-                if n_gaps > max_gap_buckets:
-                    # poison-timestamp guard: one corrupt far-future
-                    # bucket must not emit millions of fill rows. The
-                    # observed row still emits (flagged 2 = gap run
-                    # truncated — LOUD, not silent) and state advances,
-                    # so the stream recovers at the next sane bucket.
+            if last_us is not None and gaps_between(last_us, us) > max_gap_buckets:
+                # Far-jump guard: one corrupt far-future bucket must not
+                # emit millions of fill rows, and must not wedge the key
+                # either. The observed row emits flagged 2 (truncated —
+                # LOUD, not silent) but state does NOT advance: advancing
+                # to a poison bucket would classify every later sane
+                # bucket (all ≤ poison ts) as disorder forever. Instead
+                # the bucket becomes a regime-change CANDIDATE: a second
+                # far bucket landing within max_gap_buckets after the
+                # candidate confirms the jump is real (clock/backfill
+                # regime change), the candidate is adopted as state, and
+                # normal fill resumes from it. A sane bucket near the
+                # old state instead discards the candidate as corrupt.
+                if (
+                    cand_us is not None
+                    and us > cand_us
+                    and gaps_between(cand_us, us) <= max_gap_buckets
+                ):
+                    last_us, last_avg = cand_us, cand_avg
+                    cand_us = cand_avg = None
+                    # fall through: normal fill from the adopted state
+                else:
                     emit(us, int(n), 2, float(avg), float(avg))
-                    last_us, last_avg = us, float(avg)
+                    cand_us, cand_avg = us, float(avg)
                     continue
+            if last_us is not None:
                 g = last_us + step_us
                 while g < us:
                     emit(g, 0, 1, None, last_avg)
                     g += step_us
             emit(us, int(n), 0, float(avg), float(avg))
             last_us, last_avg = us, float(avg)
-    state.update((last_us, last_avg))
+            cand_us = cand_avg = None
+    state.update((last_us, last_avg, cand_us, cand_avg))
     yield pd.DataFrame(
         {
             "key": [series_key] * len(out["bucket"]),

@@ -53,6 +53,12 @@ _PSI_STATE = T.StructType(
 
 
 def _bin_of(x: float, lo: float, hi: float) -> int:
+    if hi == lo:
+        # Degenerate baseline span (constant warm-up — e.g. a zero-filled
+        # monitored metric): every value maps to bin 0 instead of raising
+        # ZeroDivisionError at freeze time, which would crash the query
+        # and (same batch replayed on restart) wedge the key permanently.
+        return 0
     b = math.floor((x - lo) / ((hi - lo) / 10.0))
     return min(max(int(b), 0), 9)
 

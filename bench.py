@@ -79,6 +79,7 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    load_before = os.getloadavg()
     runs = [_run_suite(spark, sf_dir) for _ in range(max(1, repeat))]
     timings, total = runs[0]
     out = {
@@ -87,6 +88,13 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_dir,
+        # Contended runs self-identify: a 1-min load far above this
+        # process's own 32 threads means concurrent sessions inflated
+        # the timings (the r4 driver-tail vs --repeat-median divergence
+        # cost a diagnosis cycle). load_before is sampled at suite
+        # start, load_after at print time.
+        "load_before": [round(v, 2) for v in load_before],
+        "load_after": [round(v, 2) for v in os.getloadavg()],
     }
     if len(runs) > 1:
         names = sorted(REGISTRY)

@@ -25,6 +25,18 @@ BUDGETS = {
     "fuzzy_dedup_part_names": (8, 0),
     # histogram-quantile composition over the as-of join
     "events_conversion_lag_quantiles": (8, 0),
+    # ---- r5 extension: the remaining bench top-10 (r4 verdict #5) ----
+    # widest composed pipeline (quality gate + dedup + lang mix)
+    "training_corpus_build": (6, 0),
+    # iterative k-center: rounds materialize via localCheckpoint, the
+    # FINAL plan is exchange-free scoring over the checkpointed seeds
+    "embedding_kcenter_coreset": (0, 0),
+    # banded blocking join; one Arrow stage for the shingle UDF
+    "embedding_neardup_blocked": (1, 1),
+    # block -> match -> CC -> survivorship composed plan
+    "entity_resolution_parts": (10, 0),
+    # df-capped sparse feature space; inverted-index pair join + norms
+    "text_tfidf_cosine_pairs": (19, 0),
 }
 
 

@@ -39,7 +39,8 @@ def test_feature_is_deterministic_digest(spark):
     assert row.feature == expected
 
 
-def test_real_decode_is_explicitly_stubbed(spark):
+def test_decode_image_raises_loudly_on_undecodable(spark):
+    # corrupt/truncated payloads raise instead of returning garbage
     with pytest.raises(NotImplementedError):
         M.decode_image(b"\x89PNG...")
     assets = spark.createDataFrame(
@@ -364,3 +365,157 @@ def test_wav_pcm_roundtrip_and_corrupt_isolation(spark):
     r0 = next(r for r in frames if r["frame_id"] == 0)
     assert r0["sum_sq"] == ss
     assert abs(r0["rms"] - round((ss / 80) ** 0.5, 6)) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Round 5: real JPEG + GIF codecs (operators/jpeg.py, operators/gif.py)
+
+
+def test_jpeg_tile_gradient_decodes_exactly():
+    """Flat 8×8 tiles are DC-only DCT blocks: the all-ones-quant
+    encode→decode chain recovers the planted values EXACTLY — the
+    property the hash-exact oracle relies on."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        synth_jpeg_tile_gradient,
+    )
+
+    px = decode_jpeg_pixels(synth_jpeg_tile_gradient(56, 40, 99))
+    ty, tx = np.mgrid[0:5, 0:7]
+    tiles = ((99 + 11 * tx + 5 * ty) % 256).astype(np.uint8)
+    want = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    assert px is not None and np.array_equal(px, want)
+
+
+def test_jpeg_roundtrip_tolerance_gray_rgb_restart_420():
+    """Random-content roundtrips through the real Huffman+DCT codec:
+    grayscale/RGB within the DCT rounding bound, restart markers and
+    4:2:0 chroma subsampling both exercised (chroma-safe content so
+    subsampling itself is lossless)."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(42)
+    gray = rng.integers(0, 256, (40, 48), dtype=np.uint8)
+    dec = decode_jpeg_pixels(encode_jpeg_baseline(gray))
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 1
+
+    dec_r = decode_jpeg_pixels(encode_jpeg_baseline(gray, restart_interval=3))
+    assert np.abs(dec_r.astype(int) - gray.astype(int)).max() <= 1
+
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    dec3 = decode_jpeg_pixels(encode_jpeg_baseline(rgb))
+    assert dec3.shape == (16, 16, 3)
+    assert np.abs(dec3.astype(int) - rgb.astype(int)).max() <= 2
+
+    # 4:2:0: every 2×2 block constant -> box subsample is exact
+    coarse = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(coarse, 2, 0), 2, 1)
+    dec4 = decode_jpeg_pixels(encode_jpeg_baseline(img, subsample420=True))
+    assert np.abs(dec4.astype(int) - img.astype(int)).max() <= 3
+    dec5 = decode_jpeg_pixels(
+        encode_jpeg_baseline(img, restart_interval=2, subsample420=True)
+    )
+    assert np.abs(dec5.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_corrupt_and_unsupported_yield_none():
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators import multimodal as M
+    from tfl_realtime_lakehouse_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    good = encode_jpeg_baseline(
+        np.zeros((8, 8), dtype=np.uint8)
+    )
+    assert decode_jpeg_pixels(None) is None
+    assert decode_jpeg_pixels(b"") is None
+    assert decode_jpeg_pixels(b"\xff\xd8junk") is None
+    assert decode_jpeg_pixels(good[:40]) is None  # truncated mid-segment
+    assert decode_jpeg_pixels(M.synth_png(4, 4)) is None  # wrong format
+    # header-only synth_jpeg (no scan) stays undecodable, not a crash
+    assert decode_jpeg_pixels(M.synth_jpeg(8, 8)) is None
+    # progressive marker (SOF2) refused
+    bad = bytearray(good)
+    idx = bad.find(b"\xff\xc0")
+    bad[idx + 1] = 0xC2
+    assert decode_jpeg_pixels(bytes(bad)) is None
+
+
+def test_gif_lzw_roundtrip_and_planted_gradient():
+    """The LZW pair is self-consistent across dictionary growth,
+    code-size increments and the 4096 reset; GIF is lossless so decode
+    recovers planted pixels exactly; corrupt payloads yield None."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators import multimodal as M
+    from tfl_realtime_lakehouse_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif_pixels,
+        encode_gif_grayscale,
+        synth_gif_gradient,
+    )
+
+    rng = np.random.default_rng(3)
+    for data in (
+        bytes(rng.integers(0, 256, 20000, dtype=np.uint8)),  # growth+reset
+        bytes([1, 2, 3, 4] * 5000),  # deep chains
+        bytes(50000),  # degenerate all-zero
+    ):
+        assert bytes(_lzw_decode(_lzw_encode(data, 8), 8, len(data))) == data
+
+    img = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    assert np.array_equal(decode_gif_pixels(encode_gif_grayscale(img)), img)
+
+    g = decode_gif_pixels(synth_gif_gradient(32, 24, 5))
+    y, x = np.mgrid[0:24, 0:32]
+    assert np.array_equal(g, ((5 + 3 * x + 7 * y) % 256).astype(np.uint8))
+
+    assert decode_gif_pixels(None) is None
+    assert decode_gif_pixels(b"GIF89a") is None
+    assert decode_gif_pixels(M.synth_gif(8, 8)) is None  # header-only
+    assert decode_gif_pixels(M.synth_png(4, 4)) is None
+
+
+def test_pixel_stats_dispatches_all_three_formats(spark):
+    """One assets frame mixing PNG, JPEG and GIF payloads of the same
+    planted content: pixel_stats decodes each through its real codec
+    and produces identical stats (PNG/GIF exact twins; JPEG is the
+    tile-gradient variant, checked against its own arithmetic)."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators import multimodal as M
+    from tfl_realtime_lakehouse_spark.operators.gif import synth_gif_gradient
+    from tfl_realtime_lakehouse_spark.operators.jpeg import (
+        synth_jpeg_tile_gradient,
+    )
+
+    w, h, base = 32, 24, 17
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(M.synth_png_gradient(w, h, base))),
+            (2, bytearray(synth_gif_gradient(w, h, base))),
+            (3, bytearray(synth_jpeg_tile_gradient(w, h, base))),
+            (4, bytearray(b"junk")),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r.asset_id: r for r in M.pixel_stats(assets).collect()}
+    y, x = np.mgrid[0:h, 0:w]
+    grad_sum = int(((base + 3 * x + 7 * y) % 256).sum())
+    assert got[1].px_sum == grad_sum and got[2].px_sum == grad_sum
+    ty, tx = np.mgrid[0 : h // 8, 0 : w // 8]
+    tile_sum = 64 * int(((base + 11 * tx + 5 * ty) % 256).sum())
+    assert got[3].px_sum == tile_sum
+    assert got[1].width == got[2].width == got[3].width == w
+    assert got[4].px_sum is None  # corrupt isolates, never raises

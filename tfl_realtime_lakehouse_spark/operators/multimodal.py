@@ -15,10 +15,17 @@ Two decode tiers:
   zlib inflate + the five PNG scanline filters un-applied per row — no
   imaging libraries. It feeds :func:`pixel_stats` and the
   :func:`ahash64` perceptual fingerprint, both verifiable end-to-end
-  against planted gradient pixels (:func:`synth_png_gradient`). Only
-  JPEG/GIF pixels remain stubbed (``decode_image`` raises for them):
-  those genuinely need a DCT/LZW codec absent in this environment; the
-  surrounding Spark plumbing is identical either way.
+  against planted gradient pixels (:func:`synth_png_gradient`).
+- **Baseline JPEG and GIF pixel decode are REAL as of round 5**
+  (`operators/jpeg.py:decode_jpeg_pixels` — Huffman entropy decode,
+  dequantize, matrix IDCT, chroma upsample, YCbCr→RGB, restart
+  markers; `operators/gif.py:decode_gif_pixels` — variable-code-size
+  LZW, palettes, interlacing; both pure stdlib + numpy), each with a
+  matching fixture encoder and a planted-gradient oracle query
+  (`multimodal_jpeg_pixel_stats` / `multimodal_gif_pixel_stats`).
+  No image-format stub remains; production deployments still plug
+  Pillow/libvips into the same `decode_image` seam for codec breadth
+  (progressive JPEG, APNG, animation) and speed.
 """
 
 from __future__ import annotations
@@ -56,23 +63,46 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload into a pixel array.
-
-    PNG is decoded FOR REAL, pure stdlib (:func:`decode_png_pixels` —
-    zlib inflate + scanline un-filtering, no imaging libraries). JPEG
-    and GIF pixels genuinely require a DCT/LZW codec this container
-    lacks, so those raise; real deployments plug Pillow/libvips into
-    this seam. Header METADATA decode never needs pixels — see
-    :func:`parse_image_dims` / :func:`decode_image_meta`.
-    """
+def decode_pixels(payload: bytes | None) -> "object":
+    """Dispatch a payload to the real pure-stdlib pixel decoders: PNG
+    (:func:`decode_png_pixels`), baseline JPEG
+    (`operators/jpeg.py:decode_jpeg_pixels`) or GIF
+    (`operators/gif.py:decode_gif_pixels`). ``None`` when none
+    recognizes/supports the payload."""
     px = decode_png_pixels(payload)
     if px is not None:
         return px
+    from tfl_realtime_lakehouse_spark.operators.jpeg import decode_jpeg_pixels
+
+    px = decode_jpeg_pixels(payload)
+    if px is not None:
+        return px
+    from tfl_realtime_lakehouse_spark.operators.gif import decode_gif_pixels
+
+    return decode_gif_pixels(payload)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload into a pixel array.
+
+    All three container formats this engine synthesizes decode FOR
+    REAL, pure stdlib + numpy — PNG (zlib inflate + scanline
+    un-filtering), baseline JPEG (Huffman entropy decode + dequantize
+    + IDCT + YCbCr, `operators/jpeg.py`), GIF (variable-code-size LZW
+    + palette map, `operators/gif.py`) — no imaging libraries. Raises
+    for payloads none of the decoders support (truncated/corrupt or
+    foreign formats); production deployments plug Pillow/libvips into
+    this same seam for codec breadth and speed. Header METADATA decode
+    never needs pixels — see :func:`parse_image_dims` /
+    :func:`decode_image_meta`.
+    """
+    px = decode_pixels(payload)
+    if px is not None:
+        return px
     raise NotImplementedError(
-        "JPEG/GIF pixel decoding requires a codec library not present in "
-        "this environment (PNG decodes for real via decode_png_pixels); "
-        "use fake_decode=True for non-PNG plumbing tests"
+        "payload is not a decodable PNG / baseline JPEG / GIF "
+        "(corrupt, truncated, or an unsupported variant); use "
+        "fake_decode=True for plumbing tests with synthetic headers"
     )
 
 
@@ -803,6 +833,67 @@ def synth_gradient_assets(documents: DataFrame) -> DataFrame:
     )
 
 
+def synth_jpeg_gradient_assets(documents: DataFrame) -> DataFrame:
+    """Baseline-JPEG tile-gradient assets for every 5th document (same
+    planted-parameter discipline as :func:`synth_gradient_assets`, but
+    the payload rides the full Huffman+DCT codec: flat 8×8 tiles are
+    DC-only blocks, so `operators/jpeg.py` decodes the planted values
+    EXACTLY and the SQL oracle hash-checks the real entropy-decode +
+    IDCT chain)."""
+    from tfl_realtime_lakehouse_spark.operators.jpeg import (
+        synth_jpeg_tile_gradient,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": [
+                        synth_jpeg_tile_gradient(*gradient_params(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    return (
+        documents.select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+        .mapInPandas(run, SYNTH_SCHEMA)
+    )
+
+
+def synth_gif_gradient_assets(documents: DataFrame) -> DataFrame:
+    """GIF gradient assets for every 5th document — the SAME planted
+    pixel function as :func:`synth_gradient_assets` (GIF is
+    index-mapped/lossless, so the PNG oracle arithmetic hash-checks
+    the real LZW decode path verbatim)."""
+    from tfl_realtime_lakehouse_spark.operators.gif import synth_gif_gradient
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "payload": [
+                        synth_gif_gradient(*gradient_params(i)) for i in ids
+                    ],
+                }
+            )
+
+    return (
+        documents.select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+        .mapInPandas(run, SYNTH_SCHEMA)
+    )
+
+
 PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
@@ -817,10 +908,11 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL pixel statistics: zlib-inflate + un-filter every PNG payload
-    (:func:`decode_png_pixels`) and reduce the actual pixel matrix.
-    Corrupt/non-PNG payloads yield null stats. Exact integer sum (and
-    one IEEE division for the mean) so the whole decode chain is
+    """REAL pixel statistics: decode every payload with the pure-stdlib
+    decoders (PNG zlib+unfilter, or baseline-JPEG Huffman+IDCT via
+    :func:`decode_pixels`) and reduce the actual pixel matrix.
+    Corrupt/unsupported payloads yield null stats. Exact integer sum
+    (and one IEEE division for the mean) so the whole decode chain is
     bit-checkable cross-engine."""
     import numpy as np
 
@@ -830,7 +922,7 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
                 continue
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                px = decode_png_pixels(payload)
+                px = decode_pixels(payload)
                 if px is None:
                     rows.append((int(aid), None, None, None, None, None, None))
                     continue

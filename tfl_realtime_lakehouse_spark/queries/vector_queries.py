@@ -588,6 +588,82 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_pixel_stats",
+    oracle=f"""
+    WITH p AS ({_GRADIENT_PARAMS}),
+    tiles AS (
+      SELECT doc_id, w, h,
+             FLATTEN(LIST_TRANSFORM(RANGE(h // 8), ty ->
+               LIST_TRANSFORM(RANGE(w // 8), tx ->
+                 (base + 11*tx + 5*ty) % 256))) AS v
+      FROM p
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(64 * LIST_SUM(v) AS BIGINT) AS px_sum,
+           CAST(64 * LIST_SUM(v) AS DOUBLE) / (w * h) AS px_mean,
+           CAST(LIST_MIN(v) AS INTEGER) AS px_min,
+           CAST(LIST_MAX(v) AS INTEGER) AS px_max
+    FROM tiles
+    """,
+    doc="REAL baseline-JPEG pixel decode, end-to-end and hash-checked: "
+    "synthesize fully-valid JPEGs whose 8x8 tiles follow the planted "
+    "gradient tile(tx,ty) = (base+11tx+5ty) mod 256 (flat tiles are "
+    "DC-only DCT blocks, so the all-ones-quant encode->decode chain is "
+    "EXACT, not tolerance-based), decode the actual bytes back through "
+    "the pure-stdlib codec (operators/jpeg.py: canonical Huffman "
+    "entropy decode with byte-stuffing, dequantize+dezigzag, float64 "
+    "matrix IDCT — no imaging libraries), and reduce exact integer "
+    "sum/min/max per asset. The oracle recomputes the planted tile "
+    "arithmetic, so a single flipped bit anywhere in the "
+    "Huffman->IDCT->levelshift chain fails the hash match. The JPEG "
+    "leg of the multimodal family (PNG: multimodal_pixel_stats); "
+    "map-only Arrow pipeline, zero shuffle.",
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return M.pixel_stats(M.synth_jpeg_gradient_assets(docs))
+
+
+@register(
+    "multimodal_gif_pixel_stats",
+    oracle=f"""
+    WITH p AS ({_GRADIENT_PARAMS}),
+    px AS (
+      SELECT doc_id, w, h,
+             FLATTEN(LIST_TRANSFORM(RANGE(h), y ->
+               LIST_TRANSFORM(RANGE(w), x -> (base + 3*x + 7*y) % 256))) AS v
+      FROM p
+    )
+    SELECT doc_id AS asset_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(LIST_SUM(v) AS BIGINT) AS px_sum,
+           CAST(LIST_SUM(v) AS DOUBLE) / (w * h) AS px_mean,
+           CAST(LIST_MIN(v) AS INTEGER) AS px_min,
+           CAST(LIST_MAX(v) AS INTEGER) AS px_max
+    FROM px
+    """,
+    doc="REAL GIF pixel decode, end-to-end and hash-checked: synthesize "
+    "fully-valid GIF89a files whose indexed pixels follow the SAME "
+    "planted gradient as the PNG fixture (GIF is palette-indexed and "
+    "lossless, so the identical oracle arithmetic applies verbatim), "
+    "compress them with a real LZW encoder and decode the actual bytes "
+    "back through the pure-stdlib variable-code-size LZW decoder "
+    "(operators/gif.py — dictionary growth to 4096, clear/EOI codes, "
+    "the code-size-increment lag rule, palette mapping), then reduce "
+    "exact integer sum/min/max per asset. A single flipped bit in the "
+    "LZW chain fails the hash match. Completes the image-codec "
+    "triple (PNG/JPEG/GIF) — no multimodal pixel stub remains. "
+    "Map-only Arrow pipeline, zero shuffle.",
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return M.pixel_stats(M.synth_gif_gradient_assets(docs))
+
+
+@register(
     "multimodal_phash_neardup",
     oracle=f"""
     WITH p AS ({_GRADIENT_PARAMS}),

@@ -4371,3 +4371,102 @@ def events_conversion_lag_quantiles(spark: SparkSession, sf_dir: str) -> DataFra
         pick(0.9).alias("p90_hours"),
         pick(0.99).alias("p99_hours"),
     )
+
+
+@register(
+    "dedup_incremental_new_batch",
+    oracle="""
+    WITH hist AS (
+      SELECT MD5(text) AS digest,
+             MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'))
+                 AS norm_digest
+      FROM documents WHERE doc_id % 10 != 0
+    ),
+    hist_d AS (SELECT DISTINCT digest FROM hist),
+    hist_n AS (SELECT DISTINCT norm_digest FROM hist),
+    batch AS (
+      SELECT doc_id, MD5(text) AS digest,
+             MD5(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'))
+                 AS norm_digest
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id,
+           CASE WHEN d.digest IS NOT NULL THEN 'exact_dup'
+                WHEN n.norm_digest IS NOT NULL THEN 'norm_dup'
+                ELSE 'novel' END AS status
+    FROM batch b
+    LEFT JOIN hist_d d ON b.digest = d.digest
+    LEFT JOIN hist_n n ON b.norm_digest = n.norm_digest
+    """,
+    doc="Incremental dedup of a NEW ingest batch against the "
+    "historical corpus — the continuously-growing-dataset shape "
+    "(daily crawl vs everything already kept): every new doc is "
+    "classified exact_dup (byte digest seen before), norm_dup "
+    "(casefold+strip canonicalization seen — the "
+    "dedup_normalized_docs tier) or novel, via two left joins "
+    "against the DISTINCT historical digest sets. At 100 TB the "
+    "history side is the persisted digest index (fixed-width md5 "
+    "keys, bucketed by digest prefix), so the batch never rescans "
+    "historical text — the joins shuffle only 16-byte keys, and the "
+    "MinHash candidate tier (minhash_lsh_candidates) composes after "
+    "the exact passes exactly as in training_corpus_build.",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    digest = F.md5(F.col("text")).alias("digest")
+    norm = F.md5(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", "")
+    ).alias("norm_digest")
+    hist = docs.where(F.col("doc_id") % 10 != 0).select(digest, norm)
+    hist_d = hist.select("digest").distinct().withColumn("hd", F.lit(1))
+    hist_n = (
+        hist.select("norm_digest").distinct().withColumn("hn", F.lit(1))
+    )
+    batch = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id", digest, norm
+    )
+    return (
+        batch.join(hist_d, "digest", "left")
+        .join(hist_n, "norm_digest", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("hd").isNotNull(), "exact_dup")
+            .when(F.col("hn").isNotNull(), "norm_dup")
+            .otherwise("novel")
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "docs_warc_roundtrip",
+    oracle="""
+    SELECT (doc_id // 50) AS file_id,
+           doc_id,
+           'https://' || source || '.example.org/docs/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           lang AS language,
+           CAST(STRLEN(text) AS BIGINT) AS content_length,
+           MD5(text) AS payload_digest
+    FROM documents
+    """,
+    doc="WARC container round-trip (sources/warc.py — the Common-Crawl "
+    "record format of web-scale training corpora, ISO 28500, pure "
+    "stdlib): pack every document into multi-record WARC file blobs "
+    "(50 records per file, CRLF header blocks, exact Content-Length "
+    "framing), then walk the blobs record-by-record and recover "
+    "(uri, language header, byte length, payload md5). The oracle "
+    "recomputes each field from the source rows, so a single framing "
+    "error — wrong length, torn header, mis-advanced record cursor — "
+    "breaks the hash match. One bounded applyInPandas group per file "
+    "+ one map-only parse pass; blob size bounded by docs_per_file.",
+)
+def docs_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.sources.warc import (
+        documents_to_warc_files,
+        warc_records_meta,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    files = documents_to_warc_files(docs, docs_per_file=50)
+    return warc_records_meta(files)

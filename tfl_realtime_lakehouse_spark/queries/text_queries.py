@@ -2468,3 +2468,209 @@ def scalar_url_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@register(
+    "scalar_luhn_card_audit",
+    oracle="""
+    WITH nums AS (
+      SELECT o_orderkey,
+             LPAD(CAST((o_orderkey * 48271) % 10000000000000000 AS VARCHAR),
+                  16, '0') AS card_number
+      FROM orders
+    ),
+    sums AS (
+      SELECT o_orderkey, card_number,
+             CAST(LIST_SUM(LIST_TRANSFORM(RANGE(16), i ->
+               CASE WHEN i % 2 = 1 THEN
+                 CASE WHEN 2 * CAST(SUBSTR(card_number, CAST(16 - i AS INTEGER), 1) AS INTEGER) > 9
+                      THEN 2 * CAST(SUBSTR(card_number, CAST(16 - i AS INTEGER), 1) AS INTEGER) - 9
+                      ELSE 2 * CAST(SUBSTR(card_number, CAST(16 - i AS INTEGER), 1) AS INTEGER) END
+               ELSE CAST(SUBSTR(card_number, CAST(16 - i AS INTEGER), 1) AS INTEGER)
+               END)) AS INTEGER) AS luhn_sum
+      FROM nums
+    )
+    SELECT o_orderkey, card_number, luhn_sum,
+           CAST(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END AS INTEGER)
+               AS is_valid
+    FROM sums
+    """,
+    doc="Luhn-checksum screen (the PCI/PII-audit primitive: find "
+    "syntactically-valid card-like numbers in a corpus before "
+    "publishing training data — complements redact_pii's regex tier "
+    "with an actual checksum validator, killing most false positives). "
+    "16-digit candidates are synthesized from o_orderkey (the corpus "
+    "carries no PII by construction); the mod-10 double-every-second-"
+    "digit checksum runs as ONE aggregate() HOF over a literal "
+    "16-element sequence — pure integer arithmetic, map-only, codegen, "
+    "zero shuffle; the oracle replays it with LIST_TRANSFORM digit "
+    "algebra. Exact ints both engines.",
+)
+def scalar_luhn_card_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    num = F.lpad(
+        ((F.col("o_orderkey") * 48271) % F.lit(10_000_000_000_000_000)).cast(
+            "string"
+        ),
+        16,
+        "0",
+    )
+    digit = (
+        "CAST(SUBSTR(card_number, CAST(16 - i AS INT), 1) AS INT)"
+    )
+    luhn = F.expr(
+        f"""CAST(aggregate(sequence(0, 15), 0, (acc, i) -> acc +
+            CASE WHEN i % 2 = 1 THEN
+              CASE WHEN 2 * {digit} > 9 THEN 2 * {digit} - 9
+                   ELSE 2 * {digit} END
+            ELSE {digit} END) AS INT)"""
+    )
+    return (
+        orders.select("o_orderkey", num.alias("card_number"))
+        .withColumn("luhn_sum", luhn)
+        .withColumn(
+            "is_valid",
+            F.when(F.col("luhn_sum") % 10 == 0, 1).otherwise(0).cast("int"),
+        )
+    )
+
+
+@register(
+    "text_mojibake_screen",
+    oracle="""
+    WITH damaged AS (
+      SELECT doc_id, lang,
+             text || CASE WHEN doc_id % 7 = 0 THEN ' cafÃ©' ELSE '' END
+                  || CASE WHEN doc_id % 11 = 0 THEN ' �' ELSE '' END
+               AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, lang, LEN(t) AS n_chars_t,
+             (LEN(t) - LEN(REPLACE(t, 'Ã', ''))) AS n_mojibake,
+             (LEN(t) - LEN(REPLACE(t, '�', ''))) AS n_replacement
+      FROM damaged
+    )
+    SELECT doc_id,
+           CAST(n_mojibake AS INTEGER) AS n_mojibake,
+           CAST(n_replacement AS INTEGER) AS n_replacement,
+           ROUND(CAST(n_mojibake + n_replacement AS DOUBLE) / n_chars_t, 6)
+               AS bad_char_ratio,
+           CAST(CASE WHEN n_mojibake + n_replacement > 0 THEN 1 ELSE 0 END
+                AS INTEGER) AS flagged
+    FROM counts
+    """,
+    doc="Encoding-damage (mojibake) screen — the web-corpus hygiene "
+    "filter: double-encoded UTF-8 markers ('Ã?' digraphs) and U+FFFD "
+    "replacement characters are the standard fingerprints of "
+    "mis-decoded text that poisons tokenizers. Damage is PLANTED "
+    "deterministically (doc_id mod 7 / mod 11 — the corpus is clean "
+    "ASCII by construction) so the screen's hit set is exactly "
+    "checkable. Counting is replace-length character algebra — "
+    "map-only, codegen, zero shuffle, exact integers.",
+)
+def text_mojibake_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" cafÃ©")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" �")).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", t.alias("t"))
+    n_moj = F.length("t") - F.length(F.replace(F.col("t"), F.lit("Ã")))
+    n_rep = F.length("t") - F.length(F.replace(F.col("t"), F.lit("�")))
+    return d.select(
+        "doc_id",
+        n_moj.cast("int").alias("n_mojibake"),
+        n_rep.cast("int").alias("n_replacement"),
+        F.round((n_moj + n_rep).cast("double") / F.length("t"), 6).alias(
+            "bad_char_ratio"
+        ),
+        F.when(n_moj + n_rep > 0, 1).otherwise(0).cast("int").alias("flagged"),
+    )
+
+
+@register(
+    "text_tokenizer_fertility",
+    oracle="""
+    SELECT lang, source,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(SUM(LEN(text)) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(LEN(text)) AS DOUBLE)
+                 / SUM(LEN(STRING_SPLIT(text, ' '))), 6)
+               AS chars_per_token,
+           ROUND(CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / COUNT(*), 6) AS tokens_per_doc
+    FROM documents
+    GROUP BY lang, source
+    """,
+    doc="Tokenizer fertility profile per (lang, source) — the "
+    "compression-rate statistic that drives tokenizer/vocab sizing "
+    "and per-language training-token budgeting (chars-per-token "
+    "varies 2-4x across languages; budget by tokens, not docs). "
+    "Exact integer sums, two ratios as final IEEE divisions. One "
+    "scan + one hash agg on a tiny (lang, source) key domain — "
+    "map-side partials do all the work at 100 TB.",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    ntok = X.token_count("text")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.sum(ntok).cast("bigint").alias("n_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+            F.round(
+                F.sum(F.length("text")).cast("double") / F.sum(ntok), 6
+            ).alias("chars_per_token"),
+            F.round(F.sum(ntok).cast("double") / F.count(F.lit(1)), 6).alias(
+                "tokens_per_doc"
+            ),
+        )
+    )
+
+
+@register(
+    "training_curriculum_order",
+    oracle="""
+    WITH bucketed AS (
+      SELECT doc_id, n_chars,
+             CAST(NTILE(4) OVER (ORDER BY n_chars, doc_id) AS INTEGER)
+                 AS difficulty_bucket
+      FROM documents
+    )
+    SELECT doc_id, difficulty_bucket,
+           CAST((ROW_NUMBER() OVER (PARTITION BY difficulty_bucket
+                                    ORDER BY n_chars, doc_id) - 1) * 4
+                + difficulty_bucket AS BIGINT) AS curriculum_rank
+    FROM bucketed
+    """,
+    doc="Curriculum ordering for training-data scheduling: documents "
+    "quartiled by length (the standard difficulty proxy) with NTILE "
+    "over a total order, then round-robin interleaved across buckets "
+    "(rank r*4+b) so every training window sees the full difficulty "
+    "mix while within-bucket order stays easy-to-hard — the "
+    "anti-catastrophic-forgetting shuffle used in staged pretraining. "
+    "Deterministic tie-break (n_chars, doc_id) makes the permutation "
+    "reproducible across engines and repartitions. Two windows; at "
+    "100 TB the global NTILE becomes the documented range-partitioned "
+    "rank (sort by the same key, rank via partition offsets).",
+)
+def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    b = docs.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4).over(w).cast("int").alias("difficulty_bucket"),
+    )
+    wp = Window.partitionBy("difficulty_bucket").orderBy("n_chars", "doc_id")
+    return b.select(
+        "doc_id",
+        "difficulty_bucket",
+        (
+            (F.row_number().over(wp) - 1) * 4 + F.col("difficulty_bucket")
+        ).cast("bigint").alias("curriculum_rank"),
+    )

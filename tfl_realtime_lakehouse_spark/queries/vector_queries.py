@@ -1659,3 +1659,191 @@ def embedding_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rnk", F.row_number().over(w)).select(
         "vec_id", "ood_score", F.col("rnk").cast("int").alias("rnk")
     )
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=f"""
+    WITH postings AS (
+      SELECT doc_id, term, dl, COUNT(*) AS tf FROM (
+        SELECT doc_id, LEN(STRING_SPLIT(text,' ')) AS dl,
+               UNNEST(STRING_SPLIT(text,' ')) AS term
+        FROM documents) t
+      WHERE term IN ('spark','join','window')
+      GROUP BY doc_id, term, dl
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(LEN(STRING_SPLIT(text,' '))) AS avgdl
+      FROM documents
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM postings GROUP BY term
+    ), bm25 AS (
+      SELECT p.doc_id,
+             ROUND(CAST(SUM(CAST(
+               LN(1.0::DOUBLE + (s.n_docs - d.df_t + 0.5::DOUBLE) / (d.df_t + 0.5::DOUBLE))
+               * (p.tf * 2.2::DOUBLE)
+                 / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * p.dl / s.avgdl))
+             AS DECIMAL(27,12))) AS DOUBLE), 6) AS score
+      FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
+      GROUP BY p.doc_id
+    ), bm25_rank AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+                 AS r_bm25
+      FROM bm25
+    ), q AS (
+      SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
+    ), cos AS (
+      SELECT e.vec_id,
+             ROUND({_COSINE_DOUBLE.format(a="q.qe", b="e.embedding")}, 6)
+                 AS score
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+    ), cos_rank AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS INTEGER)
+                 AS r_cos
+      FROM cos
+    ), fused AS (
+      SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id, b.r_bm25, c.r_cos,
+             COALESCE(1.0::DOUBLE / (60 + b.r_bm25), 0.0::DOUBLE)
+             + COALESCE(1.0::DOUBLE / (60 + c.r_cos), 0.0::DOUBLE) AS rrf
+      FROM bm25_rank b FULL OUTER JOIN cos_rank c ON b.doc_id = c.vec_id
+    )
+    SELECT doc_id, r_bm25, r_cos, rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER)
+               AS fused_rank
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 50
+    """,
+    doc="Reciprocal-rank fusion of two retrieval legs — the standard "
+    "hybrid-search combiner (Cormack et al. 2009: rrf = Σ 1/(60+r)) "
+    "for lexical BM25 + dense cosine: both legs rank on 6-dp-rounded "
+    "scores with id tie-breaks (deterministic integer ranks), ids "
+    "align on doc_id = vec_id, and the fused score is a fixed-order "
+    "two-term sum of correctly-rounded IEEE divisions — exact double "
+    "equality cross-engine, no output rounding needed. Each leg is "
+    "the already-verified plan (posting-filtered BM25, broadcast-"
+    "query cosine scan); fusion adds one full-outer join on ids and "
+    "a top-50. The retrieval shape of RAG indexing pipelines.",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators import text as X
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bm25 = X.bm25_scores(docs, query_terms=["spark", "join", "window"])
+    w_b = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    bm25_rank = bm25.select(
+        "doc_id", F.row_number().over(w_b).cast("int").alias("r_bm25")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_qvec")
+    )
+    cos = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(S.cosine(F.col("_qvec"), F.col("embedding")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    w_c = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    cos_rank = cos.select(
+        "vec_id", F.row_number().over(w_c).cast("int").alias("r_cos")
+    )
+    fused = (
+        bm25_rank.join(
+            cos_rank, bm25_rank["doc_id"] == cos_rank["vec_id"], "full_outer"
+        )
+        .select(
+            F.coalesce("doc_id", "vec_id").alias("doc_id"),
+            "r_bm25",
+            "r_cos",
+            (
+                F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_bm25")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("r_cos")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    w_f = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(50)
+    )
+
+
+@register(
+    "embedding_matryoshka_eval",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE vec_id < 5
+    ),
+    dims AS (SELECT UNNEST([8, 16, 32]) AS d),
+    pairs AS (
+      SELECT q.query_id, e.vec_id, d.d,
+             ROUND({_COSINE_DOUBLE.format(a="q.qe", b="e.embedding")}, 6)
+                 AS cos_full,
+             ROUND({_COSINE_DOUBLE.format(a="(q.qe[1:d.d])", b="(e.embedding[1:d.d])")}, 6)
+                 AS cos_prefix
+      FROM q CROSS JOIN embeddings e CROSS JOIN dims d
+      WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, CAST(d AS INTEGER) AS prefix_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(CAST(SUM(CAST(ABS(cos_prefix - cos_full)
+                 AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6)
+               AS mean_abs_delta,
+           ROUND(MAX(ABS(cos_prefix - cos_full)), 6) AS max_abs_delta
+    FROM pairs GROUP BY query_id, d
+    """,
+    doc="Matryoshka-representation evaluation (Kusupati et al. 2022): "
+    "how much cosine similarity degrades when embeddings are "
+    "truncated to prefix dims 8/16/32 vs the full 64 — the decision "
+    "input for storing short prefixes in the hot ANN tier and "
+    "re-scoring with full vectors. Per-pair deltas compute on "
+    "6-dp-rounded cosines (both folds share one IEEE tree), then "
+    "aggregate as exact decimals (order-free) with one final "
+    "division; max over rounded values is order-free by definition. "
+    "One broadcast-query corpus scan fanned ×3 prefix dims — "
+    "map-only until a 15-key agg; the 100 TB shape.",
+)
+def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
+    )
+    dims = spark.createDataFrame([(8,), (16,), (32,)], "d int")
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "query_id",
+            "vec_id",
+            "d",
+            F.round(S.cosine(F.col("_qvec"), F.col("embedding")), 6).alias(
+                "cos_full"
+            ),
+            F.round(
+                S.cosine(
+                    F.slice(F.col("_qvec"), 1, F.col("d")),
+                    F.slice(F.col("embedding"), 1, F.col("d")),
+                ),
+                6,
+            ).alias("cos_prefix"),
+        )
+    )
+    delta = F.abs(F.col("cos_prefix") - F.col("cos_full"))
+    return pairs.groupBy(
+        "query_id", F.col("d").cast("int").alias("prefix_dim")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(delta.cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_delta"),
+        F.round(F.max(delta), 6).alias("max_abs_delta"),
+    )

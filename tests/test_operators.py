@@ -2196,3 +2196,51 @@ def test_tfidf_cosine_contraction_expands_copies(spark):
         ).collect()
     }
     assert rep_pairs[(1, 3)] == full[(1, 3)]
+
+
+def test_minhash_probe_raw_equals_contracted_cross_side(spark, sf_correct):
+    """The cross-side MinHash index probe's contraction must be
+    bit-identical to the raw cross-side computation (band rows of raw
+    history × raw batch, verified on the union), on a corpus with
+    planted exact duplicates STRADDLING the sides — the diagonal case
+    (same text in both history and batch) and the k² dup case at once."""
+    from tfl_realtime_lakehouse_spark.sources.tables import read_table
+
+    docs = read_table(spark, sf_correct, "documents").limit(300)
+    # plant: copies of history texts into the batch side id-space
+    straddle = docs.where(F.col("doc_id") % 30 == 1).withColumn(
+        "doc_id", (F.col("doc_id") + 1000000) * 10  # % 10 == 0 -> batch
+    )
+    corpus = docs.unionByName(straddle)
+    history = corpus.where(F.col("doc_id") % 10 != 0)
+    batch = corpus.where(F.col("doc_id") % 10 == 0)
+
+    kw = dict(n=3, num_hashes=16, bands=4, hash_family="md5")
+    # RAW: band history and batch directly, cross join on band collision,
+    # verify exact jaccard on the union corpus
+    bh = D.minhash_banded(history, **kw).selectExpr(
+        "doc_id AS hist_id", "band_id", "band_hash"
+    )
+    bb = D.minhash_banded(batch, **kw).selectExpr(
+        "doc_id AS batch_id", "band_id", "band_hash"
+    )
+    cands = (
+        bh.join(bb, ["band_id", "band_hash"])
+        .select(
+            F.col("hist_id").alias("doc_a"), F.col("batch_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    raw_pairs = D.verify_pairs_jaccard(corpus, cands, n=3, threshold=0.2)
+    raw = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.jaccard) for r in raw_pairs.collect()
+    }
+    got = {
+        (r.hist_id, r.batch_id): (r.n_shared, r.jaccard)
+        for r in D.minhash_index_probe(
+            history, batch, threshold=0.2, **kw
+        ).collect()
+    }
+    assert got == raw
+    # non-vacuous: the planted straddling copies produce jaccard-1 pairs
+    assert any(j == 1.0 for _, j in got.values())

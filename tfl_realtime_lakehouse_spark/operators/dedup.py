@@ -540,28 +540,10 @@ def minhash_lsh_candidates(
     and the band hashes SQL-reproducible (see
     :func:`minhash_signatures`) at ~3× the hashing cost.
     """
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_family)
-
-    def band_hash(b: int):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        if hash_family == "md5":
-            # md5 of the comma-joined decimal strings: DuckDB reproduces
-            # this exactly as MD5(h0::VARCHAR || ',' || h1::VARCHAR ...)
-            return md5_prefix_hash(F.concat_ws(",", *cols))
-        return F.xxhash64(*cols)
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                band_hash(b).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
-        id_col, "band.band_id", "band.band_hash"
+    # md5 band hash = md5 of the comma-joined decimal strings: DuckDB
+    # reproduces it exactly as MD5(h0::VARCHAR || ',' || h1::VARCHAR ...)
+    banded = minhash_banded(
+        df, text_col, id_col, n, num_hashes, bands, hash_family
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -577,6 +559,131 @@ def minhash_lsh_candidates(
         )
         .distinct()
     )
+
+
+def minhash_banded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, band_id, band_hash) banding rows over MinHash signatures —
+    the PERSISTABLE index shape: write this once for the historical
+    corpus (bucketed by (band_id, band_hash)) and every future ingest
+    batch probes it with an equi-join, never rescanning history text."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, hash_family)
+
+    def band_hash(b: int):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hash_family == "md5":
+            return md5_prefix_hash(F.concat_ws(",", *cols))
+        return F.xxhash64(*cols)
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                band_hash(b).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("band")).select(
+        id_col, "band.band_id", "band.band_hash"
+    )
+
+
+def minhash_index_probe(
+    history: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Cross-side MinHash-LSH probe: candidate (hist_id, batch_id) pairs
+    wherever a band of the batch doc's signature collides with the
+    historical index, verified with exact Jaccard ≥ ``threshold`` —
+    the near-dup tier of incremental ingest dedup (the exact tiers are
+    ``dedup_incremental_new_batch``'s digest anti-joins).
+
+    Exact-contraction applies across sides too (banding + verification
+    are content-pure): the union corpus contracts to distinct texts,
+    rep-level LSH pairs expand to (hist member, batch member) via
+    output-sized joins, and the DIAGONAL — the same text present on
+    both sides — carries (full shingle-set size, 1.0) exactly as the
+    raw cross join of identical docs would (identical signatures
+    collide on every band; zero-shingle docs have no signature, hence
+    no pairs). Bit-identical to the raw cross-side computation at
+    unique-content cost (pinned by the raw≡contracted pytest).
+
+    At 100 TB: ``minhash_banded(history)`` is the persisted index
+    (fixed-width keys, bucketed by (band_id, band_hash)); a probe
+    shuffles only the batch's band rows + candidate verifications.
+    """
+    u = history.select(
+        F.col(id_col), F.col(text_col), F.lit("hist").alias("_side")
+    ).unionByName(
+        batch.select(F.col(id_col), F.col(text_col), F.lit("batch").alias("_side"))
+    )
+    groups = exact_dedup_groups(u, text_col, id_col)
+    members = (
+        u.select(F.col(id_col), "_side", F.md5(F.col(text_col)).alias("text_hash"))
+        .join(
+            groups.select("text_hash", F.col("first_doc").alias("_rep")),
+            "text_hash",
+        )
+        .select(id_col, "_side", "_rep")
+        .localCheckpoint()
+    )
+    reps = u.join(
+        members.where(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+        "left_semi",
+    ).localCheckpoint()
+    cands = minhash_lsh_candidates(
+        reps, text_col, id_col, n, num_hashes, bands, hash_family
+    )
+    rep_pairs = verify_pairs_jaccard(reps, cands, text_col, id_col, n, threshold)
+    h_m = members.where(F.col("_side") == "hist").select(
+        F.col("_rep").alias("_rh"), F.col(id_col).alias("hist_id")
+    )
+    b_m = members.where(F.col("_side") == "batch").select(
+        F.col("_rep").alias("_rb"), F.col(id_col).alias("batch_id")
+    )
+    # unordered rep pair {a, b} → both side assignments
+    directed = rep_pairs.selectExpr(
+        "doc_a AS _rh", "doc_b AS _rb", "n_shared", "jaccard"
+    ).unionByName(
+        rep_pairs.selectExpr("doc_b AS _rh", "doc_a AS _rb", "n_shared", "jaccard")
+    )
+    cross = (
+        directed.join(h_m, "_rh")
+        .join(b_m, "_rb")
+        .select("hist_id", "batch_id", "n_shared", "jaccard")
+    )
+    diag_vals = shingle_sizes(reps, text_col, id_col, n).where(
+        F.col("n_shingles") > 0
+    )
+    diag = (
+        h_m.join(b_m, F.col("_rh") == F.col("_rb"))
+        .join(
+            diag_vals.select(
+                F.col(id_col).alias("_rh"),
+                F.col("n_shingles").cast("long").alias("n_shared"),
+            ),
+            "_rh",
+        )
+        .select("hist_id", "batch_id", "n_shared", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(diag)
 
 
 def simhash_bits(hash_family: str) -> int:

@@ -2674,3 +2674,91 @@ def training_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.row_number().over(wp) - 1) * 4 + F.col("difficulty_bucket")
         ).cast("bigint").alias("curriculum_rank"),
     )
+
+
+def _minhash_probe_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """Cross-side variant of ``_minhash_oracle_sql``: signatures over
+    the whole corpus, band-collision candidates restricted to
+    (history doc) × (new-batch doc), exact-Jaccard verified. Identical
+    hash family, so the probe's sketch is fully SQL-replayable."""
+    rows_per_band = num_hashes // bands
+    h60 = "('0x' || SUBSTR(MD5({x}), 1, 15))::BIGINT"
+    sig_cols = ",\n             ".join(
+        "MIN(" + h60.format(x=f"'{i}:' || u.sh") + f") AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_cases = "\n        ".join(
+        "WHEN {b} THEN ".format(b=b)
+        + h60.format(
+            x=" || ',' || ".join(
+                f"h{b * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+            )
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
+               i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM (SELECT doc_id, UNNEST(sh) AS sh FROM s) u
+      GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, b.band_id,
+        CASE b.band_id
+        {band_cases}
+        END AS band_hash
+      FROM sigs, (SELECT UNNEST(RANGE({bands})) AS band_id) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS hist_id, b.doc_id AS batch_id
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+    )
+    SELECT c.hist_id, c.batch_id,
+           CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
+           ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))::DOUBLE
+                 / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))),
+                 6) AS jaccard
+    FROM cands c
+    JOIN s sa ON sa.doc_id = c.hist_id
+    JOIN s sb ON sb.doc_id = c.batch_id
+    WHERE ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))::DOUBLE
+                / (LEN(sa.sh) + LEN(sb.sh) - LEN(LIST_INTERSECT(sa.sh, sb.sh))),
+                6) >= 0.2
+    """
+
+
+@register(
+    "dedup_incremental_minhash_probe",
+    oracle=_minhash_probe_oracle_sql(num_hashes=16, bands=4),
+    doc="Near-dup tier of incremental ingest dedup: the NEW batch "
+    "(doc_id mod 10 = 0) probes the historical corpus's persisted "
+    "MinHash-LSH band index (operators/dedup.py:minhash_banded — the "
+    "write-once (band_id, band_hash)-bucketed artifact), emitting "
+    "(hist, batch) candidate pairs verified with exact Jaccard >= 0.2. "
+    "Composes after dedup_incremental_new_batch's digest tiers exactly "
+    "as the within-corpus pipeline composes exact->minhash. md5-prefix "
+    "hash family, so signatures, band hashes, the cross-side candidate "
+    "join and the verification are ALL replayed by the oracle. "
+    "Exact-contraction across sides (raw ≡ contracted pytest): the "
+    "union contracts to distinct texts, rep pairs expand via "
+    "output-sized joins, and same-text-on-both-sides pairs carry "
+    "(set size, 1.0) as the diagonal. History text is never rescanned "
+    "at probe time — the index join shuffles fixed-width keys only.",
+)
+def dedup_incremental_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    return D.minhash_index_probe(
+        history, batch, n=3, num_hashes=16, bands=4,
+        hash_family="md5", threshold=0.2,
+    )

@@ -4470,3 +4470,202 @@ def docs_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     files = documents_to_warc_files(docs, docs_per_file=50)
     return warc_records_meta(files)
+
+
+@register(
+    "events_kmv_trailing_distinct",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type, DATE_TRUNC('day', ts) AS day,
+             ('0x' || SUBSTR(MD5('kmv:' || CAST(user_id AS VARCHAR)), 1, 15))
+               ::BIGINT AS hv
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, day, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY hv)
+                 AS rn
+      FROM h
+    ),
+    daily_kmins AS (SELECT event_type, day, hv FROM ranked WHERE rn <= 64),
+    spine AS (SELECT DISTINCT event_type, day FROM h),
+    window_union AS (
+      SELECT DISTINCT s.event_type, s.day AS anchor_day, k.hv
+      FROM spine s
+      JOIN daily_kmins k
+        ON k.event_type = s.event_type
+       AND k.day BETWEEN s.day - INTERVAL 6 DAY AND s.day
+    ),
+    reranked AS (
+      SELECT event_type, anchor_day, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type, anchor_day
+                                ORDER BY hv) AS rn
+      FROM window_union
+    ),
+    sk AS (
+      SELECT event_type, anchor_day,
+             COUNT(*) AS n_mins,
+             MAX(CASE WHEN rn = 64 THEN hv END) AS m_k
+      FROM reranked WHERE rn <= 64 GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(anchor_day AS TIMESTAMP) AS day,
+           CAST(n_mins AS INTEGER) AS n_mins,
+           ROUND(CASE WHEN n_mins < 64 THEN CAST(n_mins AS DOUBLE)
+                 ELSE 63.0::DOUBLE * 1152921504606846976.0::DOUBLE
+                      / CAST(m_k AS DOUBLE) END, 4) AS est_distinct_7d
+    FROM sk
+    """,
+    doc="Trailing-7-day distinct users per event_type from MERGED daily "
+    "KMV sketches — the sketch-rollup pattern that makes 100 TB "
+    "dashboards cheap: per-day bottom-64 hash sets are computed (and "
+    "in production persisted) ONCE; any trailing window is answered "
+    "by re-ranking the union of 7 tiny k-min sets (<= 7x64 rows per "
+    "key) instead of re-scanning events — the KMV mergeability "
+    "property (bottom-k of a union of bottom-k sets = bottom-k of "
+    "the union). Same md5 60-bit family and (k-1)*2^60/m_k estimator "
+    "as agg_kmv_sketch, small windows exact (< k distincts report "
+    "n_mins). Day/type key domain is bounded, so every window step "
+    "is O(domain), not O(events).",
+)
+def events_kmv_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = 64
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = ev.select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), hv.alias("hv")
+    ).distinct()
+    w_d = Window.partitionBy("event_type", "day").orderBy("hv")
+    daily = (
+        h.withColumn("rn", F.row_number().over(w_d))
+        .where(F.col("rn") <= k)
+        .select("event_type", "day", "hv")
+    )
+    spine = h.select("event_type", "day").distinct()
+    window_union = (
+        spine.alias("s")
+        .join(
+            daily.alias("k"),
+            (F.col("k.event_type") == F.col("s.event_type"))
+            & (F.col("k.day") >= F.col("s.day") - F.expr("interval 6 days"))
+            & (F.col("k.day") <= F.col("s.day")),
+        )
+        .select(
+            F.col("s.event_type").alias("event_type"),
+            F.col("s.day").alias("anchor_day"),
+            F.col("k.hv").alias("hv"),
+        )
+        .distinct()
+    )
+    w_a = Window.partitionBy("event_type", "anchor_day").orderBy("hv")
+    sk = (
+        window_union.withColumn("rn", F.row_number().over(w_a))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type", "anchor_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_mins"),
+            F.max(F.when(F.col("rn") == k, F.col("hv"))).alias("m_k"),
+        )
+    )
+    est = (
+        F.when(F.col("n_mins") < k, F.col("n_mins").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1))
+            * F.lit(1152921504606846976.0)
+            / F.col("m_k").cast("double")
+        )
+    )
+    return sk.select(
+        "event_type",
+        F.col("anchor_day").alias("day"),
+        F.col("n_mins").cast("int").alias("n_mins"),
+        F.round(est, 4).alias("est_distinct_7d"),
+    )
+
+
+@register(
+    "events_theilsen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(DATE_DIFF('day', TIMESTAMP '2024-01-01',
+                            DATE_TRUNC('day', ts)) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope)
+                 AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_pairs,
+           ROUND(MIN(CASE WHEN rn = (n + 1) // 2 THEN slope END), 6)
+               AS theilsen_slope
+    FROM ranked GROUP BY event_type
+    """,
+    doc="Theil-Sen robust trend estimator per event_type: the median "
+    "of all pairwise slopes of the daily event-count series — the "
+    "outlier-resistant alternative to OLS (regr_linear_by_group) "
+    "that one anomalous day cannot drag. The pair space is the "
+    "DAY-DOMAIN self-join (~30 days -> <= 435 pairs per type, "
+    "corpus-size-independent — the events_survival_curve discipline), "
+    "slopes are single IEEE divisions of exact integer deltas "
+    "(identical both engines), and the median is an explicit "
+    "rank-select at (n+1)//2 (no engine quantile-interpolation "
+    "ambiguity). Aggregate once to the day domain, then all further "
+    "work is O(domain^2) tiny.",
+)
+def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.min(
+                F.when(
+                    F.col("rn") == F.floor((F.col("n") + 1) / 2),
+                    F.col("slope"),
+                )
+            ),
+            6,
+        ).alias("theilsen_slope"),
+    )

@@ -2762,3 +2762,141 @@ def dedup_incremental_minhash_probe(spark: SparkSession, sf_dir: str) -> DataFra
         history, batch, n=3, num_hashes=16, bands=4,
         hash_family="md5", threshold=0.2,
     )
+
+
+@register(
+    "scalar_csv_parse_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                ELSE o_orderpriority || ',x' END AS pr,
+           CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DOUBLE) END AS price
+    FROM orders
+    """,
+    doc="CSV parsing battery (from_csv — the flat-file ingest staple): "
+    "CSV lines are CONSTRUCTED from row columns, including a quoted "
+    "field containing a comma (the classic quoting trap) and a "
+    "planted malformed short line every 97th key (arity violation), "
+    "then parsed back with from_csv under PERMISSIVE mode — missing "
+    "fields surface as NULLs, never task failures (the corrupt-"
+    "isolation contract of every decoder in this repo). The oracle "
+    "recomputes the expected fields from the source rows, so quote "
+    "handling, type casting and the malformed-row NULL contract are "
+    "all hash-checked. Map-only, codegen.",
+)
+def scalar_csv_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    line = F.when(
+        F.col("o_orderkey") % 97 == 0,
+        F.col("o_orderkey").cast("string"),  # short line: 1 of 4 fields
+    ).otherwise(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit(","),
+            F.col("o_orderstatus"),
+            F.lit(',"'),
+            F.col("o_orderpriority"),
+            F.lit(',x"'),
+            F.lit(","),
+            F.col("o_totalprice").cast("double").cast("string"),
+        )
+    )
+    schema = "k BIGINT, status STRING, pr STRING, price DOUBLE"
+    parsed = orders.select(
+        "o_orderkey", F.from_csv(line, F.lit(schema)).alias("p")
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.status").alias("status"),
+        F.col("p.pr").alias("pr"),
+        F.col("p.price").alias("price"),
+    )
+
+
+@register(
+    "text_duplicate_chunk_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS t,
+             LEN(STRING_SPLIT(text, ' ')) // 8 AS n_chunks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             MD5(ARRAY_TO_STRING(t[c.c*8+1 : c.c*8+8], ' ')) AS chunk_digest
+      FROM toks, LATERAL (SELECT UNNEST(RANGE(n_chunks)) AS c) c
+    ),
+    freq AS (
+      SELECT chunk_digest, COUNT(DISTINCT doc_id) AS n_docs
+      FROM chunks GROUP BY 1
+    ),
+    per_doc AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             SUM(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS dup_chunks
+      FROM chunks c JOIN freq f USING (chunk_digest)
+      GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(p.n_chunks, 0) AS INTEGER) AS n_chunks,
+           CAST(COALESCE(p.dup_chunks, 0) AS INTEGER) AS dup_chunks,
+           ROUND(CAST(p.dup_chunks AS DOUBLE) / p.n_chunks, 6)
+               AS dup_chunk_ratio
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Duplicated-chunk fraction per document (the RefinedWeb / "
+    "Gopher duplicated-n-gram corpus-quality metric at chunk "
+    "granularity): split each doc into non-overlapping 8-token "
+    "chunks, digest them, and report the share of a doc's chunks "
+    "that appear in >= 2 distinct documents — partial/boilerplate "
+    "duplication that document-level dedup cannot see. The shuffle "
+    "keys are fixed-width md5 digests (never chunk text), frequency "
+    "is one hash agg, and the ratio joins back by digest — linear "
+    "in corpus tokens at any scale. Docs shorter than 8 tokens "
+    "report 0 chunks and a NULL ratio (no fake zeros).",
+)
+def text_duplicate_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.floor(F.size(F.split("text", " ")) / 8).cast("int").alias("n_chunks"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("c"),
+        "t",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("t", F.col("c") * 8 + 1, 8), " ")
+        ).alias("chunk_digest"),
+    )
+    freq = chunks.groupBy("chunk_digest").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        chunks.join(freq, "chunk_digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
+                "dup_chunks"
+            ),
+        )
+    )
+    return (
+        toks.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
+            F.coalesce("dup_chunks", F.lit(0)).cast("int").alias("dup_chunks"),
+            F.round(
+                F.col("dup_chunks").cast("double") / F.col("n_chunks"), 6
+            ).alias("dup_chunk_ratio"),
+        )
+    )

@@ -1757,3 +1757,76 @@ def test_two_stage_streaming_monitoring_pipeline(spark, tmp_path):
     series = [300.0, 300.0, 300.0, 300.0, 300.0, 300.0, 300.0, 300.0, 3000.0, 300.0]
     mu, sig = _warmup_stats(series[:4])
     assert got[5] == 1 and sum(got.values()) == 1
+
+
+def test_streaming_kmv_trailing_matches_batch(spark, tmp_path):
+    """Trailing-7-day KMV estimates from the streaming twin equal a
+    python replay of the batch rollup (same md5 60-bit family, same
+    bottom-64 union-merge) on every CLOSED day — including a day gap,
+    a cross-batch window, and per-day sets exceeding k."""
+    import datetime as dt
+    import hashlib
+
+    from tfl_realtime_lakehouse_spark.streaming.kmv import (
+        KMV_K,
+        kmv_estimate,
+        streaming_kmv_trailing,
+    )
+
+    def h60(u):
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+
+    d0 = dt.datetime(2025, 3, 1)
+    rows = []
+    # key 'a': 10 days (with day 4 missing), ~100 users/day rotating pool
+    for i in [0, 1, 2, 3, 5, 6, 7, 8, 9, 10]:
+        for u in range(i * 37, i * 37 + 100):
+            rows.append(("a", d0 + dt.timedelta(days=i, hours=u % 24), u))
+    # key 'b': 3 days, tiny counts (< k: exact path)
+    for i in range(3):
+        for u in range(5):
+            rows.append(("b", d0 + dt.timedelta(days=i, hours=u), u + 1000))
+    split = d0 + dt.timedelta(days=6)
+    b1 = [r for r in rows if r[1] < split]
+    b2 = [r for r in rows if r[1] >= split]
+    schema = "event_type string, ts timestamp, user_id long"
+    src = str(tmp_path / "kmvtrail-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_kmv_trailing(stream)
+    _run_stream(out, tmp_path, "kmvtrail_out")
+    got = {
+        (r.key, r.day): (r.n_mins, r.est_distinct_7d)
+        for r in spark.sql("select * from kmvtrail_out").collect()
+    }
+
+    # batch replay: per (key, day) bottom-64; anchor day = union of
+    # trailing 7 days' sets, re-ranked
+    day_sets = {}
+    for k, ts, u in rows:
+        day = dt.datetime(ts.year, ts.month, ts.day)
+        day_sets.setdefault((k, day), set()).add(h60(u))
+    expected = {}
+    for (k, day) in day_sets:
+        union = set()
+        for back in range(7):
+            dsel = day - dt.timedelta(days=back)
+            s = day_sets.get((k, dsel))
+            if s:
+                union.update(sorted(s)[:KMV_K])
+        merged = sorted(union)[:KMV_K]
+        expected[(k, day)] = (len(merged), kmv_estimate(merged))
+    # every CLOSED day must match; the final open day per key is absent
+    last = {k: max(d for (kk, d) in day_sets if kk == k) for k in ("a", "b")}
+    for (k, day), want in expected.items():
+        if day == last[k]:
+            assert (k, day) not in got  # trailing contract: still open
+        else:
+            assert got[(k, day)] == want, (k, day)
+    # non-vacuous: key a crossed the k=64 threshold (estimate, not exact)
+    assert any(n == KMV_K for (k, _), (n, _) in got.items() if k == "a")

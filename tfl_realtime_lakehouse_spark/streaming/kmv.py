@@ -94,3 +94,140 @@ def streaming_kmv_distinct(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window twin of `events_kmv_trailing_distinct`
+
+_KMV_TRAIL_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("day", T.TimestampType()),
+        T.StructField("n_mins", T.IntegerType()),
+        T.StructField("est_distinct_7d", T.DoubleType()),
+    ]
+)
+
+# per key: parallel arrays — day epochs, per-day set sizes, and the
+# concatenated k-min values (≤ window_days × KMV_K longs total)
+_KMV_TRAIL_STATE = T.StructType(
+    [
+        T.StructField("days", T.ArrayType(T.LongType())),
+        T.StructField("sizes", T.ArrayType(T.IntegerType())),
+        T.StructField("mins", T.ArrayType(T.LongType())),
+    ]
+)
+
+_DAY_US = 86_400_000_000
+
+
+def _trail_estimate(day_sets: dict, anchor: int, window_days: int) -> tuple:
+    lo = anchor - (window_days - 1) * _DAY_US
+    union = set()
+    for d, s in day_sets.items():
+        if lo <= d <= anchor:
+            union.update(s)
+    merged = sorted(union)[:KMV_K]
+    return len(merged), kmv_estimate(merged)
+
+
+def _kmv_trailing_state_fn(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    window_days: int = 7,
+) -> Iterator[pd.DataFrame]:
+    (series_key,) = key
+    if state.exists:
+        days, sizes, mins = state.get
+        day_sets: dict[int, set] = {}
+        off = 0
+        for d, n in zip(days, sizes):
+            day_sets[int(d)] = set(int(v) for v in mins[off : off + n])
+            off += n
+    else:
+        day_sets = {}
+    out = {c: [] for c in ("day", "n_mins", "est")}
+    open_day = max(day_sets) if day_sets else None
+    for pdf in pdfs:
+        pdf = pdf.sort_values("day")
+        for ts, hv in zip(pdf["day"], pdf["hv"]):
+            if pd.isna(ts) or pd.isna(hv):
+                continue
+            us = int(pd.Timestamp(ts).value // 1000)
+            if open_day is not None and us < open_day:
+                continue  # disorder: upstream emits closed days in order
+            if open_day is not None and us > open_day:
+                # the open day just CLOSED — emit its trailing estimate
+                n, est = _trail_estimate(day_sets, open_day, window_days)
+                out["day"].append(pd.Timestamp(open_day * 1000))
+                out["n_mins"].append(n)
+                out["est"].append(est)
+                # expire days that can never contribute again
+                lo = us - (window_days - 1) * _DAY_US
+                day_sets = {d: s for d, s in day_sets.items() if d >= lo}
+            open_day = us if open_day is None or us > open_day else open_day
+            s = day_sets.setdefault(us, set())
+            s.add(int(hv))
+            if len(s) > KMV_K:
+                day_sets[us] = set(sorted(s)[:KMV_K])
+    days_out, sizes_out, mins_out = [], [], []
+    for d in sorted(day_sets):
+        vals = sorted(day_sets[d])[:KMV_K]
+        days_out.append(d)
+        sizes_out.append(len(vals))
+        mins_out.extend(vals)
+    state.update((days_out, sizes_out, mins_out))
+    yield pd.DataFrame(
+        {
+            "key": [series_key] * len(out["day"]),
+            "day": out["day"],
+            "n_mins": pd.array(out["n_mins"], dtype="Int32"),
+            "est_distinct_7d": pd.array(out["est"], dtype="float64"),
+        }
+    )
+
+
+def streaming_kmv_trailing(
+    events: DataFrame,
+    key_col: str = "event_type",
+    member_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing-``window_days`` distinct estimate stream — the realtime
+    twin of the batch ``events_kmv_trailing_distinct`` rollup: per key
+    the state is one bottom-``KMV_K`` set PER LIVE DAY (≤ window_days
+    sets, ≤ window_days × 64 longs — bounded at any throughput, the
+    same mergeability the batch query exploits across the day spine).
+    A day's trailing estimate emits when the day CLOSES (the first
+    event of a later day arrives — the gapfill trailing contract);
+    out-of-order days are ignored. In-order replay from the first day
+    equals the batch query restricted to closed days (pinned by the
+    batch-equivalence test)."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("kmv:"), F.col(member_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+    def fn(key, pdfs, state):
+        return _kmv_trailing_state_fn(key, pdfs, state, window_days=window_days)
+
+    return (
+        events.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc("day", F.col(ts_col)).alias("day"),
+            hv.alias("hv"),
+        )
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_KMV_TRAIL_OUTPUT,
+            stateStructType=_KMV_TRAIL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

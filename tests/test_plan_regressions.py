@@ -37,7 +37,20 @@ BUDGETS = {
     "entity_resolution_parts": (10, 0),
     # df-capped sparse feature space; inverted-index pair join + norms
     "text_tfidf_cosine_pairs": (19, 0),
+    # r5: capped-leg hybrid fusion — legs go through TakeOrdered, never
+    # a global sort-shuffle; only the 400-row bounded rank single-part
+    "retrieval_rrf_fusion": (4, 0),
 }
+
+
+def test_rrf_legs_use_take_ordered_not_global_sort(spark, sf_smoke):
+    """The retrieval legs must compile to TakeOrderedAndProject (driver
+    merge of per-partition top-k), and at most ONE SinglePartition
+    exchange may remain (the 400-row bounded rank)."""
+    df = REGISTRY["retrieval_rrf_fusion"].fn(spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"TakeOrderedAndProject", plan)) >= 3
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 1
 
 
 def _counts(plan: str) -> tuple[int, int]:

@@ -1685,11 +1685,13 @@ def embedding_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS DECIMAL(27,12))) AS DOUBLE), 6) AS score
       FROM postings p JOIN dfreq d USING (term) CROSS JOIN stats s
       GROUP BY p.doc_id
+    ), bm25_top AS (
+      SELECT doc_id, score FROM bm25 ORDER BY score DESC, doc_id LIMIT 200
     ), bm25_rank AS (
       SELECT doc_id,
              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER)
                  AS r_bm25
-      FROM bm25
+      FROM bm25_top
     ), q AS (
       SELECT embedding AS qe FROM embeddings WHERE vec_id = 0
     ), cos AS (
@@ -1697,11 +1699,13 @@ def embedding_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROUND({_COSINE_DOUBLE.format(a="q.qe", b="e.embedding")}, 6)
                  AS score
       FROM embeddings e CROSS JOIN q WHERE e.vec_id != 0
+    ), cos_top AS (
+      SELECT vec_id, score FROM cos ORDER BY score DESC, vec_id LIMIT 200
     ), cos_rank AS (
       SELECT vec_id,
              CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS INTEGER)
                  AS r_cos
-      FROM cos
+      FROM cos_top
     ), fused AS (
       SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id, b.r_bm25, c.r_cos,
              COALESCE(1.0::DOUBLE / (60 + b.r_bm25), 0.0::DOUBLE)
@@ -1715,14 +1719,20 @@ def embedding_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Reciprocal-rank fusion of two retrieval legs — the standard "
     "hybrid-search combiner (Cormack et al. 2009: rrf = Σ 1/(60+r)) "
-    "for lexical BM25 + dense cosine: both legs rank on 6-dp-rounded "
-    "scores with id tie-breaks (deterministic integer ranks), ids "
-    "align on doc_id = vec_id, and the fused score is a fixed-order "
-    "two-term sum of correctly-rounded IEEE divisions — exact double "
-    "equality cross-engine, no output rounding needed. Each leg is "
-    "the already-verified plan (posting-filtered BM25, broadcast-"
-    "query cosine scan); fusion adds one full-outer join on ids and "
-    "a top-50. The retrieval shape of RAG indexing pipelines.",
+    "for lexical BM25 + dense cosine: each leg is CAPPED to its "
+    "top-200 candidates first (orderBy+limit compiles to TakeOrdered "
+    "— per-partition top-k merged on the driver, never a global "
+    "sort-shuffle of the corpus; ranking whole corpora through a "
+    "single-partition window is the anti-pattern this query "
+    "deliberately avoids, and capped candidate lists are how real "
+    "hybrid search fuses anyway), then ranks the 200-row list on "
+    "6-dp-rounded scores with id tie-breaks (deterministic integer "
+    "ranks), ids align on doc_id = vec_id, and the fused score is a "
+    "fixed-order two-term sum of correctly-rounded IEEE divisions — "
+    "exact double equality cross-engine, no output rounding needed. "
+    "Each leg is the already-verified plan (posting-filtered BM25, "
+    "broadcast-query cosine scan); fusion adds one full-outer join "
+    "on bounded lists and a top-50.",
 )
 def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfl_realtime_lakehouse_spark.operators import text as X
@@ -1730,8 +1740,9 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     emb = table(spark, sf_dir, "embeddings")
     bm25 = X.bm25_scores(docs, query_terms=["spark", "join", "window"])
+    bm25_top = bm25.orderBy(F.col("score").desc(), "doc_id").limit(200)
     w_b = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    bm25_rank = bm25.select(
+    bm25_rank = bm25_top.select(
         "doc_id", F.row_number().over(w_b).cast("int").alias("r_bm25")
     )
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -1747,8 +1758,9 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    cos_top = cos.orderBy(F.col("score").desc(), "vec_id").limit(200)
     w_c = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    cos_rank = cos.select(
+    cos_rank = cos_top.select(
         "vec_id", F.row_number().over(w_c).cast("int").alias("r_cos")
     )
     fused = (

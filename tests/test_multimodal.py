@@ -519,3 +519,46 @@ def test_pixel_stats_dispatches_all_three_formats(spark):
     assert got[3].px_sum == tile_sum
     assert got[1].width == got[2].width == got[3].width == w
     assert got[4].px_sum is None  # corrupt isolates, never raises
+
+
+def test_codec_fuzz_never_raises():
+    """Decoder corrupt-isolation contract under fuzz: random bytes,
+    truncations and single-byte corruptions of valid payloads must
+    return None or a valid array — NEVER raise (a poisoned asset at
+    100 TB must not kill the stage)."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.operators import multimodal as M
+    from tfl_realtime_lakehouse_spark.operators.gif import (
+        decode_gif_pixels,
+        encode_gif_grayscale,
+    )
+    from tfl_realtime_lakehouse_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(99)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    valid = {
+        "png": M.synth_png_gradient(16, 16, 3),
+        "jpeg": encode_jpeg_baseline(img),
+        "gif": encode_gif_grayscale(img),
+    }
+    decoders = (decode_jpeg_pixels, decode_gif_pixels, M.decode_png_pixels,
+                M.decode_pixels)
+    payloads = []
+    for b in valid.values():
+        payloads += [b[:k] for k in range(0, len(b), max(1, len(b) // 23))]
+        for _ in range(40):  # single-byte corruptions at random offsets
+            mb = bytearray(b)
+            i = int(rng.integers(0, len(b)))
+            mb[i] = int(rng.integers(0, 256))
+            payloads.append(bytes(mb))
+    for _ in range(60):  # pure noise
+        payloads.append(bytes(rng.integers(0, 256, int(rng.integers(0, 400)),
+                                           dtype=np.uint8)))
+    for p in payloads:
+        for dec in decoders:
+            out = dec(p)  # must not raise
+            assert out is None or getattr(out, "dtype", None) is not None

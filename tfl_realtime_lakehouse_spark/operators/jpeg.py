@@ -170,7 +170,13 @@ def decode_jpeg_pixels(payload: bytes | None) -> "object":
             if b[pos] != 0xFF:
                 return None
             marker = b[pos + 1]
+            if marker == 0xFF:  # fill byte padding before a marker
+                pos += 1
+                continue
             if marker == 0xD8:
+                pos += 2
+                continue
+            if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no length
                 pos += 2
                 continue
             if marker == 0xD9:  # EOI before any scan
@@ -331,9 +337,10 @@ def _decode_scan(b, data_pos, frame, scan, qt, huff, restart):
         g = np.clip(np.round(out_planes[0] + 128.0), 0, 255)
         return g.astype(np.uint8)
     y, cb, cr = out_planes
+    # planes hold level-shift-centered values: Y needs +128; Cb/Cr as
+    # stored already equal (Cb − 128)/(Cr − 128), the color-transform
+    # operands
     y = y + 128.0
-    cb = cb + 128.0 - 128.0
-    cr = cr + 128.0 - 128.0
     rgb = np.stack(
         [
             y + 1.402 * cr,

@@ -50,7 +50,14 @@ def _release_blocks(spark) -> None:
         pass
 
 
-def _run_suite(spark, sf_dir: str) -> tuple[dict[str, float], float]:
+def _session_alive(spark) -> bool:
+    try:
+        return not spark.sparkContext._jsc.sc().isStopped()
+    except Exception:
+        return False
+
+
+def _run_suite(spark, sf_dir: str) -> tuple[dict[str, float], float, object]:
     timings: dict[str, float] = {}
     t_suite = time.time()
     for name, rq in sorted(REGISTRY.items()):
@@ -61,8 +68,20 @@ def _run_suite(spark, sf_dir: str) -> tuple[dict[str, float], float]:
         except Exception as exc:  # keep the suite running; surface the error
             timings[name] = -1.0
             print(f"# bench error in {name}: {exc}", file=sys.stderr)
+            if not _session_alive(spark):
+                # A fatal executor error (e.g. heap OOM at a large SF)
+                # kills the local JVM; without recovery every later
+                # query in every later run reports -1 (cost one whole
+                # sf5 sweep to learn). Rebuild the session and move on.
+                print(f"# session died in {name}; rebuilding", file=sys.stderr)
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = get_spark(app_name="tfl-lakehouse-bench")
+                spark.sparkContext.setLogLevel("ERROR")
         _release_blocks(spark)
-    return timings, round(time.time() - t_suite, 3)
+    return timings, round(time.time() - t_suite, 3), spark
 
 
 def main() -> None:
@@ -80,7 +99,10 @@ def main() -> None:
     ).save()
 
     load_before = os.getloadavg()
-    runs = [_run_suite(spark, sf_dir) for _ in range(max(1, repeat))]
+    runs = []
+    for _ in range(max(1, repeat)):
+        timings_i, total_i, spark = _run_suite(spark, sf_dir)
+        runs.append((timings_i, total_i))
     timings, total = runs[0]
     out = {
         "metric": "suite_wall_sec",

@@ -32,6 +32,10 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+# Serialized+spillable storage for lineage-cut blocks (see operators/graph.py)
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 from pyspark.sql import types as T
 
 END = "</w>"
@@ -93,7 +97,7 @@ def bpe_train(
     """
     wf = word_frequencies(docs, text_col).select(
         "freq", _chars(F.col("word")).alias("toks")
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_CKPT_LEVEL)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs = wf.select(
@@ -120,7 +124,7 @@ def bpe_train(
         # contract every word under the new rule; checkpoint so the fold
         # chain doesn't deepen with the round count
         wf = wf.select("freq", _merge_fold(F.col("toks"), a, b).alias("toks"))
-        wf = wf.localCheckpoint()
+        wf = wf.localCheckpoint(storageLevel=_CKPT_LEVEL)
     return merges
 
 

@@ -15,8 +15,15 @@ All built from DataFrame ops (xxhash64/explode/groupBy) — no Python UDFs.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Lineage-cut blocks are stored SERIALIZED with disk spill: the default
+# deserialized on-heap level holds ~10x the on-wire size, which is what
+# OOMed an sf5 sweep's ~30M-row edge checkpoints on an 8 GiB local JVM.
+# Storage level changes only the cached representation, never the values.
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK  # serialized in PySpark
 
 from tfl_realtime_lakehouse_spark.operators.text import shingles, tokens
 from tfl_realtime_lakehouse_spark.sources.tables import fan_out
@@ -162,14 +169,14 @@ def contracted_pairs_generic(
         df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
         .join(groups.select("text_hash", F.col("first_doc").alias("_rep")), "text_hash")
         .select(id_col, "_rep")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     # pair_fn and within_fn each traverse reps — materialize once
     # (unique content only) instead of re-running the corpus scan +
     # semi-join per use.
     reps = df.join(
         members.where(F.col(id_col) == F.col("_rep")).select(id_col), id_col, "left_semi"
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_CKPT_LEVEL)
     rep_pairs = pair_fn(reps)
     value_cols = [c for c in rep_pairs.columns if c not in ("doc_a", "doc_b")]
     m_a = members.select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("_da"))
@@ -318,7 +325,7 @@ def ngram_jaccard_pairs(
         F.explode(
             F.array_distinct(F.transform(shingles(text_col, n), lambda g: F.xxhash64(g)))
         ).alias("sh"),
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_CKPT_LEVEL)
     posts = posts_raw
     if max_doc_freq is not None:
         # Stop-shingle filter on the HASHED key (same semantics as
@@ -641,13 +648,13 @@ def minhash_index_probe(
             "text_hash",
         )
         .select(id_col, "_side", "_rep")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     reps = u.join(
         members.where(F.col(id_col) == F.col("_rep")).select(id_col),
         id_col,
         "left_semi",
-    ).localCheckpoint()
+    ).localCheckpoint(storageLevel=_CKPT_LEVEL)
     cands = minhash_lsh_candidates(
         reps, text_col, id_col, n, num_hashes, bands, hash_family
     )
@@ -867,7 +874,7 @@ def connected_components(
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
 
     def _stat(e: DataFrame):
@@ -905,7 +912,7 @@ def connected_components(
             .where(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_CKPT_LEVEL)
         )
         cur = _stat(new_edges)
         edges = new_edges
@@ -1141,7 +1148,7 @@ def longest_common_span(
     # Both sides of the self-join reference the postings — materialize
     # them once (the window-string building is the expensive part;
     # recomputing it doubles the operator's cost).
-    posts = posts.localCheckpoint()
+    posts = posts.localCheckpoint(storageLevel=_CKPT_LEVEL)
     a = posts.select(
         F.col(id_col).alias("doc_a"), F.col("pos").alias("pa"), "h"
     )
@@ -1217,7 +1224,7 @@ def ngram_containment_pairs(
                 )
             ).alias("sh"),
         )
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     a, b = posts.alias("a"), posts.alias("b")
     shared = (

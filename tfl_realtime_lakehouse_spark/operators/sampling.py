@@ -14,6 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+# Serialized+spillable storage for lineage-cut blocks (see operators/graph.py)
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def hash_bucket(key: Column | str, buckets: int = 100) -> Column:
@@ -102,7 +106,7 @@ def importance_weights(
             F.explode(F.split(F.col(text_col), " ")).alias("tok"),
         )
         .select(id_col, "_t", hash_bucket(F.col("tok"), buckets).alias("b"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     counts = toks.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_all"),

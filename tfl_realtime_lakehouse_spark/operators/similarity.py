@@ -24,7 +24,14 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
 from pyspark.sql import types as T
+
+# Lineage-cut blocks are stored SERIALIZED with disk spill: the default
+# deserialized on-heap level holds ~10x the on-wire size, which is what
+# OOMed an sf5 sweep's ~30M-row edge checkpoints on an 8 GiB local JVM.
+# Storage level changes only the cached representation, never the values.
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK  # serialized in PySpark
 
 from tfl_realtime_lakehouse_spark.sources.tables import fan_out
 
@@ -565,13 +572,13 @@ def kmeans_train(
     # iteration i+1's assign does not re-execute iteration i's whole
     # lineage (without this the plan nests one full assign+update pass
     # per iteration and the loop cost grows superlinearly in iters).
-    cents = seeds.localCheckpoint()
+    cents = seeds.localCheckpoint(storageLevel=_CKPT_LEVEL)
     for _ in range(iters):
         assigned = kmeans_assign(corpus, cents, id_col, vec_col, cell_col="cell")
         cents = (
             label_centroids(assigned, cell_col="cell", vec_col=vec_col)
             .select("cell", "centroid")
-            .localCheckpoint()
+            .localCheckpoint(storageLevel=_CKPT_LEVEL)
         )
     return cents
 
@@ -999,13 +1006,13 @@ def contracted_vector_pairs(
     members = (
         corpus.join(groups, vec_col)
         .select(F.col(id_col), "_rep")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     reps = corpus.join(
         members.where(F.col(id_col) == F.col("_rep")).select(id_col),
         id_col,
         "left_semi",
-    ).localCheckpoint()  # reps feeds pair_fn AND the norm filter
+    ).localCheckpoint(storageLevel=_CKPT_LEVEL)  # reps feeds pair_fn AND the norm filter
     rep_pairs = pair_fn(reps)
     m_a = members.select(F.col("_rep").alias("vec_a"), F.col(id_col).alias("_da"))
     m_b = members.select(F.col("_rep").alias("vec_b"), F.col(id_col).alias("_db"))
@@ -1157,7 +1164,7 @@ def ivfpq_build(
                 _as_double(F.col(vec_col)), F.col("centroid"), lambda x, c: x - c
             ).alias("residual"),
         )
-        .localCheckpoint()  # feeds PQ training AND encoding
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)  # feeds PQ training AND encoding
     )
     books = pq_train(resid, m=m, codes=codes, iters=iters, id_col=id_col, vec_col="residual")
     coded = pq_encode(resid, books, m=m, id_col=id_col, vec_col="residual").join(
@@ -1552,11 +1559,11 @@ def kcenter_select(
         )
         .where(F.col(id_col) != F.col("_cid"))
         .drop("_cid")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     )
     sel = first.select(
         F.lit(1).alias("step"), F.col("_cid").alias(id_col), F.lit(0.0).alias("sel_dist")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     for i in range(2, k + 1):
         pick = cur.agg(
             F.max(F.struct(F.col("mind"), (-F.col(id_col)).alias("_nid"))).alias("m")
@@ -1565,7 +1572,7 @@ def kcenter_select(
             (-F.col("m._nid")).alias(id_col),
             F.col("m.mind").alias("sel_dist"),
         )
-        sel = sel.unionAll(pick).localCheckpoint(eager=True)
+        sel = sel.unionAll(pick).localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         if i == k:
             break
         new_center = cur.join(
@@ -1584,7 +1591,7 @@ def kcenter_select(
                     ),
                 ).alias("mind"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
         )
     return sel
 

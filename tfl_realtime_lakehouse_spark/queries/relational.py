@@ -14,6 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+# Serialized+spillable storage for lineage-cut blocks (see operators/graph.py)
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 from tfl_realtime_lakehouse_spark.queries.registry import load_views, register, table
 
@@ -770,7 +774,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (length filter in the join), thresholded levenshtein (banded DP,
     # -1 past k) bails early, and same-name pairs are d=0 by definition.
     pt = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size", "p_name")
-    uniq = pt.select("p_brand", "p_size", "p_name").distinct().localCheckpoint()
+    uniq = pt.select("p_brand", "p_size", "p_name").distinct().localCheckpoint(storageLevel=_CKPT_LEVEL)
     a = uniq.alias("a")
     b = uniq.alias("b")
     d = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 5)

@@ -7,6 +7,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+# Serialized+spillable storage for lineage-cut blocks (see operators/graph.py)
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 from tfl_realtime_lakehouse_spark.queries.registry import load_views, register, table
 
@@ -756,7 +760,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Bounded distinct-pair relation reused 2-3× downstream
         # (cap filter + join + seeds): one materialization, not per-use
         # recomputes of the corpus scan + distinct.
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     # hot-key guard: cap the per-part pair expansion (oracle mirrors)
     ok = ps.groupBy("p").agg(F.count(F.lit(1)).alias("ns")).where("ns <= 64").select("p")
@@ -866,7 +870,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Bounded distinct-pair relation reused 2-3× downstream
         # (cap filter + join + seeds): one materialization, not per-use
         # recomputes of the corpus scan + distinct.
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     keep_part = (
         F.conv(
@@ -937,7 +941,7 @@ def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Bounded distinct-pair relation reused 2-3× downstream
         # (cap filter + join + seeds): one materialization, not per-use
         # recomputes of the corpus scan + distinct.
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     ok = op.groupBy("o").agg(F.count(F.lit(1)).alias("np")).where("np <= 20").select("o")
     opf = op.join(ok, "o")
@@ -1022,7 +1026,7 @@ def graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Bounded distinct-pair relation reused 2-3× downstream
         # (cap filter + join + seeds): one materialization, not per-use
         # recomputes of the corpus scan + distinct.
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     keep_part = (
         F.conv(
@@ -1111,7 +1115,7 @@ def recommend_parts_for_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     op = (
         li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     ok = op.groupBy("o").agg(F.count(F.lit(1)).alias("np")).where("np <= 20").select("o")
     opf = op.join(ok, "o")
@@ -1258,7 +1262,7 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Bounded distinct-pair relation reused 2-3× downstream
         # (cap filter + join + seeds): one materialization, not per-use
         # recomputes of the corpus scan + distinct.
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     keep_part = (
         F.conv(
@@ -1293,7 +1297,7 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (
         e0.unionAll(e0.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     deg = adj.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     centers = deg.where("d <= 96").select(F.col("node").alias("b"))
@@ -1719,7 +1723,7 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     keep_part = (
         F.conv(

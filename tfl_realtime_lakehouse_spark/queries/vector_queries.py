@@ -6,6 +6,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+# Serialized+spillable storage for lineage-cut blocks (see operators/graph.py)
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 from tfl_realtime_lakehouse_spark.operators import multimodal as M
 from tfl_realtime_lakehouse_spark.operators import similarity as S
@@ -402,7 +406,7 @@ def embedding_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the code table: pq_topk's scoring plan would otherwise
     # re-run the whole encode (explode + argmin + reassemble) inside its
     # own lineage. At scale this is the persisted IVF-PQ index anyway.
-    codes = S.pq_encode(emb, books, m=8).localCheckpoint()
+    codes = S.pq_encode(emb, books, m=8).localCheckpoint(storageLevel=_CKPT_LEVEL)
     queries = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1022,7 +1026,7 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         S.cosine_topk(emb, queries, k=20)
         .select("query_id", "vec_id", F.col("score").alias("rel"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
     )
     e_x = emb.select(F.col("vec_id").alias("_xid"), F.col("embedding").alias("_xe"))
     e_y = emb.select(F.col("vec_id").alias("_yid"), F.col("embedding").alias("_ye"))
@@ -1039,7 +1043,7 @@ def embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             F.round(S.cosine(F.col("_xe"), F.col("_ye")), 6).alias("sim"),
         )
-        .localCheckpoint(eager=True)  # bounded N²·|queries| pairs; cuts the
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)  # bounded N²·|queries| pairs; cuts the
         # shared cand lineage so the cogroup sides are distinct relations
     )
     sel = S.mmr_select(cand, ps, k=8, lam=0.7)

@@ -4669,3 +4669,174 @@ def events_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("theilsen_slope"),
     )
+
+
+@register(
+    "dq_label_agreement_kappa",
+    oracle="""
+    WITH lab AS (
+      SELECT (n_chars >= 200) AS a,
+             (10 * LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                   w -> w IN ('the', 'a')))
+                >= LEN(STRING_SPLIT(text, ' '))) AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      FROM lab
+    )
+    SELECT n, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+           ROUND((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                 + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS pe,
+           ROUND((CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+                  - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                     + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))))
+                 / (CAST(1 AS DOUBLE)
+                    - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE))
+                       + (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+                       * (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE)))), 6)
+             AS kappa
+    FROM c
+    """,
+    doc="Inter-annotator agreement (Cohen's kappa) between two "
+    "deterministic labeling rules over documents — the labeling-QA "
+    "metric every supervised-data pipeline reports before trusting a "
+    "label column (kappa corrects raw agreement for chance, so two "
+    "rules that both say 'yes' 90% of the time don't look aligned for "
+    "free). Annotator A: length rule (n_chars >= 200); annotator B: "
+    "stopword-density rule (10*n_stop >= n_tok — an exact integer "
+    "compare, no float ratio). One map-side-combined aggregate to the "
+    "2x2 contingency table (4 exact counts of driver state = the "
+    "model); po/pe/kappa are single shared double trees rounded at "
+    "6 dp. Scales as a pure scan.",
+)
+def dq_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    nstop = F.size(F.filter(toks, lambda w: w.isin("the", "a")))
+    lab = docs.select(
+        (F.col("n_chars") >= 200).alias("a"),
+        ((F.lit(10) * nstop) >= F.size(toks)).alias("b"),
+    )
+    c = lab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(F.when(F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(F.when(~F.col("a") & F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(F.when(~F.col("a") & ~F.col("b"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = ((F.col("n11") + F.col("n10")).cast("double") / nd) * (
+        (F.col("n11") + F.col("n01")).cast("double") / nd
+    ) + ((F.col("n01") + F.col("n00")).cast("double") / nd) * (
+        (F.col("n10") + F.col("n00")).cast("double") / nd
+    )
+    return c.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1).cast("double") - pe), 6).alias("kappa"),
+    )
+
+
+@register(
+    "events_linear_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, event_id AS purchase_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+      SELECT p.purchase_id, p.value, c.click_id
+      FROM purchases p LEFT JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.click_ts <= p.ts
+       AND c.click_ts >= p.ts - INTERVAL 7 DAY
+    )
+    SELECT purchase_id, click_id,
+           CAST(COUNT(click_id) OVER (PARTITION BY purchase_id) AS BIGINT)
+             AS n_touches,
+           ROUND(value
+                 / CAST(GREATEST(COUNT(click_id)
+                                 OVER (PARTITION BY purchase_id), 1)
+                        AS DOUBLE), 6) AS credit
+    FROM pairs
+    """,
+    doc="Linear multi-touch attribution: every click in the 7-day "
+    "lookback before a purchase gets an equal share of its value — the "
+    "allocation table next to last-touch (which crowns only the final "
+    "click). The lookback window equals the bucket width, so candidate "
+    "pairs come from a 2-bucket (user, week) equi-join — never a "
+    "time-range theta join — then the exact interval filter; "
+    "touch counts attach with one aggregate + shuffle-shared rejoin, "
+    "and untouched purchases re-enter via anti-join with full credit "
+    "(the 'direct' channel). credit = value / n_touches is one double "
+    "division rounded at 6 dp; membership and n_touches are exact "
+    "integers. Pairs grow linearly: user count scales with the corpus, "
+    "so per-user click density in any fixed window is O(1).",
+)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    week_us = 7 * 86400 * 1000000
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.floor(F.unix_micros("ts") / week_us).alias("wk"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    wkp = F.floor(F.unix_micros("ts") / week_us)
+    pexp = purchases.withColumn("wk", F.explode(F.array(wkp, wkp - 1)))
+    matched = pexp.join(clicks, ["user_id", "wk"]).where(
+        (F.col("click_ts") <= F.col("ts"))
+        & (F.unix_micros("click_ts") >= F.unix_micros("ts") - F.lit(week_us))
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches")
+    )
+    credit = F.round(
+        F.col("value")
+        / F.greatest(F.col("n_touches"), F.lit(1).cast("bigint")).cast("double"),
+        6,
+    )
+    out_m = matched.join(counts, "purchase_id").select(
+        "purchase_id", "click_id", "n_touches", credit.alias("credit")
+    )
+    out_u = purchases.join(counts, "purchase_id", "left_anti").select(
+        "purchase_id",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.lit(0).cast("bigint").alias("n_touches"),
+        F.round(
+            F.col("value") / F.lit(1).cast("double"), 6
+        ).alias("credit"),
+    )
+    return out_m.unionAll(out_u)

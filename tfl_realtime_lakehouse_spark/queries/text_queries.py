@@ -2900,3 +2900,94 @@ def text_duplicate_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_chunk_ratio"),
         )
     )
+
+
+@register(
+    "text_pmi_collocations",
+    oracle="""
+    WITH l AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS nw
+      FROM (SELECT UNNEST(toks) AS w FROM l) GROUP BY 1
+    ),
+    nt AS (SELECT CAST(SUM(nw) AS DOUBLE) AS n1 FROM uni),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM l, UNNEST(range(1, len(toks))) t(i)
+    ),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS nb FROM bi GROUP BY 1, 2),
+    ntb AS (SELECT CAST(SUM(nb) AS DOUBLE) AS n2 FROM cb)
+    SELECT cb.w1, cb.w2, cb.nb AS n_pair, u1.nw AS n_w1, u2.nw AS n_w2,
+           ROUND(LN((CAST(cb.nb AS DOUBLE) / ntb.n2)
+                    / ((CAST(u1.nw AS DOUBLE) / nt.n1)
+                       * (CAST(u2.nw AS DOUBLE) / nt.n1))), 4) + 0.0 AS pmi
+    FROM cb
+    JOIN uni u1 ON u1.w = cb.w1
+    JOIN uni u2 ON u2.w = cb.w2
+    CROSS JOIN nt CROSS JOIN ntb
+    WHERE cb.nb >= 20
+    """,
+    doc="Pointwise-mutual-information collocations over the corpus — "
+    "the classic phrase-mining signal (Church & Hanks 1990): bigrams "
+    "whose joint frequency beats the independence expectation, the "
+    "detector behind multiword-expression vocab entries and "
+    "tokenizer-merge seeding. Bigrams via the zip_with idiom (one "
+    "explode, no window); unigram/bigram counts are exact integers and "
+    "MEMBERSHIP is the integer support filter n_pair >= 20, so the row "
+    "set can never differ across engines; PMI itself is one shared "
+    "double tree rounded at 4 dp (the perplexity discipline). All "
+    "shuffles key on tokens — corpus-derived vocab stays distributed.",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    bi = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nw"))
+    )
+    nt = uni.agg(F.sum("nw").cast("double").alias("n1"))
+    cb = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+        .where(F.col("nb") >= 20)
+    )
+    ntb = (
+        bi.agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+        .select(F.col("s").cast("double").alias("n2"))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("nw").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("nw").alias("n_w2"))
+    pmi = F.log(
+        (F.col("nb").cast("double") / F.col("n2"))
+        / (
+            (F.col("n_w1").cast("double") / F.col("n1"))
+            * (F.col("n_w2").cast("double") / F.col("n1"))
+        )
+    )
+    return (
+        cb.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(ntb))
+        .select(
+            "w1",
+            "w2",
+            F.col("nb").alias("n_pair"),
+            "n_w1",
+            "n_w2",
+            # + 0.0 canonicalizes IEEE -0.0 to +0.0 (ROUND of a tiny
+            # negative yields -0.0 in one engine, 0.0 in the other;
+            # the str-identity gate sees the sign)
+            (F.round(pmi, 4) + F.lit(0.0)).alias("pmi"),
+        )
+    )

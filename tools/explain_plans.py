@@ -112,6 +112,20 @@ HEADLINERS = [
     "incremental_join_maintenance",
     "events_last_touch_attribution",
     "kmv_audience_overlap",
+    # round-5: codec pipelines (map-only Arrow), capped-leg fusion,
+    # incremental-dedup tiers, sketch rollup, container round-trip
+    "multimodal_jpeg_pixel_stats",
+    "multimodal_gif_pixel_stats",
+    "retrieval_rrf_fusion",
+    "dedup_incremental_new_batch",
+    "dedup_incremental_minhash_probe",
+    "events_kmv_trailing_distinct",
+    "events_theilsen_trend",
+    "text_duplicate_chunk_ratio",
+    "docs_warc_roundtrip",
+    "embedding_matryoshka_eval",
+    "training_curriculum_order",
+    "scalar_luhn_card_audit",
 ]
 
 

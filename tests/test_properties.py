@@ -456,3 +456,70 @@ def test_streaming_cusum_state_fn_replays_reference(series):
         part, st_part = run(split)
         pd.testing.assert_frame_equal(full, part)
         assert st_full == st_part
+
+
+def test_linear_attribution_conserves_value(spark):
+    """Every purchase's value is fully allocated: the per-touch credits
+    (or the direct credit for untouched purchases) sum back to the
+    purchase value within rounding (6 dp x n_touches)."""
+    from tfl_realtime_lakehouse_spark.queries.pipeline_queries import (
+        events_linear_attribution,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    out = events_linear_attribution(spark, sf)
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    vals = {
+        r.event_id: r.value
+        for r in ev.where(F.col("event_type") == "purchase").collect()
+    }
+    per_purchase = (
+        out.groupBy("purchase_id")
+        .agg(
+            F.sum("credit").alias("total"),
+            F.max("n_touches").alias("n"),
+            F.count(F.lit(1)).alias("rows"),
+        )
+        .collect()
+    )
+    assert {r.purchase_id for r in per_purchase} == set(vals)
+    for r in per_purchase:
+        tol = 5e-7 * max(r.n, 1) + 1e-9
+        assert abs(r.total - vals[r.purchase_id]) <= tol, r
+        # matched purchases emit exactly n_touches rows; direct ones 1
+        assert r.rows == (r.n if r.n > 0 else 1)
+
+
+def test_kappa_bounds_and_contingency(spark):
+    """Kappa lies in [-1, 1]; the contingency cells partition the corpus."""
+    from tfl_realtime_lakehouse_spark.queries.pipeline_queries import (
+        dq_label_agreement_kappa,
+    )
+
+    row = dq_label_agreement_kappa(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n11 + row.n10 + row.n01 + row.n00 == row.n
+    assert -1.0 <= row.kappa <= 1.0
+    assert 0.0 <= row.po <= 1.0 and 0.0 <= row.pe <= 1.0
+
+
+def test_pmi_membership_is_support_only(spark):
+    """Row membership in the PMI query is purely the integer support
+    filter — recomputing bigram counts brute-force gives the same set."""
+    from collections import Counter
+
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_pmi_collocations,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {(r.w1, r.w2): r.n_pair for r in text_pmi_collocations(spark, sf).collect()}
+    texts = [
+        r.text for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    ]
+    c = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        c.update(zip(ws, ws[1:]))
+    expect = {k: v for k, v in c.items() if v >= 20}
+    assert out == expect

@@ -1830,3 +1830,73 @@ def test_streaming_kmv_trailing_matches_batch(spark, tmp_path):
             assert got[(k, day)] == want, (k, day)
     # non-vacuous: key a crossed the k=64 threshold (estimate, not exact)
     assert any(n == KMV_K for (k, _), (n, _) in got.items() if k == "a")
+
+
+def test_streaming_linear_attribution_matches_batch(spark, tmp_path):
+    """Per-touch credit rows from the streaming twin equal the batch
+    linear-attribution query on the same in-order events — equal split
+    across multiple window clicks, cross-batch window accumulation, a
+    beyond-lookback click excluded, a direct (clickless) purchase, and
+    a disorder purchase flagged NULL."""
+    import datetime as dt
+
+    from tfl_realtime_lakehouse_spark.queries.pipeline_queries import (
+        events_linear_attribution,
+    )
+    from tfl_realtime_lakehouse_spark.streaming.linear_attribution import (
+        streaming_linear_attribution,
+    )
+
+    t0 = dt.datetime(2025, 1, 10, 0, 0)
+    m = lambda i: t0 + dt.timedelta(minutes=i)
+    d = lambda i: t0 + dt.timedelta(days=i)
+    rows1 = [
+        (1, 100, m(0), "click", 0.0),
+        (1, 101, m(5), "click", 0.0),
+        (1, 102, m(30), "purchase", 10.0),   # split across both clicks
+        (3, 103, m(1), "purchase", 7.0),     # never clicked -> direct
+    ]
+    rows2 = [
+        (1, 104, d(2), "purchase", 9.0),     # cross-batch: both clicks still in window
+        (1, 105, d(8), "purchase", 5.0),     # clicks beyond 7d -> direct
+        (1, 106, m(1), "purchase", 4.0),     # disorder (hw is at d8)
+    ]
+    schema = (
+        "user_id long, event_id long, ts timestamp, event_type string, "
+        "value double"
+    )
+    src = str(tmp_path / "lin-src")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_linear_attribution(stream)
+    _run_stream(out, tmp_path, "lin_attr_out")
+    got = {
+        (r.purchase_id, r.click_id): (r.n_touches, r.credit)
+        for r in spark.sql("select * from lin_attr_out").collect()
+    }
+    assert got[(102, 100)] == (2, 5.0)
+    assert got[(102, 101)] == (2, 5.0)
+    assert got[(103, None)] == (0, 7.0)
+    assert got[(104, 100)] == (2, 4.5)
+    assert got[(104, 101)] == (2, 4.5)
+    assert got[(105, None)] == (0, 5.0)
+    assert got[(106, None)] == (None, None)  # disorder contract
+
+    # batch reference over the in-order rows (disorder row excluded),
+    # via the registered query on an events.parquet-shaped dir
+    sf_dir = str(tmp_path / "lin-sf")
+    spark.createDataFrame(rows1 + rows2[:2], schema).select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.lit("{}").alias("props"),
+    ).coalesce(1).write.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        (r.purchase_id, r.click_id): (r.n_touches, r.credit)
+        for r in events_linear_attribution(spark, sf_dir).collect()
+    }
+    in_order = {k: v for k, v in got.items() if k[0] != 106}
+    assert in_order == want

@@ -3109,3 +3109,106 @@ def text_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sigf >= F.lit(0.5)).cast("int").alias("pred"),
         F.col("y").cast("int").alias("label"),
     )
+
+
+@register(
+    "text_decontaminate_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, ARRAY_TO_STRING(toks[i:i+3], ' ') AS gram
+      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) s(i)
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    hitstarts AS (
+      SELECT g.doc_id, g.i FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 97 <> 0
+    ),
+    drops AS (
+      SELECT DISTINCT h.doc_id, u.p
+      FROM hitstarts h, UNNEST(GENERATE_SERIES(h.i, h.i + 3)) u(p)
+    ),
+    tokens AS (
+      SELECT doc_id, s.p, toks[s.p] AS w
+      FROM t, UNNEST(RANGE(1, LEN(toks) + 1)) s(p)
+      WHERE doc_id % 97 <> 0
+    ),
+    kept AS (
+      SELECT k.doc_id, k.p, k.w
+      FROM tokens k ANTI JOIN drops d ON d.doc_id = k.doc_id AND d.p = k.p
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             STRING_AGG(w, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(LEN(t.toks) AS INTEGER) AS n_tokens,
+           CAST(LEN(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM t LEFT JOIN agg a USING (doc_id)
+    WHERE t.doc_id % 97 <> 0
+    """,
+    doc="Span-level benchmark decontamination (the REMOVAL step after "
+    "contamination_check's detection, GPT-3 appendix-C style): every "
+    "token covered by a 4-gram that appears in the benchmark set "
+    "(docs with doc_id % 97 = 0) is cut from the training document, "
+    "and the scrubbed text is re-assembled. The benchmark gram set is "
+    "bounded so the gram probe is a map-side broadcast semi-join; "
+    "drop positions aggregate per doc (collect_set of ints — output-"
+    "sized, membership exact) and re-assembly is a positional HOF "
+    "filter + array_join, all JVM-side. One corpus shuffle (the "
+    "per-doc drop-position aggregate); emits n_tokens / n_removed / "
+    "text_clean per training doc.",
+)
+def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # guard: Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB RANGE is
+    # empty) — short docs must yield zero grams, not bogus positions
+    starts = F.when(
+        F.size("toks") >= 4, F.sequence(F.lit(1), F.size("toks") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.array_join(F.slice("toks", i, 4), " ").alias("gram"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    hits = (
+        grams.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + 3)
+            ).alias("p"),
+        )
+    )
+    drops = hits.groupBy("doc_id").agg(F.collect_set("p").alias("drop_ps"))
+    train = t.where(F.col("doc_id") % 97 != 0)
+    joined = train.join(drops, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("drop_ps"), F.array().cast("array<int>")).alias(
+            "drop_ps"
+        ),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda w, idx: ~F.array_contains(F.col("drop_ps"), idx + F.lit(1)),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )

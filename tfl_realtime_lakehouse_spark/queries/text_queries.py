@@ -3212,3 +3212,77 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("text_clean"),
     )
+
+
+@register(
+    "text_readability_scores",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS wd,
+             LEN(STRING_SPLIT(text, ' ')) AS n_words,
+             GREATEST(LEN(STRING_SPLIT(text, '.')) - 1, 1) AS n_sentences
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, MAX(n_words) AS n_words, MAX(n_sentences) AS n_sentences,
+             CAST(SUM(GREATEST(LEN(REGEXP_EXTRACT_ALL(wd, '[aeiou]+')), 1))
+                  AS BIGINT) AS n_syllables
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+           CAST(n_sentences AS INTEGER) AS n_sentences, n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                 4) AS flesch_ease,
+           ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 - 15.59, 4) AS fk_grade
+    FROM s
+    """,
+    doc="Flesch reading-ease + Flesch-Kincaid grade per document — the "
+    "classic readability pair used as a curation quality signal "
+    "(Kincaid et al. 1975). Syllables are the standard vowel-group "
+    "heuristic (floored at 1 per word — an exact integer per word, "
+    "summed map-side); sentence count falls back to 1 on unpunctuated "
+    "text like this corpus. All counts exact integers; the two scores "
+    "are shared double trees rounded at 4 dp. One explode + one "
+    "map-side-combined aggregate keyed by doc_id.",
+)
+def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    w = docs.select(
+        "doc_id",
+        F.explode(toks).alias("wd"),
+        F.size(toks).alias("n_words"),
+        F.greatest(
+            F.size(F.split("text", "\\.")) - 1, F.lit(1)
+        ).alias("n_sentences"),
+    )
+    s = w.groupBy("doc_id").agg(
+        F.max("n_words").alias("n_words"),
+        F.max("n_sentences").alias("n_sentences"),
+        F.sum(
+            F.greatest(
+                F.size(F.regexp_extract_all("wd", F.lit("([aeiou]+)"), 1)),
+                F.lit(1),
+            )
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast("double")
+    return s.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_sentences").cast("int").alias("n_sentences"),
+        "n_syllables",
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )

@@ -523,3 +523,56 @@ def test_pmi_membership_is_support_only(spark):
         c.update(zip(ws, ws[1:]))
     expect = {k: v for k, v in c.items() if v >= 20}
     assert out == expect
+
+
+def test_decontaminate_removes_all_benchmark_grams(spark):
+    """After span removal, no scrubbed training doc contains any
+    benchmark 4-gram (the semantic guarantee detection alone lacks)."""
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_decontaminate_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    bench_grams = set()
+    for r in docs:
+        if r.doc_id % 97 == 0:
+            ws = r.text.split(" ")
+            bench_grams.update(
+                " ".join(ws[i : i + 4]) for i in range(len(ws) - 3)
+            )
+    out = text_decontaminate_spans(spark, sf).collect()
+    assert out, "no training docs"
+    n_scrubbed = 0
+    for r in out:
+        ws = [w for w in r.text_clean.split(" ") if w]
+        for i in range(len(ws) - 3):
+            assert " ".join(ws[i : i + 4]) not in bench_grams, r.doc_id
+        if r.n_removed > 0:
+            n_scrubbed += 1
+    assert n_scrubbed > 0, "fixture produced no contaminated docs"
+
+
+def test_logreg_beats_baseline_and_is_deterministic(spark):
+    """The distilled linear scorer beats the majority-class baseline,
+    and two training runs are bit-identical (the verifiable-recurrence
+    claim, engine-side)."""
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_quality_logreg_train,
+    )
+
+    # sf0.01: at sf0.001 the class balance makes 16 rounds land exactly
+    # on the majority predictor — no strict improvement to assert
+    sf = "/root/testdata/sf0.01"
+    a = {r.doc_id: (r.score, r.pred, r.label) for r in
+         text_quality_logreg_train(spark, sf).collect()}
+    b = {r.doc_id: (r.score, r.pred, r.label) for r in
+         text_quality_logreg_train(spark, sf).collect()}
+    assert a == b
+    n = len(a)
+    acc = sum(1 for s, p, y in a.values() if p == y) / n
+    majority = max(
+        sum(1 for *_, y in a.values() if y == 1),
+        sum(1 for *_, y in a.values() if y == 0),
+    ) / n
+    assert acc > majority, (acc, majority)

@@ -31,8 +31,11 @@ BUDGETS = {
     # iterative k-center: rounds materialize via localCheckpoint, the
     # FINAL plan is exchange-free scoring over the checkpointed seeds
     "embedding_kcenter_coreset": (0, 0),
-    # banded blocking join; one Arrow stage for the shingle UDF
-    "embedding_neardup_blocked": (1, 1),
+    # r5: exact-contraction wraps the block plan — the extra exchanges
+    # are the contraction's group/membership equi-joins (fixed-width
+    # keys, O(n) rows each) and buy a measured 60x at the 50x-duplicated
+    # sf5 corpus (145 s -> 2.4 s); the Arrow stage is the block matmul
+    "embedding_neardup_blocked": (7, 1),
     # block -> match -> CC -> survivorship composed plan
     "entity_resolution_parts": (10, 0),
     # df-capped sparse feature space; inverted-index pair join + norms

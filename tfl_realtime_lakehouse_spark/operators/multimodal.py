@@ -907,13 +907,38 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
+_REP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("_pk", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_mean", T.DoubleType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
 def pixel_stats(assets: DataFrame) -> DataFrame:
-    """REAL pixel statistics: decode every payload with the pure-stdlib
-    decoders (PNG zlib+unfilter, or baseline-JPEG Huffman+IDCT via
-    :func:`decode_pixels`) and reduce the actual pixel matrix.
+    """REAL pixel statistics: decode payloads with the pure-stdlib
+    decoders (PNG zlib+unfilter, baseline-JPEG Huffman+IDCT, or GIF
+    LZW via :func:`decode_pixels`) and reduce the actual pixel matrix.
     Corrupt/unsupported payloads yield null stats. Exact integer sum
     (and one IEEE division for the mean) so the whole decode chain is
-    bit-checkable cross-engine."""
+    bit-checkable cross-engine.
+
+    Content-addressed decode contraction (r5): byte-identical payloads
+    decode ONCE — group by md5(payload), run the expensive Python
+    codec over DISTINCT content only, equi-join the stats back to
+    every asset id. Media corpora at scale are heavily
+    content-duplicated (mirrors, reposts, crawl dups), so the codec —
+    by far the dominant cost — must run per distinct blob, not per
+    row; the two fixed-width-key exchanges this adds are noise next to
+    it (the r5 sf5 sweep measured the GIF leg at 66 s decoding 50 k
+    payloads drawn from ~128 distinct contents). Same uniform rule as
+    the pair operators: contract exact duplicates before the expensive
+    stage."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -921,16 +946,16 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
             if pdf.empty:
                 continue
             rows = []
-            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+            for pk, payload in zip(pdf["_pk"], pdf["payload"]):
                 px = decode_pixels(payload)
                 if px is None:
-                    rows.append((int(aid), None, None, None, None, None, None))
+                    rows.append((pk, None, None, None, None, None, None))
                     continue
                 h, w = px.shape[:2]
                 s = int(px.sum(dtype=np.int64))
                 rows.append(
                     (
-                        int(aid), w, h, s,
+                        pk, w, h, s,
                         s / float(px.size),
                         int(px.min()), int(px.max()),
                     )
@@ -938,7 +963,7 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "asset_id", "width", "height", "px_sum",
+                    "_pk", "width", "height", "px_sum",
                     "px_mean", "px_min", "px_max",
                 ],
             ).astype(
@@ -948,7 +973,17 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.select("asset_id", "payload").mapInPandas(run, PIXEL_STATS_SCHEMA)
+    keyed = assets.select("asset_id", F.md5("payload").alias("_pk"), "payload")
+    reps = keyed.select("_pk", "payload").dropDuplicates(["_pk"])
+    stats = reps.mapInPandas(run, _REP_STATS_SCHEMA)
+    return (
+        keyed.select("asset_id", "_pk")
+        .join(stats, "_pk")
+        .select(
+            "asset_id", "width", "height", "px_sum",
+            "px_mean", "px_min", "px_max",
+        )
+    )
 
 
 AHASH_SCHEMA = T.StructType(

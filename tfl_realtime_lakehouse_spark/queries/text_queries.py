@@ -3243,31 +3243,37 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Flesch reading-ease + Flesch-Kincaid grade per document — the "
     "classic readability pair used as a curation quality signal "
     "(Kincaid et al. 1975). Syllables are the standard vowel-group "
-    "heuristic (floored at 1 per word — an exact integer per word, "
-    "summed map-side); sentence count falls back to 1 on unpunctuated "
-    "text like this corpus. All counts exact integers; the two scores "
-    "are shared double trees rounded at 4 dp. One explode + one "
-    "map-side-combined aggregate keyed by doc_id.",
+    "heuristic (floored at 1 per word — an exact integer per word); "
+    "sentence count falls back to 1 on unpunctuated text like this "
+    "corpus. All counts exact integers; the two scores are shared "
+    "double trees rounded at 4 dp. MAP-ONLY plan (r5): since spaces "
+    "are not vowels, vowel runs never cross word boundaries, so "
+    "sum-over-words of per-word runs equals ONE regexp_extract_all "
+    "over the whole document; the per-word floor-at-1 adds exactly "
+    "+1 per vowel-free word, counted by a vowel-strip length compare "
+    "(translate — a char map, no regex) inside an array filter. The "
+    "oracle keeps the per-word UNNEST definition; the identity is "
+    "exact integer arithmetic, so the emitted values are unchanged "
+    "(r5 sweep: 55.6 s → sub-second at sf5, zero shuffles).",
 )
 def text_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    w = docs.select(
+    # Words containing no vowel at all (each contributes floor 1 in the
+    # per-word greatest(runs, 1)); translate strips vowels in one pass.
+    no_vowel = F.filter(
+        toks,
+        lambda x: F.length(F.translate(x, "aeiou", "")) == F.length(x),
+    )
+    s = docs.select(
         "doc_id",
-        F.explode(toks).alias("wd"),
         F.size(toks).alias("n_words"),
         F.greatest(
             F.size(F.split("text", "\\.")) - 1, F.lit(1)
         ).alias("n_sentences"),
-    )
-    s = w.groupBy("doc_id").agg(
-        F.max("n_words").alias("n_words"),
-        F.max("n_sentences").alias("n_sentences"),
-        F.sum(
-            F.greatest(
-                F.size(F.regexp_extract_all("wd", F.lit("([aeiou]+)"), 1)),
-                F.lit(1),
-            )
+        (
+            F.size(F.regexp_extract_all("text", F.lit("([aeiou]+)"), 1))
+            + F.size(no_vowel)
         )
         .cast("bigint")
         .alias("n_syllables"),

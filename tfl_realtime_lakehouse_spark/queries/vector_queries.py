@@ -593,7 +593,9 @@ _GRADIENT_PARAMS = """
     "sum/min/max per asset. The oracle recomputes the planted gradient "
     "arithmetically, so a single flipped bit anywhere in the "
     "compress→decompress→unfilter chain fails the hash match. "
-    "Map-only Arrow pipeline, zero shuffle.",
+    "Content-addressed decode (r5): byte-identical payloads decode "
+    "once (md5 contraction + stats join-back) — the shape media "
+    "corpora need at scale.",
 )
 def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -632,7 +634,9 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arithmetic, so a single flipped bit anywhere in the "
     "Huffman->IDCT->levelshift chain fails the hash match. The JPEG "
     "leg of the multimodal family (PNG: multimodal_pixel_stats); "
-    "map-only Arrow pipeline, zero shuffle.",
+    "Content-addressed decode (r5): byte-identical payloads decode "
+    "once (md5 contraction + stats join-back) — the shape media "
+    "corpora need at scale.",
 )
 def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -669,7 +673,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact integer sum/min/max per asset. A single flipped bit in the "
     "LZW chain fails the hash match. Completes the image-codec "
     "triple (PNG/JPEG/GIF) — no multimodal pixel stub remains. "
-    "Map-only Arrow pipeline, zero shuffle.",
+    "Content-addressed decode (r5): byte-identical payloads decode "
+    "once (md5 contraction + stats join-back) — the shape media "
+    "corpora need at scale.",
 )
 def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
@@ -1853,17 +1859,28 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
     )
     dims = spark.createDataFrame([(8,), (16,), (32,)], "d int")
+    # cos_full is d-independent: compute it ONCE per (query, vec) pair
+    # BEFORE the dims fan-out (same expression tree on the same inputs,
+    # so the emitted value is bit-identical to evaluating it after the
+    # crossJoin — r5 hoist cuts the full-width folds 3×).
     pairs = (
         emb.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "_qvec",
+            "embedding",
+            F.round(S.cosine(F.col("_qvec"), F.col("embedding")), 6).alias(
+                "cos_full"
+            ),
+        )
         .crossJoin(F.broadcast(dims))
         .select(
             "query_id",
             "vec_id",
             "d",
-            F.round(S.cosine(F.col("_qvec"), F.col("embedding")), 6).alias(
-                "cos_full"
-            ),
+            "cos_full",
             F.round(
                 S.cosine(
                     F.slice(F.col("_qvec"), 1, F.col("d")),

@@ -3215,6 +3215,227 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_crossdoc_span_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, ARRAY_TO_STRING(toks[i:i+3], ' ') AS gram
+      FROM t, UNNEST(RANGE(1, LEN(toks) - 2)) s(i)
+    ),
+    dup AS (
+      SELECT gram, MIN(doc_id) AS kdoc FROM g GROUP BY gram
+      HAVING COUNT(*) > 1
+    ),
+    keep AS (
+      SELECT g.gram, g.doc_id AS kdoc, MIN(g.i) AS ki
+      FROM g JOIN dup d ON g.gram = d.gram AND g.doc_id = d.kdoc
+      GROUP BY g.gram, g.doc_id
+    ),
+    drops AS (
+      SELECT DISTINCT g.doc_id, u.p
+      FROM g JOIN keep k ON g.gram = k.gram,
+           UNNEST(GENERATE_SERIES(g.i, g.i + 3)) u(p)
+      WHERE g.doc_id <> k.kdoc OR g.i <> k.ki
+    ),
+    tokens AS (
+      SELECT doc_id, s.p, toks[s.p] AS w
+      FROM t, UNNEST(RANGE(1, LEN(toks) + 1)) s(p)
+    ),
+    kept AS (
+      SELECT k.doc_id, k.p, k.w
+      FROM tokens k ANTI JOIN drops d ON d.doc_id = k.doc_id AND d.p = k.p
+    ),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             STRING_AGG(w, ' ' ORDER BY p) AS text_clean
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(LEN(t.toks) AS INTEGER) AS n_tokens,
+           CAST(LEN(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.text_clean, '') AS text_clean
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+    doc="Cross-document exact-span dedup, the corpus-wide REMOVAL "
+    "counterpart of text_decontaminate_spans (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better': "
+    "delete every duplicated span from all but one occurrence). A "
+    "4-gram occurring more than once corpus-wide keeps exactly its "
+    "canonical occurrence — lexicographic-min (doc_id, position), "
+    "computed as ONE min-of-struct aggregate (O(1) state per gram) — "
+    "and every other occurrence's token positions are cut; per-doc "
+    "position sets are output-bounded collect_sets and re-assembly "
+    "is the positional HOF filter. Three shuffles total (gram "
+    "min-pair agg, drop-position agg, doc join-back), no pair "
+    "expansion anywhere — the suffix-array machinery of the paper "
+    "collapses to a gram groupBy because grams of fixed k ARE the "
+    "duplicated-substring witnesses. At production scale the gram "
+    "shuffle key would be xxhash64(gram) for fixed width (collision "
+    "odds 2^-64 per pair); kept as the literal gram here so the "
+    "DuckDB oracle replays byte-identically.",
+)
+def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    # sequence(1, n) DESCENDS for n < 1 — short docs must yield no grams
+    starts = F.when(
+        F.size("toks") >= 4, F.sequence(F.lit(1), F.size("toks") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.array_join(F.slice("toks", i, 4), " ").alias("gram"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    # Canonical occurrence per duplicated gram: lexicographic min of
+    # (doc_id, i) — equals the oracle's two-step arg-min (min doc,
+    # then min position within that doc).
+    keep = (
+        grams.groupBy("gram")
+        .agg(
+            F.min(F.struct("doc_id", "i")).alias("k"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .where(F.col("cnt") > 1)
+        .select(
+            "gram",
+            F.col("k.doc_id").alias("kdoc"),
+            F.col("k.i").alias("ki"),
+        )
+    )
+    drops = (
+        grams.join(keep, "gram")
+        .where((F.col("doc_id") != F.col("kdoc")) | (F.col("i") != F.col("ki")))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + 3)).alias("p"),
+        )
+    )
+    dps = drops.groupBy("doc_id").agg(F.collect_set("p").alias("drop_ps"))
+    joined = t.join(dps, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("drop_ps"), F.array().cast("array<int>")).alias(
+            "drop_ps"
+        ),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda w, idx: ~F.array_contains(F.col("drop_ps"), idx + F.lit(1)),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )
+
+
+@register(
+    "eval_quality_auc_by_lang",
+    oracle="""
+    WITH d AS (
+      SELECT lang,
+             LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                             w -> w IN ('the', 'a'))) AS score,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, score, CAST(SUM(y) AS BIGINT) AS p_v,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_v
+      FROM d GROUP BY lang, score
+    ),
+    w AS (
+      SELECT lang, p_v, n_v,
+             COALESCE(SUM(n_v) OVER (PARTITION BY lang ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS cum_n
+      FROM c
+    ),
+    a AS (
+      SELECT lang, CAST(SUM(p_v) AS BIGINT) AS n_pos,
+             CAST(SUM(n_v) AS BIGINT) AS n_neg,
+             CAST(SUM(2 * p_v * cum_n + p_v * n_v) AS BIGINT) AS u2
+      FROM w GROUP BY lang
+    )
+    SELECT lang, n_pos, n_neg, u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN ROUND(CAST(u2 AS DOUBLE)
+                           / CAST(2 * n_pos * n_neg AS DOUBLE), 6)
+           END AS auc
+    FROM a
+    """,
+    doc="Tie-corrected ROC-AUC of a quality signal (stopword count — "
+    "integer-valued, so ties are the common case) against the length "
+    "label (n_chars >= 200, the text_quality_logreg_train target), "
+    "grouped by lang: the filter-evaluation step every curation "
+    "pipeline needs before trusting a scorer. Computed WITHOUT pair "
+    "enumeration via the Mann-Whitney U statistic on per-(lang,score) "
+    "class counts: one corpus-collapsing aggregate to "
+    "|langs|x|distinct scores| rows (map-side combined), a cumulative "
+    "window over ascending score, and u2 = 2*concordant + tied kept "
+    "as an EXACT integer; AUC = u2 / (2*P*N) is the single shared "
+    "double division, rounded at 6 dp. Null AUC when a lang lacks "
+    "both classes. Scale shape: the O(n^2) pairwise definition "
+    "collapses to a group-by whose key space is data-independent of "
+    "corpus size.",
+)
+def eval_quality_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        X.stopword_count("text").alias("score"),
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("y"),
+    )
+    c = d.groupBy("lang", "score").agg(
+        F.sum("y").cast("bigint").alias("p_v"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("bigint").alias("n_v"),
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = c.select(
+        "lang",
+        "p_v",
+        "n_v",
+        F.coalesce(F.sum("n_v").over(win), F.lit(0)).alias("cum_n"),
+    )
+    a = w.groupBy("lang").agg(
+        F.sum("p_v").cast("bigint").alias("n_pos"),
+        F.sum("n_v").cast("bigint").alias("n_neg"),
+        F.sum(
+            2 * F.col("p_v") * F.col("cum_n") + F.col("p_v") * F.col("n_v")
+        )
+        .cast("bigint")
+        .alias("u2"),
+    )
+    return a.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("u2").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
+@register(
     "text_readability_scores",
     oracle="""
     WITH w AS (

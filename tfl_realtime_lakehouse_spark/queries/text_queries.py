@@ -3339,6 +3339,94 @@ def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_ngram_novelty_curve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, ARRAY_TO_STRING(toks[i:i+2], ' ') AS gram
+      FROM t, UNNEST(RANGE(1, LEN(toks) - 1)) s(i)
+    ),
+    f AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    ),
+    p AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM g JOIN f USING (gram) GROUP BY g.doc_id
+    )
+    SELECT t.doc_id, COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           CASE WHEN p.n_grams > 0
+                THEN ROUND(CAST(p.n_novel AS DOUBLE)
+                           / CAST(p.n_grams AS DOUBLE), 6)
+           END AS novelty_ratio
+    FROM t LEFT JOIN p USING (doc_id)
+    """,
+    doc="Per-document n-gram novelty — the dataset-accumulation metric "
+    "behind 'how much NEW content does each additional shard "
+    "contribute': for every doc (in doc_id arrival order), the "
+    "fraction of its distinct 3-grams whose corpus-wide FIRST "
+    "occurrence (min doc_id) is this doc. Dedup-adjacent curation "
+    "signal: a tail of near-zero-novelty docs means the crawl has "
+    "saturated. One distinct (doc,gram) projection, one gram arg-min "
+    "aggregate (O(1) state per gram), an equi-join back and a per-doc "
+    "count — integer counts end-to-end, one shared double division at "
+    "6 dp. Same gram-keyed shuffle shape as the span-dedup family; "
+    "production would key on xxhash64(gram) for fixed width.",
+)
+def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = F.when(
+        F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    g = (
+        t.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts, lambda i: F.array_join(F.slice("toks", i, 3), " ")
+                )
+            ).alias("gram"),
+        )
+        .dropDuplicates(["doc_id", "gram"])
+    )
+    f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    p = (
+        g.join(f, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        t.select("doc_id")
+        .join(p, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("n_novel").cast("double")
+                    / F.col("n_grams").cast("double"),
+                    6,
+                ),
+            ).alias("novelty_ratio"),
+        )
+    )
+
+
+@register(
     "eval_quality_auc_by_lang",
     oracle="""
     WITH d AS (

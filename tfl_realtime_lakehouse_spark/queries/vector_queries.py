@@ -1902,3 +1902,112 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_abs_delta"),
         F.round(F.max(delta), 6).alias("max_abs_delta"),
     )
+
+
+_FISHER_FOLD = " + ".join(f"COALESCE(terms[{i}], 0.0)" for i in range(1, 11))
+
+
+@register(
+    "embedding_fisher_separability",
+    oracle=f"""
+    WITH ex AS (
+      SELECT label,
+             CAST(GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS INTEGER) AS j,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label, j, CAST(COUNT(*) AS BIGINT) AS n_c,
+             SUM(CAST(x AS DECIMAL(38,12))) AS s_c,
+             SUM(CAST(x * x AS DECIMAL(38,12))) AS q_c
+      FROM ex GROUP BY label, j
+    ),
+    d AS (
+      SELECT j, CAST(SUM(n_c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s_c) AS DECIMAL(38,12)) AS s,
+             CAST(SUM(q_c) AS DECIMAL(38,12)) AS q,
+             LIST(CAST(s_c AS DOUBLE) * CAST(s_c AS DOUBLE)
+                  / CAST(n_c AS DOUBLE) ORDER BY label) AS terms
+      FROM c GROUP BY j
+    ),
+    r AS (
+      SELECT j, n, k,
+             ({_FISHER_FOLD}) AS cls_ss,
+             CAST(q AS DOUBLE) AS q_d, CAST(s AS DOUBLE) AS s_d
+      FROM d
+    )
+    SELECT j, n, k,
+           ROUND(cls_ss - s_d * s_d / CAST(n AS DOUBLE), 6) AS between_ss,
+           ROUND(q_d - cls_ss, 6) AS within_ss,
+           CASE WHEN q_d - cls_ss > 0.0 AND k > 1 THEN
+             ROUND(((cls_ss - s_d * s_d / CAST(n AS DOUBLE))
+                    / CAST(k - 1 AS DOUBLE))
+                   / ((q_d - cls_ss) / CAST(n - k AS DOUBLE)), 6)
+           END AS fisher_f
+    FROM r
+    """,
+    doc="Per-dimension Fisher separability (one-way-ANOVA F) of the "
+    "labeled embedding space — the probe-your-representation step "
+    "before trusting embeddings for classification or semantic dedup: "
+    "between-class vs within-class variance per coordinate, high F = "
+    "the dimension carries label signal. Two aggregations only: "
+    "per-(label,dim) count/sum/sum-of-squares with DECIMAL(38,12) "
+    "exact accumulation (order-free across partitions — the "
+    "repo-wide discipline), then a per-dim combine whose only "
+    "float-ordered reduction (the sum of per-class sum-sq/n terms) "
+    "runs as a LABEL-ORDERED left fold — array_sort(collect_list) + "
+    "aggregate() in Spark, LIST(... ORDER BY label) + an explicit "
+    "10-term left-associated sum in DuckDB — the identical IEEE "
+    "tree, so cross-engine hashes match bit-for-bit. Key space is "
+    "|labels|x|dims| (data-independent): the 100 TB plan is two "
+    "map-side-combined scans, no O(n) state anywhere.",
+)
+def embedding_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("j", "x0")
+    ).select("label", "j", F.col("x0").cast("double").alias("x"))
+    c = ex.groupBy("label", "j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_c"),
+        F.sum(F.col("x").cast("decimal(38,12)")).alias("s_c"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("q_c"),
+    )
+    term = (
+        F.col("s_c").cast("double")
+        * F.col("s_c").cast("double")
+        / F.col("n_c").cast("double")
+    )
+    d = c.groupBy("j").agg(
+        F.sum("n_c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_c").cast("decimal(38,12)").alias("s"),
+        F.sum("q_c").cast("decimal(38,12)").alias("q"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("label"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["t"],
+        ).alias("cls_ss"),
+    )
+    q_d = F.col("q").cast("double")
+    s_d = F.col("s").cast("double")
+    n_d = F.col("n").cast("double")
+    between = F.col("cls_ss") - s_d * s_d / n_d
+    within = q_d - F.col("cls_ss")
+    return d.select(
+        "j",
+        "n",
+        "k",
+        F.round(between, 6).alias("between_ss"),
+        F.round(within, 6).alias("within_ss"),
+        F.when(
+            (within > 0.0) & (F.col("k") > 1),
+            F.round(
+                (between / (F.col("k") - 1).cast("double"))
+                / (within / (F.col("n") - F.col("k")).cast("double")),
+                6,
+            ),
+        ).alias("fisher_f"),
+    )

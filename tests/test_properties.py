@@ -576,3 +576,124 @@ def test_logreg_beats_baseline_and_is_deterministic(spark):
         sum(1 for *_, y in a.values() if y == 0),
     ) / n
     assert acc > majority, (acc, majority)
+
+
+def test_crossdoc_span_dedup_matches_python_model(spark):
+    """Third implementation: a pure-Python positional model of the Lee
+    et al. removal semantics (canonical = lexicographic-min (doc, pos)
+    occurrence of each duplicated 4-gram; every other occurrence's
+    positions are cut) must reproduce text_clean byte-for-byte."""
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_crossdoc_span_dedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, ws in docs.items():
+        for i in range(len(ws) - 3):
+            occ.setdefault(" ".join(ws[i : i + 4]), []).append((d, i))
+    drops: dict[int, set[int]] = {d: set() for d in docs}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        keep = min(places)
+        for d, i in places:
+            if (d, i) != keep:
+                drops[d].update(range(i, i + 4))
+    out = {r.doc_id: r for r in text_crossdoc_span_dedup(spark, sf).collect()}
+    assert set(out) == set(docs)
+    any_removed = False
+    for d, ws in docs.items():
+        kept = [w for p, w in enumerate(ws) if p not in drops[d]]
+        r = out[d]
+        assert r.n_tokens == len(ws)
+        assert r.n_removed == len(ws) - len(kept), d
+        assert r.text_clean == " ".join(kept), d
+        any_removed = any_removed or r.n_removed > 0
+    assert any_removed, "fixture corpus produced no duplicated spans"
+
+
+def test_ngram_novelty_first_doc_full_and_counts_conserve(spark):
+    """The earliest doc is 100% novel, and sum(n_novel) equals the
+    number of distinct 3-grams in the corpus (every gram is novel in
+    exactly one doc)."""
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_ngram_novelty_curve,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = text_ngram_novelty_curve(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    all_grams = set()
+    for r in docs:
+        ws = r.text.split(" ")
+        all_grams.update(" ".join(ws[i : i + 3]) for i in range(len(ws) - 2))
+    by_id = {r.doc_id: r for r in rows}
+    first = min(r.doc_id for r in rows if r.n_grams > 0)
+    assert by_id[first].novelty_ratio == 1.0
+    assert sum(r.n_novel for r in rows) == len(all_grams)
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_grams
+
+
+def test_auc_matches_bruteforce_pairs(spark):
+    """Tie-corrected AUC equals the O(P*N) pairwise Mann-Whitney count
+    on the same (score, label) data, per lang."""
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        eval_quality_auc_by_lang,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    by_lang: dict[str, list[tuple[int, int]]] = {}
+    for r in docs:
+        ws = r.text.split(" ")
+        score = sum(1 for w in ws if w in ("the", "a"))
+        by_lang.setdefault(r.lang, []).append((score, int(r.n_chars >= 200)))
+    for r in eval_quality_auc_by_lang(spark, sf).collect():
+        pts = by_lang[r.lang]
+        pos = [s for s, y in pts if y == 1]
+        neg = [s for s, y in pts if y == 0]
+        assert r.n_pos == len(pos) and r.n_neg == len(neg)
+        if not pos or not neg:
+            assert r.auc is None
+            continue
+        u2 = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        assert r.u2 == u2
+        assert abs(r.auc - u2 / (2 * len(pos) * len(neg))) < 1e-6
+        assert 0.0 <= r.auc <= 1.0
+
+
+def test_fisher_matches_numpy_anova(spark):
+    """Per-dim F statistic matches a numpy one-way ANOVA on the raw
+    vectors (independent float path — tolerance, not bit equality)."""
+    import numpy as np
+
+    from tfl_realtime_lakehouse_spark.queries.vector_queries import (
+        embedding_fisher_separability,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    y = np.array([r.label for r in rows])
+    labels = sorted(set(y.tolist()))
+    n, k = len(y), len(labels)
+    for r in embedding_fisher_separability(spark, sf).collect():
+        col = X[:, r.j]
+        assert r.n == n and r.k == k
+        cls_ss = sum(col[y == c].sum() ** 2 / (y == c).sum() for c in labels)
+        between = cls_ss - col.sum() ** 2 / n
+        within = (col**2).sum() - cls_ss
+        assert abs(r.between_ss - between) < 1e-4, r.j
+        assert abs(r.within_ss - within) < 1e-4, r.j
+        if within > 0 and k > 1:
+            f = (between / (k - 1)) / (within / (n - k))
+            assert abs(r.fisher_f - f) < 1e-3, r.j
+        assert r.within_ss >= -1e-9

@@ -84,3 +84,76 @@ def layout_zorder_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cells_covered"),
         )
     )
+
+
+_COMPACT_TARGET = 2_500  # bytes per output file (scaled-down stand-in)
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH f AS (
+      SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+             SUM(CAST(n_chars AS BIGINT)) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM documents
+    ),
+    g AS (
+      SELECT source, doc_id, bytes,
+             CAST(FLOOR((cum - bytes) / {_COMPACT_TARGET}) AS BIGINT) AS grp
+      FROM f
+    )
+    SELECT source, grp,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM g GROUP BY source, grp
+    """,
+    doc="Small-files compaction planner — the maintenance pass every "
+    "large lakehouse table needs (thousands of tiny ingest files → "
+    "target-sized rewrite groups): within each source partition, "
+    "files (docs standing in, n_chars as bytes) are walked in key "
+    "order and assigned to a rewrite group by prefix-sum bin — group "
+    "= floor(preceding-bytes / target), the classic first-fit-in-"
+    "order packing that preserves key clustering so downstream "
+    "min/max pruning still works. One window prefix-sum per "
+    "partition + one group-by; all exact integers. At 100 TB the "
+    "input is the file-level metadata listing (millions of rows, not "
+    "the data), partitioned exactly as here — the plan is metadata-"
+    "sized, then each group rewrites independently, embarrassingly "
+    "parallel.",
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = docs.select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("bytes"),
+        F.sum(F.col("n_chars").cast("bigint")).over(w).alias("cum"),
+    )
+    g = f.select(
+        "source",
+        "doc_id",
+        "bytes",
+        # FLOOR on BOTH engines: a bare cast would truncate in Spark
+        # but round in DuckDB. Positive values, and byte totals stay
+        # under 2^53, so the double quotient floors exactly.
+        F.floor((F.col("cum") - F.col("bytes")) / F.lit(_COMPACT_TARGET))
+        .cast("bigint")
+        .alias("grp"),
+    )
+    return g.groupBy("source", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -103,6 +103,60 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_langid_confusion",
+    oracle="""
+    WITH p AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                       w -> w IN ('the', 'a')))::DOUBLE
+                       / LEN(STRING_SPLIT(text, ' ')) >= 0.02
+                  THEN 'en' ELSE 'und' END AS predicted_lang
+      FROM documents
+    ),
+    c AS (
+      SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM p GROUP BY labeled_lang, predicted_lang
+    )
+    SELECT labeled_lang, predicted_lang, n,
+           CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT)
+               AS labeled_total,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS DOUBLE),
+                 6) AS frac_of_labeled
+    FROM c
+    """,
+    doc="Language-ID confusion matrix — the classifier-eval companion "
+    "to text_lang_id: per (labeled, predicted) cell count plus the "
+    "per-labeled-class rate (the recall row of the matrix). The "
+    "corpus collapses to |langs|x|predictions| cells in one map-side-"
+    "combined aggregate; the marginal is a window over that cell "
+    "table (data-independent key space), one shared double division "
+    "at 6 dp.",
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        X.lang_id("text").alias("predicted_lang"),
+    )
+    c = p.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return c.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        F.sum("n").over(w).cast("bigint").alias("labeled_total"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(w).cast("double"),
+            6,
+        ).alias("frac_of_labeled"),
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -682,14 +682,18 @@ def test_contamination_plan_broadcasts_only_benchmark(spark, sf_correct):
     bench = docs.where(F.col("doc_id") % 97 == 0)
     plan = _physical_plan(contamination_check(docs, bench, n=4))
     # the corpus-side gram stream joins the (bounded, broadcast) benchmark
-    # gram set map-side: the semi join must be a BroadcastHashJoin, never a
-    # SortMergeJoin that would shuffle the whole exploded corpus on the gram
-    assert "BroadcastHashJoin LeftSemi" in plan
-    assert "SortMergeJoin LeftSemi" not in plan
+    # gram set map-side: the hit-marking join must be a BroadcastHashJoin,
+    # never a SortMergeJoin that would shuffle the exploded corpus on gram
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     # the only gram-keyed exchange allowed is the benchmark set's distinct
     # (small side, pre-broadcast); the corpus side shuffles only on doc_id
-    # for the per-doc hit count
+    # for the single per-doc (total, hits) aggregate
     assert plan.count("hashpartitioning(gram") <= 1
+    # single-pass contract: the shingle+hash expression is evaluated once
+    # per corpus row — one corpus-side generate stage, not a size-only
+    # branch plus an explode branch
+    assert plan.count("xxhash64") <= 2  # corpus explode + bench distinct
 
 
 def test_bm25_matches_python_reference(spark):

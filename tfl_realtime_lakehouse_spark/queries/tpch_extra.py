@@ -923,34 +923,47 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Market-basket item-item affinity (the collaborative-filtering "
     "/ association-rule primitive): parts that appear in the same "
     "order, with co-occurrence count and binary cosine "
-    "co/sqrt(n_a*n_b). Pair generation is the engine's standard "
-    "guarded self-join — per-basket expansion bounded by the basket "
-    "cap (orders with > 20 distinct parts dropped, oracle-mirrored; "
-    "TPC-H baskets average ~4 so the cap is a skew guard, not a "
-    "filter), co_cnt >= 2 bounds the output to genuinely repeated "
-    "pairs. Two map-side-combined aggregations + one self-join keyed "
-    "by the basket id; the n_orders margins join back as plain "
+    "co/sqrt(n_a*n_b). BASKET-CONTRACTED pair generation (r5, the "
+    "uniform contract-before-quadratic rule): one groupBy(order) "
+    "builds the sorted distinct-part basket (collect_set folds the "
+    "former distinct + count into the same shuffle), the cap (> 20 "
+    "distinct parts dropped, oracle-mirrored; TPC-H baskets average "
+    "~4 so it is a skew guard) filters on basket size, then "
+    "CONTENT-IDENTICAL baskets contract to one row with a "
+    "multiplicity — the k-squared in-row pair expansion runs once "
+    "per DISTINCT basket and co_cnt sums multiplicities, so a "
+    "duplicated corpus costs its distinct-basket size (measured "
+    "flat at sf5's 50x duplication). The basket group key is a "
+    "short bounded array (<= 20 ints); margins join back as "
     "equi-joins AQE can broadcast. Integer counts divide as doubles "
     "rounded at 6 dp — exact both engines.",
 )
 def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = (
+    baskets = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        # Bounded distinct-pair relation reused 2-3× downstream
-        # (cap filter + join + seeds): one materialization, not per-use
-        # recomputes of the corpus scan + distinct.
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("parts"))
+        .where(F.size("parts") <= 20)
+    )
+    # Distinct basket contents + multiplicity: bounded relation reused
+    # by both the margins and the pair expansion — one materialization.
+    sig = (
+        baskets.groupBy("parts")
+        .agg(F.count(F.lit(1)).alias("m"))
         .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
-    ok = op.groupBy("o").agg(F.count(F.lit(1)).alias("np")).where("np <= 20").select("o")
-    opf = op.join(ok, "o")
-    n = opf.groupBy("p").agg(F.count(F.lit(1)).alias("n_orders"))
+    n = (
+        sig.select(F.explode("parts").alias("p"), "m")
+        .groupBy("p")
+        .agg(F.sum("m").alias("n_orders"))
+    )
     pairs = (
-        opf.alias("x")
-        .join(opf.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .groupBy(F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("co_cnt"))
+        sig.select("m", F.explode("parts").alias("a"), "parts")
+        .select("m", "a", F.explode("parts").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
+        .agg(F.sum("m").alias("co_cnt"))
         .where("co_cnt >= 2")
     )
     na = n.select(F.col("p").alias("part_a"), F.col("n_orders").alias("n_a"))

@@ -697,3 +697,75 @@ def test_fisher_matches_numpy_anova(spark):
             f = (between / (k - 1)) / (within / (n - k))
             assert abs(r.fisher_f - f) < 1e-3, r.j
         assert r.within_ss >= -1e-9
+
+
+def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
+    """The r5 content-contraction in crossdoc span dedup and the
+    novelty curve is output-preserving on a corpus WITH exact
+    duplicates (the driver SFs have none, so this plants them): every
+    non-representative copy must lose everything (len >= 4) in span
+    dedup and own zero novel grams, and representatives must match the
+    pure-Python full-corpus models exactly."""
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_crossdoc_span_dedup,
+        text_ngram_novelty_curve,
+    )
+
+    texts = [
+        "a b c d e f",        # rep of class X
+        "a b c d e f",        # dup of X
+        "g h i j k b c d e",  # overlaps X's grams partially
+        "a b c d e f",        # another dup of X
+        "p q",                # short: no grams anywhere
+        "p q",                # short dup: still keeps everything
+        "z y x w v u t",      # unique
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    pdf.to_parquet(f"{sf}/documents.parquet")
+
+    docs = {i: t.split(" ") for i, t in enumerate(texts)}
+    # full-corpus span-dedup model (same as the earlier property test)
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, ws in docs.items():
+        for i in range(len(ws) - 3):
+            occ.setdefault(" ".join(ws[i : i + 4]), []).append((d, i))
+    drops: dict[int, set[int]] = {d: set() for d in docs}
+    for places in occ.values():
+        if len(places) < 2:
+            continue
+        keep = min(places)
+        for d, i in places:
+            if (d, i) != keep:
+                drops[d].update(range(i, i + 4))
+    out = {r.doc_id: r for r in text_crossdoc_span_dedup(spark, sf).collect()}
+    for d, ws in docs.items():
+        kept = [w for p, w in enumerate(ws) if p not in drops[d]]
+        assert out[d].n_removed == len(ws) - len(kept), d
+        assert out[d].text_clean == " ".join(kept), d
+    assert out[1].text_clean == "" and out[3].text_clean == ""  # dups of X
+    assert out[5].text_clean == "p q"  # short dup keeps everything
+
+    # full-corpus novelty model (3-grams, distinct per doc)
+    first: dict[str, int] = {}
+    per_doc: dict[int, set[str]] = {}
+    for d, ws in docs.items():
+        gs = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        per_doc[d] = gs
+        for g in gs:
+            first[g] = min(first.get(g, d), d)
+    nov = {r.doc_id: r for r in text_ngram_novelty_curve(spark, sf).collect()}
+    for d, gs in per_doc.items():
+        assert nov[d].n_grams == len(gs), d
+        assert nov[d].n_novel == sum(1 for g in gs if first[g] == d), d
+    assert nov[1].n_novel == 0 and nov[3].n_novel == 0

@@ -3327,11 +3327,28 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicated-substring witnesses. At production scale the gram "
     "shuffle key would be xxhash64(gram) for fixed width (collision "
     "odds 2^-64 per pair); kept as the literal gram here so the "
-    "DuckDB oracle replays byte-identically.",
+    "DuckDB oracle replays byte-identically. CONTENT-CONTRACTED "
+    "(r5): the gram machinery runs on DISTINCT texts only, because "
+    "an exact duplicate of an earlier text provably keeps nothing — "
+    "every gram occurrence in a non-canonical copy repeats the same "
+    "gram at the same position in the copy with the smallest doc_id, "
+    "so the lexicographic-min keeper can never live there, every "
+    "covered position drops, and (for len >= 4) ALL positions are "
+    "covered by some 4-gram. Non-representative docs therefore emit "
+    "n_removed = n_tokens / empty text_clean directly; measured "
+    "94.5 s -> distinct-text-bound on the 50x-duplicated sf5 corpus.",
 )
 def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    keyed = docs.select(
+        "doc_id", F.md5("text").alias("_pk"), F.split("text", " ").alias("toks")
+    )
+    rep = keyed.groupBy("_pk").agg(F.min("doc_id").alias("rep_doc"))
+    t = (
+        keyed.join(rep, "_pk")
+        .where(F.col("doc_id") == F.col("rep_doc"))
+        .select("doc_id", "toks")
+    )
     # sequence(1, n) DESCENDS for n < 1 — short docs must yield no grams
     starts = F.when(
         F.size("toks") >= 4, F.sequence(F.lit(1), F.size("toks") - 3)
@@ -3350,7 +3367,9 @@ def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
     # Canonical occurrence per duplicated gram: lexicographic min of
     # (doc_id, i) — equals the oracle's two-step arg-min (min doc,
-    # then min position within that doc).
+    # then min position within that doc). Computed on representatives
+    # only: the rep corpus preserves every gram's global minimum
+    # (reps hold the smallest doc_id of their content class).
     keep = (
         grams.groupBy("gram")
         .agg(
@@ -3373,22 +3392,44 @@ def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dps = drops.groupBy("doc_id").agg(F.collect_set("p").alias("drop_ps"))
-    joined = t.join(dps, "doc_id", "left").select(
-        "doc_id",
-        "toks",
-        F.coalesce(F.col("drop_ps"), F.array().cast("array<int>")).alias(
-            "drop_ps"
-        ),
+    rep_out = (
+        t.join(dps, "doc_id", "left")
+        .select(
+            "doc_id",
+            "toks",
+            F.coalesce(F.col("drop_ps"), F.array().cast("array<int>")).alias(
+                "drop_ps"
+            ),
+        )
+        .select(
+            F.col("doc_id").alias("rep_doc"),
+            F.filter(
+                F.col("toks"),
+                lambda w, idx: ~F.array_contains(
+                    F.col("drop_ps"), idx + F.lit(1)
+                ),
+            ).alias("kept"),
+        )
     )
-    kept = F.filter(
-        F.col("toks"),
-        lambda w, idx: ~F.array_contains(F.col("drop_ps"), idx + F.lit(1)),
+    # Join every doc back to its representative's result. Non-reps with
+    # >= 4 tokens lose everything (see docstring); shorter docs have no
+    # grams anywhere and keep everything.
+    is_rep = F.col("doc_id") == F.col("rep_doc")
+    n_tok = F.size("toks")
+    kept_final = F.when(is_rep, F.col("kept")).otherwise(
+        F.when(n_tok >= 4, F.array().cast("array<string>")).otherwise(
+            F.col("toks")
+        )
     )
-    return joined.select(
-        "doc_id",
-        F.size("toks").alias("n_tokens"),
-        (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
-        F.array_join(kept, " ").alias("text_clean"),
+    return (
+        keyed.join(rep, "_pk")
+        .join(rep_out, "rep_doc")
+        .select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            (n_tok - F.size(kept_final)).cast("bigint").alias("n_removed"),
+            F.array_join(kept_final, " ").alias("text_clean"),
+        )
     )
 
 
@@ -3429,11 +3470,22 @@ def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate (O(1) state per gram), an equi-join back and a per-doc "
     "count — integer counts end-to-end, one shared double division at "
     "6 dp. Same gram-keyed shuffle shape as the span-dedup family; "
-    "production would key on xxhash64(gram) for fixed width.",
+    "production would key on xxhash64(gram) for fixed width. "
+    "CONTENT-CONTRACTED (r5): the gram stage runs on DISTINCT texts "
+    "only — an exact duplicate of an earlier text can own no novel "
+    "gram (its every gram already exists in the copy with the "
+    "smallest doc_id), so non-representatives inherit the content-"
+    "pure n_grams and emit n_novel = 0 via a digest join-back.",
 )
 def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    keyed = docs.select("doc_id", F.md5("text").alias("_pk"), "text")
+    rep = keyed.groupBy("_pk").agg(F.min("doc_id").alias("rep_doc"))
+    t = (
+        keyed.join(rep, "_pk")
+        .where(F.col("doc_id") == F.col("rep_doc"))
+        .select("doc_id", F.split("text", " ").alias("toks"))
+    )
     starts = F.when(
         F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
     ).otherwise(F.array().cast("array<int>"))
@@ -3448,6 +3500,8 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_id", "gram"])
     )
+    # First-doc per gram over representatives equals the corpus-wide
+    # minimum: reps hold the smallest doc_id of their content class.
     f = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     p = (
         g.join(f, "gram")
@@ -3461,19 +3515,25 @@ def text_ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_novel"),
         )
     )
+    rep_out = p.select(
+        F.col("doc_id").alias("rep_doc"), "n_grams", "n_novel"
+    )
+    is_rep = F.col("doc_id") == F.col("rep_doc")
+    n_grams = F.coalesce("n_grams", F.lit(0).cast("bigint"))
+    n_novel = F.when(
+        is_rep, F.coalesce("n_novel", F.lit(0).cast("bigint"))
+    ).otherwise(F.lit(0).cast("bigint"))
     return (
-        t.select("doc_id")
-        .join(p, "doc_id", "left")
+        keyed.join(rep, "_pk")
+        .join(rep_out, "rep_doc", "left")
         .select(
             "doc_id",
-            F.coalesce("n_grams", F.lit(0).cast("bigint")).alias("n_grams"),
-            F.coalesce("n_novel", F.lit(0).cast("bigint")).alias("n_novel"),
+            n_grams.alias("n_grams"),
+            n_novel.alias("n_novel"),
             F.when(
-                F.col("n_grams") > 0,
+                n_grams > 0,
                 F.round(
-                    F.col("n_novel").cast("double")
-                    / F.col("n_grams").cast("double"),
-                    6,
+                    n_novel.cast("double") / n_grams.cast("double"), 6
                 ),
             ).alias("novelty_ratio"),
         )

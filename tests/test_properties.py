@@ -769,3 +769,36 @@ def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
         assert nov[d].n_grams == len(gs), d
         assert nov[d].n_novel == sum(1 for g in gs if first[g] == d), d
     assert nov[1].n_novel == 0 and nov[3].n_novel == 0
+
+    # weighted contraction (bigram JM perplexity): corpus counts must
+    # include duplicate multiplicities, and a duplicate must score
+    # bit-identically to its representative
+    import math
+    from collections import Counter
+
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_bigram_interpolated_perplexity,
+    )
+
+    uni = Counter(w for ws in docs.values() for w in ws)
+    nt = sum(uni.values())
+    bic = Counter(
+        (ws[i], ws[i + 1]) for ws in docs.values() for i in range(len(ws) - 1)
+    )
+    ppl = {r.doc_id: r for r in
+           text_bigram_interpolated_perplexity(spark, sf).collect()}
+    for d, ws in docs.items():
+        if len(ws) < 2:
+            assert d not in ppl
+            continue
+        lps = [
+            math.log(
+                0.75 * (bic[(ws[i], ws[i + 1])] / uni[ws[i]])
+                + 0.25 * (uni[ws[i + 1]] / nt)
+            )
+            for i in range(len(ws) - 1)
+        ]
+        assert ppl[d].n_bigrams == len(lps), d
+        model = math.exp(-sum(lps) / len(lps))
+        assert abs(ppl[d].perplexity - model) < 1e-3, d
+    assert ppl[0].perplexity == ppl[1].perplexity == ppl[3].perplexity

@@ -2132,16 +2132,30 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "log-probs pinned as 12-dp decimals before the exact per-doc sum "
     "(the unigram query's discipline), final exp rounded at 4 dp. "
     "All shuffles key on tokens or doc_id — corpus-sized vocab "
-    "stays distributed, nothing broadcast by assumption.",
+    "stays distributed, nothing broadcast by assumption. "
+    "WEIGHTED-CONTRACTED (r5): both the LM counts and the scoring "
+    "run over DISTINCT texts — unigram/bigram counts are per-text "
+    "occurrence counts times the content multiplicity (exact "
+    "integers, so corpus counts are unchanged), and a duplicate "
+    "copy's per-doc decimal log-prob sum is bit-identical to its "
+    "representative's, so scores join back through the content "
+    "digest. The contraction variant corpus-STATISTICS operators "
+    "need: duplicates still weight the model, but the expensive "
+    "occurrence-level scoring join runs once per distinct text.",
 )
 def text_bigram_interpolated_perplexity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    l = F.split("text", " ")
-    toks = docs.select("doc_id", l.alias("toks"))
-    bi = toks.select(
-        "doc_id",
+    keyed = docs.select("doc_id", F.md5("text").alias("_pk"))
+    reps = (
+        docs.groupBy(F.md5("text").alias("_pk"))
+        .agg(F.count(F.lit(1)).alias("m"), F.min("text").alias("text"))
+        .select("_pk", "m", F.split("text", " ").alias("toks"))
+    )
+    bi = reps.select(
+        "_pk",
+        "m",
         F.explode(
             F.zip_with(
                 F.slice(F.col("toks"), 1, F.size("toks") - 1),
@@ -2149,14 +2163,17 @@ def text_bigram_interpolated_perplexity(
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("p"),
-    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ).select("_pk", "m", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # Corpus counts = per-distinct-text occurrence rows weighted by the
+    # content multiplicity — exact integers, identical to counting the
+    # raw corpus.
     uni = (
-        toks.select(F.explode("toks").alias("w"))
+        reps.select("m", F.explode("toks").alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nw"))
+        .agg(F.sum("m").cast("bigint").alias("nw"))
     )
     n = uni.agg(F.sum("nw").cast("double").alias("nt"))
-    cb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    cb = bi.groupBy("w1", "w2").agg(F.sum("m").cast("bigint").alias("nb"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("nw").alias("n1"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("nw").alias("n2"))
     p = F.lit(0.75) * (F.col("nb").cast("double") / F.col("n1").cast("double")) + F.lit(
@@ -2167,13 +2184,16 @@ def text_bigram_interpolated_perplexity(
         .join(u1, "w1")
         .join(u2, "w2")
         .crossJoin(F.broadcast(n))
-        .select("doc_id", F.log(p).cast("decimal(27,12)").alias("lp"))
+        .select("_pk", F.log(p).cast("decimal(27,12)").alias("lp"))
     )
-    return scored.groupBy("doc_id").agg(
+    per_text = scored.groupBy("_pk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(
             F.exp(-(F.sum("lp").cast("double")) / F.count(F.lit(1)).cast("double")), 4
         ).alias("perplexity"),
+    )
+    return keyed.join(per_text, "_pk").select(
+        "doc_id", "n_bigrams", "perplexity"
     )
 
 

@@ -802,3 +802,21 @@ def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
         model = math.exp(-sum(lps) / len(lps))
         assert abs(ppl[d].perplexity - model) < 1e-3, d
     assert ppl[0].perplexity == ppl[1].perplexity == ppl[3].perplexity
+
+    # weighted contraction (tf-idf top terms): df and N must count
+    # duplicate copies, and copies share identical top-term rows
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_tfidf_topterms,
+    )
+
+    dfc = Counter()
+    for ws in docs.values():
+        dfc.update(set(ws))
+    tfidf = {}
+    for r in text_tfidf_topterms(spark, sf).collect():
+        tfidf.setdefault(r.doc_id, []).append(r)
+        assert r.df == dfc[r.term], (r.doc_id, r.term)
+        tfv = Counter(docs[r.doc_id])[r.term]
+        assert r.tf == tfv, (r.doc_id, r.term)
+    key = lambda rows: sorted((r.term, r.tf, r.df, r.score, r.rnk) for r in rows)
+    assert key(tfidf[0]) == key(tfidf[1]) == key(tfidf[3])

@@ -1570,19 +1570,34 @@ def text_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ordering compares exact decimals (a 1-ulp libm divergence "
     "at the 12th decimal is the only residual risk, vs ordering on "
     "raw doubles where every near-tie is a coin flip); row_number "
-    "ties break on term. Two shuffles (term df join, doc window).",
+    "ties break on term. Two shuffles (term df join, doc window). "
+    "WEIGHTED-CONTRACTED (r5): tf rows, the top-5 ranking and the "
+    "score are content-pure, and df/N count duplicates exactly via "
+    "per-distinct-text multiplicities (df = sum of m over distinct "
+    "texts containing the term, N = sum of m), so the explode, both "
+    "aggregates and the ranking window all run once per distinct "
+    "text with a digest join-back fanning rows to every copy. Also "
+    "folds the former second explode: df now derives from the tf "
+    "frame instead of re-tokenizing the corpus.",
 )
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    keyed = docs.select("doc_id", F.md5("text").alias("_pk"))
+    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("m"), F.min("text").alias("text")
+    )
+    tf = (
+        reps.select("_pk", "m", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("_pk", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("m").alias("m"))
+    )
+    df = tf.groupBy("term").agg(F.sum("m").alias("df"))
+    n = reps.agg(F.sum("m").alias("n_docs"))
     scored = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(n))
         .select(
-            "doc_id",
+            "_pk",
             "term",
             "tf",
             "df",
@@ -1598,18 +1613,17 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score_d"),
         )
     )
-    wr = Window.partitionBy("doc_id").orderBy(F.col("score_d").desc(), "term")
-    return (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .where(F.col("rnk") <= 5)
-        .select(
-            "doc_id",
-            "term",
-            F.col("tf").cast("bigint").alias("tf"),
-            F.col("df").cast("bigint").alias("df"),
-            F.round(F.col("score_d").cast("double"), 6).alias("score"),
-            F.col("rnk").cast("int").alias("rnk"),
-        )
+    wr = Window.partitionBy("_pk").orderBy(F.col("score_d").desc(), "term")
+    top = scored.withColumn("rnk", F.row_number().over(wr)).where(
+        F.col("rnk") <= 5
+    )
+    return keyed.join(top, "_pk").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.col("df").cast("bigint").alias("df"),
+        F.round(F.col("score_d").cast("double"), 6).alias("score"),
+        F.col("rnk").cast("int").alias("rnk"),
     )
 
 

@@ -820,3 +820,16 @@ def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
         assert r.tf == tfv, (r.doc_id, r.term)
     key = lambda rows: sorted((r.term, r.tf, r.df, r.score, r.rnk) for r in rows)
     assert key(tfidf[0]) == key(tfidf[1]) == key(tfidf[3])
+
+    # weighted contraction (unigram perplexity): duplicate-weighted LM,
+    # copies score identically, value matches a full-corpus model
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_unigram_perplexity,
+    )
+
+    up = {r.doc_id: r for r in text_unigram_perplexity(spark, sf).collect()}
+    for d, ws in docs.items():
+        lps = [math.log(uni[w] / nt) for w in ws]
+        assert up[d].n_tokens == len(ws), d
+        assert abs(up[d].perplexity - math.exp(-sum(lps) / len(lps))) < 1e-3, d
+    assert up[0].perplexity == up[1].perplexity == up[3].perplexity

@@ -1805,25 +1805,39 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final exp/division rounded at 4 dp. PP = exp(−Σ ln p(w) / n).",
 )
 def text_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WEIGHTED-CONTRACTED (r5, the bigram query's discipline): LM
+    # counts are per-distinct-text occurrence rows times the content
+    # multiplicity (exact integers), scoring runs once per distinct
+    # text, and copies inherit their representative's bit-identical
+    # decimal log-prob sum through a digest join-back.
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    lm = toks.groupBy("w").agg(F.count(F.lit(1)).alias("nw"))
-    n = toks.agg(F.count(F.lit(1)).cast("double").alias("nt"))
+    keyed = docs.select("doc_id", F.md5("text").alias("_pk"))
+    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("m"), F.min("text").alias("text")
+    )
+    toks = reps.select(
+        "_pk", "m", F.explode(F.split("text", " ")).alias("w")
+    )
+    lm = toks.groupBy("w").agg(F.sum("m").cast("bigint").alias("nw"))
+    n = lm.agg(F.sum("nw").cast("double").alias("nt"))
     scored = (
         toks.join(lm, "w")
         .crossJoin(F.broadcast(n))
         .select(
-            "doc_id",
+            "_pk",
             F.log(F.col("nw").cast("double") / F.col("nt"))
             .cast("decimal(27,12)")
             .alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    per_text = scored.groupBy("_pk").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
         F.round(
             F.exp(-(F.sum("lp").cast("double")) / F.count(F.lit(1)).cast("double")), 4
         ).alias("perplexity"),
+    )
+    return keyed.join(per_text, "_pk").select(
+        "doc_id", "n_tokens", "perplexity"
     )
 
 

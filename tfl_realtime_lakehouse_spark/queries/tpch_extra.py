@@ -899,6 +899,40 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(pairs, iters=3)
 
 
+def _contracted_basket_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct basket contents + multiplicity (the shared contraction
+    for basket_part_affinity and recommend_parts_for_customer): one
+    per-order collect_set shuffle builds the sorted distinct-part
+    basket (cap: > 20 distinct parts dropped — skew guard), then
+    content-identical baskets contract to one row with a count."""
+    baskets = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("parts"))
+        .where(F.size("parts") <= 20)
+    )
+    return (
+        baskets.groupBy("parts")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
+    )
+
+
+def _basket_copair_counts(sig: DataFrame) -> DataFrame:
+    """Weighted within-basket pair expansion over the contracted basket
+    signatures: the k-squared runs once per DISTINCT basket and co_cnt
+    sums multiplicities."""
+    return (
+        sig.select("m", F.explode("parts").alias("a"), "parts")
+        .select("m", "a", F.explode("parts").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
+        .agg(F.sum("m").alias("co_cnt"))
+        .where("co_cnt >= 2")
+    )
+
+
 @register(
     "basket_part_affinity",
     oracle="""
@@ -939,33 +973,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rounded at 6 dp — exact both engines.",
 )
 def basket_part_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    baskets = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .groupBy("o")
-        .agg(F.sort_array(F.collect_set("p")).alias("parts"))
-        .where(F.size("parts") <= 20)
-    )
-    # Distinct basket contents + multiplicity: bounded relation reused
-    # by both the margins and the pair expansion — one materialization.
-    sig = (
-        baskets.groupBy("parts")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .localCheckpoint(storageLevel=_CKPT_LEVEL)
-    )
+    # Bounded relation reused by both the margins and the pair
+    # expansion — one materialization.
+    sig = _contracted_basket_sig(spark, sf_dir)
     n = (
         sig.select(F.explode("parts").alias("p"), "m")
         .groupBy("p")
         .agg(F.sum("m").alias("n_orders"))
     )
-    pairs = (
-        sig.select("m", F.explode("parts").alias("a"), "parts")
-        .select("m", "a", F.explode("parts").alias("b"))
-        .where(F.col("a") < F.col("b"))
-        .groupBy(F.col("a").alias("part_a"), F.col("b").alias("part_b"))
-        .agg(F.sum("m").alias("co_cnt"))
-        .where("co_cnt >= 2")
-    )
+    pairs = _basket_copair_counts(sig)
     na = n.select(F.col("p").alias("part_a"), F.col("n_orders").alias("n_a"))
     nb = n.select(F.col("p").alias("part_b"), F.col("n_orders").alias("n_b"))
     return (
@@ -1123,22 +1139,9 @@ def recommend_parts_for_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
-    # Reused 2× (cap filter + join): one materialization of the
-    # corpus-scan + distinct, not per-use recomputes.
-    op = (
-        li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(storageLevel=_CKPT_LEVEL)
-    )
-    ok = op.groupBy("o").agg(F.count(F.lit(1)).alias("np")).where("np <= 20").select("o")
-    opf = op.join(ok, "o")
-    pairs = (
-        opf.alias("x")
-        .join(opf.alias("y"), (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .groupBy(F.col("x.p").alias("part_a"), F.col("y.p").alias("part_b"))
-        .agg(F.count(F.lit(1)).alias("co_cnt"))
-        .where("co_cnt >= 2")
-    )
+    # Shared basket-contracted pair machinery (r5): identical baskets
+    # expand to pairs once, weighted by multiplicity.
+    pairs = _basket_copair_counts(_contracted_basket_sig(spark, sf_dir))
     sym = pairs.select(
         F.col("part_a").alias("part_owned"),
         F.col("part_b").alias("part_rec"),

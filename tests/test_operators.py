@@ -1005,6 +1005,29 @@ def test_nb_classifier_separates_planted_vocabularies(spark):
     assert scores == scores2  # bit-identical decimal-exact scoring
 
 
+def test_nb_weighted_training_equals_replicated(spark):
+    """nb_train with integer row multiplicities must produce the exact
+    model (weights AND stats) of training on the physically replicated
+    rows — the contract the r5 weighted contraction relies on."""
+    from tfl_realtime_lakehouse_spark.operators.classifier import nb_train
+
+    base = [("alpha beta alpha", True, 3), ("zork quux", False, 5),
+            ("beta zork", True, 2), ("quux quux grue", False, 1)]
+    replicated = spark.createDataFrame(
+        [(i * 100 + k, t, y) for i, (t, y, m) in enumerate(base)
+         for k in range(m)],
+        "doc_id long, text string, y boolean",
+    )
+    contracted = spark.createDataFrame(
+        [(i, t, y, m) for i, (t, y, m) in enumerate(base)],
+        "doc_id long, text string, y boolean, m long",
+    )
+    w_r, s_r = nb_train(replicated, label=F.col("y"), buckets=32)
+    w_c, s_c = nb_train(contracted, label=F.col("y"), buckets=32, weight="m")
+    assert sorted(map(tuple, w_r.collect())) == sorted(map(tuple, w_c.collect()))
+    assert s_r.collect() == s_c.collect()
+
+
 def test_longest_common_span_finds_planted_paste(spark):
     """A verbatim 10-token paragraph pasted into an otherwise-different
     document must surface with exactly span=10 (run of 3 matched 8-token

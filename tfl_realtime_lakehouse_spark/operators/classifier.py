@@ -47,6 +47,7 @@ def nb_train(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 256,
+    weight: Column | str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train multinomial NB: returns (weights, stats).
 
@@ -55,18 +56,27 @@ def nb_train(
     stats: one row (n1_tot, n0_tot, d1, d0) — token totals per class and
     document counts per class (for the prior and the unseen-bucket
     default). Both are O(buckets)/O(1) — broadcast by construction.
+
+    ``weight`` (optional): integer row multiplicity for CONTRACTED
+    training input — one row per distinct (content, label) weighted by
+    its copy count. Counts are exact integers either way, so weighted
+    training on the contracted corpus equals unweighted training on
+    the raw corpus bit-for-bit (pinned by a pytest equivalence).
     """
-    toks = _hashed_tokens(docs.withColumn("_y", label), text_col, id_col, buckets, ["_y"])
+    w = F.lit(1) if weight is None else F.col(weight) if isinstance(weight, str) else weight
+    extra = ["_y", "_m"]
+    keyed = docs.withColumn("_y", label).withColumn("_m", w)
+    toks = _hashed_tokens(keyed, text_col, id_col, buckets, extra)
     counts = toks.groupBy("b").agg(
-        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(~F.col("_y"), 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("_y"), F.col("_m")).otherwise(0)).alias("n1"),
+        F.sum(F.when(~F.col("_y"), F.col("_m")).otherwise(0)).alias("n0"),
     )
     stats = counts.agg(
         F.sum("n1").alias("n1_tot"), F.sum("n0").alias("n0_tot")
     ).join(
-        docs.agg(
-            F.sum(F.when(label, 1).otherwise(0)).alias("d1"),
-            F.sum(F.when(~label, 1).otherwise(0)).alias("d0"),
+        keyed.agg(
+            F.sum(F.when(F.col("_y"), F.col("_m")).otherwise(0)).alias("d1"),
+            F.sum(F.when(~F.col("_y"), F.col("_m")).otherwise(0)).alias("d0"),
         )
     )
     bts = float(buckets)

@@ -1094,12 +1094,30 @@ def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb_train,
     )
 
+    # WEIGHTED-CONTRACTED (r5): training runs on distinct (content,
+    # label) rows weighted by their copy count in the train fold —
+    # exact-integer counts, bit-identical model — and scoring runs
+    # once per distinct test text (content-pure given the model),
+    # fanning back to per-doc rows through the content digest before
+    # the confusion aggregate.
     docs = table(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 5 != 0)
     test = docs.where(F.col("doc_id") % 5 == 0)
-    weights, stats = nb_train(train, label=F.col("lang") == "en", buckets=256)
-    scores = nb_score(test, weights, stats, buckets=256)
-    truth = test.select("doc_id", (F.col("lang") == "en").alias("y"))
+    trainc = train.groupBy(
+        F.md5("text").alias("_pk"), (F.col("lang") == "en").alias("_y")
+    ).agg(F.count(F.lit(1)).alias("m"), F.min("text").alias("text"))
+    weights, stats = nb_train(
+        trainc, label=F.col("_y"), id_col="_pk", buckets=256, weight="m"
+    )
+    test_keyed = test.select(
+        "doc_id", F.md5("text").alias("_pk"), (F.col("lang") == "en").alias("y")
+    )
+    test_reps = test.groupBy(F.md5("text").alias("_pk")).agg(
+        F.min("text").alias("text")
+    )
+    rep_scores = nb_score(test_reps, weights, stats, id_col="_pk", buckets=256)
+    scores = test_keyed.join(rep_scores, "_pk").select("doc_id", "score")
+    truth = test_keyed.select("doc_id", "y")
     return nb_confusion(scores, truth)
 
 

@@ -721,6 +721,10 @@ def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
         "p q",                # short: no grams anywhere
         "p q",                # short dup: still keeps everything
         "z y x w v u t",      # unique
+        # 25 copies push the "c d" bigram count to >= 20 (PMI floor)
+        *(["c d c d e"] * 25),
+        # 3 copies of an 8-token text: exactly one chunk, duplicated
+        *(["q r s t u v w x"] * 3),
     ]
     pdf = pd.DataFrame(
         {
@@ -833,3 +837,52 @@ def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
         assert up[d].n_tokens == len(ws), d
         assert abs(up[d].perplexity - math.exp(-sum(lps) / len(lps))) < 1e-3, d
     assert up[0].perplexity == up[1].perplexity == up[3].perplexity
+
+    # weighted contraction (word frequencies): totals and doc counts
+    # must include every copy
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_word_frequencies,
+    )
+
+    wf = {r.word: r for r in text_word_frequencies(spark, sf).collect()}
+    assert set(wf) == set(uni)
+    for w, r in wf.items():
+        assert r.n_total == uni[w], w
+        assert r.n_docs == sum(1 for ws in docs.values() if w in ws), w
+
+    # weighted contraction (PMI collocations): the nb >= 20 floor is
+    # cleared only by multiplicity-weighted counts ("c d" lives in 25
+    # copies of one distinct text)
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_pmi_collocations,
+    )
+
+    n2 = sum(len(ws) - 1 for ws in docs.values())
+    pmis = {(r.w1, r.w2): r for r in text_pmi_collocations(spark, sf).collect()}
+    exp_pairs = {p for p, c in bic.items() if c >= 20}
+    assert set(pmis) == exp_pairs and ("c", "d") in pmis
+    for (w1, w2), r in pmis.items():
+        assert r.n_pair == bic[(w1, w2)]
+        model = math.log(
+            (bic[(w1, w2)] / n2) / ((uni[w1] / nt) * (uni[w2] / nt))
+        )
+        assert abs(r.pmi - model) < 1e-3, (w1, w2)
+
+    # weighted contraction (duplicate chunk ratio): the 3 copies of the
+    # 8-token text are each all-duplicate; the unique 9-token doc's
+    # single chunk is not
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_duplicate_chunk_ratio,
+    )
+
+    dc = {r.doc_id: r for r in text_duplicate_chunk_ratio(spark, sf).collect()}
+    assert set(dc) == set(docs)
+    eight = [d for d, ws in docs.items() if ws == "q r s t u v w x".split()]
+    for d in eight:
+        assert (dc[d].n_chunks, dc[d].dup_chunks) == (1, 1)
+        assert dc[d].dup_chunk_ratio == 1.0
+    nine = [d for d, ws in docs.items() if len(ws) == 9][0]
+    assert (dc[nine].n_chunks, dc[nine].dup_chunks) == (1, 0)
+    short = [d for d, ws in docs.items() if len(ws) < 8]
+    for d in short:
+        assert dc[d].n_chunks == 0 and dc[d].dup_chunk_ratio is None

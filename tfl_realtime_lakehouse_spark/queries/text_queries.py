@@ -375,14 +375,21 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-level counts — the inverted-index building block.",
 )
 def text_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WEIGHTED-CONTRACTED (r5): one explode per DISTINCT text; total
+    # occurrences and doc frequencies weight per-text counts by the
+    # copy multiplicity — exact integers, identical to raw counting.
     docs = table(spark, sf_dir, "documents")
-    return (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("word")
-        .agg(
-            F.count(F.lit(1)).alias("n_total"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
+    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("m"), F.min("text").alias("text")
+    )
+    per_text = (
+        reps.select("_pk", "m", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("_pk", "word")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("m").alias("m"))
+    )
+    return per_text.groupBy("word").agg(
+        F.sum(F.col("c") * F.col("m")).alias("n_total"),
+        F.sum("m").alias("n_docs"),
     )
 
 
@@ -2983,28 +2990,54 @@ def scalar_csv_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report 0 chunks and a NULL ratio (no fake zeros).",
 )
 def text_duplicate_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WEIGHTED-CONTRACTED (r5): chunk digests, per-doc chunk counts and
+    # the dup flags are content-pure given the global digest-to-doc
+    # frequency, and that frequency counts DOCS (not occurrences), so
+    # it is the sum of copy multiplicities over distinct texts
+    # containing the digest. Chunking runs once per distinct text; all
+    # copies inherit their representative's row via the digest
+    # join-back (a text with m >= 2 is automatically all-duplicate —
+    # its own copies make every chunk shared, which the weighted freq
+    # reproduces exactly).
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
+    keyed = docs.select("doc_id", F.md5("text").alias("_pk"))
+    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("m"), F.min("text").alias("text")
+    )
+    toks = reps.select(
+        "_pk",
+        "m",
         F.split("text", " ").alias("t"),
         F.floor(F.size(F.split("text", " ")) / 8).cast("int").alias("n_chunks"),
     )
     chunks = toks.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("c"),
+        "_pk",
+        "m",
+        # sequence(0, n-1) DESCENDS for n < 1 (DuckDB RANGE is empty):
+        # docs shorter than one chunk must yield zero chunks, not
+        # phantom c=0/c=-1 rows (latent until a short-doc corpus)
+        F.explode(
+            F.when(
+                F.col("n_chunks") >= 1,
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("c"),
         "t",
     ).select(
-        "doc_id",
+        "_pk",
+        "m",
         F.md5(
             F.array_join(F.slice("t", F.col("c") * 8 + 1, 8), " ")
         ).alias("chunk_digest"),
     )
-    freq = chunks.groupBy("chunk_digest").agg(
-        F.countDistinct("doc_id").alias("n_docs")
+    freq = (
+        chunks.dropDuplicates(["_pk", "chunk_digest"])
+        .groupBy("chunk_digest")
+        .agg(F.sum("m").alias("n_docs"))
     )
-    per_doc = (
+    per_text = (
         chunks.join(freq, "chunk_digest")
-        .groupBy("doc_id")
+        .groupBy("_pk")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias(
@@ -3013,8 +3046,7 @@ def text_duplicate_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        toks.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        keyed.join(per_text, "_pk", "left")
         .select(
             "doc_id",
             F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
@@ -3063,30 +3095,37 @@ def text_duplicate_chunk_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffles key on tokens — corpus-derived vocab stays distributed.",
 )
 def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WEIGHTED-CONTRACTED (r5): unigram/bigram corpus counts are
+    # per-distinct-text occurrence rows times the copy multiplicity —
+    # exact integers, so every count (and thus the PMI) is unchanged.
     docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("m"), F.min("text").alias("text")
+    )
+    toks = reps.select("m", F.split("text", " ").alias("toks"))
     bi = toks.select(
+        "m",
         F.explode(
             F.zip_with(
                 F.slice(F.col("toks"), 1, F.size("toks") - 1),
                 F.slice(F.col("toks"), 2, F.size("toks") - 1),
                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
-        ).alias("p")
-    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        ).alias("p"),
+    ).select("m", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     uni = (
-        toks.select(F.explode("toks").alias("w"))
+        toks.select("m", F.explode("toks").alias("w"))
         .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nw"))
+        .agg(F.sum("m").cast("bigint").alias("nw"))
     )
     nt = uni.agg(F.sum("nw").cast("double").alias("n1"))
     cb = (
         bi.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+        .agg(F.sum("m").cast("bigint").alias("nb"))
         .where(F.col("nb") >= 20)
     )
     ntb = (
-        bi.agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+        bi.agg(F.sum("m").cast("bigint").alias("s"))
         .select(F.col("s").cast("double").alias("n2"))
     )
     u1 = uni.select(F.col("w").alias("w1"), F.col("nw").alias("n_w1"))

@@ -562,3 +562,25 @@ def test_codec_fuzz_never_raises():
         for dec in decoders:
             out = dec(p)  # must not raise
             assert out is None or getattr(out, "dtype", None) is not None
+
+
+def test_param_contracted_synth_matches_gradient_params(spark):
+    """The JVM (w, h, base) expressions inside _synth_param_assets must
+    mirror gradient_params(doc_id) exactly, and every asset's payload
+    must equal the directly-encoded payload for its id."""
+    from tfl_realtime_lakehouse_spark.operators.multimodal import (
+        gradient_params,
+        synth_gradient_assets,
+        synth_png_gradient,
+    )
+
+    ids = list(range(0, 700, 7)) + [1, 2, 3, 129, 255, 1000003]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.asset_id: bytes(r.payload)
+        for r in synth_gradient_assets(docs).collect()
+    }
+    expect_ids = [i for i in ids if i % 5 == 0]
+    assert sorted(got) == sorted(expect_ids)
+    for i in expect_ids:
+        assert got[i] == synth_png_gradient(*gradient_params(i)), i

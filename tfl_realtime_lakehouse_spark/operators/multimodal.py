@@ -807,30 +807,70 @@ def synth_png_gradient(width: int, height: int, base: int) -> bytes:
     )
 
 
-def synth_gradient_assets(documents: DataFrame) -> DataFrame:
-    """Gradient PNG assets for every 5th document (a bounded asset set
-    with planted near-duplicate structure: ids sharing (w, h) produce
-    shift-related gradients whose aHashes collide or nearly collide)."""
+_PARAM_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("w", T.IntegerType()),
+        T.StructField("h", T.IntegerType()),
+        T.StructField("base", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _synth_param_assets(documents: DataFrame, gen) -> DataFrame:
+    """Shared param-contracted asset synthesis (r5): the planted
+    (w, h, base) triple repeats with period 128 in doc_id, so the
+    Python encoder — by far the dominant cost of every synthetic
+    multimodal query — runs once per DISTINCT triple and the payloads
+    equi-join back to the asset ids. The triple is computed with JVM
+    expressions that mirror :func:`gradient_params` exactly (pinned by
+    a pytest identity against the Python function)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            ids = [int(i) for i in pdf["doc_id"]]
             yield pd.DataFrame(
                 {
-                    "asset_id": ids,
+                    "w": pdf["w"],
+                    "h": pdf["h"],
+                    "base": pdf["base"],
                     "payload": [
-                        synth_png_gradient(*gradient_params(i)) for i in ids
+                        gen(int(w), int(h), int(b))
+                        for w, h, b in zip(pdf["w"], pdf["h"], pdf["base"])
                     ],
                 }
             )
 
-    return (
+    keyed = (
         documents.select("doc_id")
         .where(F.col("doc_id") % 5 == 0)
-        .mapInPandas(run, SYNTH_SCHEMA)
+        .select(
+            "doc_id",
+            (F.lit(32) + (F.col("doc_id") % 4) * 8).cast("int").alias("w"),
+            (F.lit(32) + (F.shiftright("doc_id", 2) % 4) * 8)
+            .cast("int")
+            .alias("h"),
+            (F.col("doc_id") % 128).cast("int").alias("base"),
+        )
     )
+    payloads = (
+        keyed.select("w", "h", "base").distinct().mapInPandas(
+            run, _PARAM_PAYLOAD_SCHEMA
+        )
+    )
+    return keyed.join(payloads, ["w", "h", "base"]).select(
+        F.col("doc_id").alias("asset_id"), "payload"
+    )
+
+
+def synth_gradient_assets(documents: DataFrame) -> DataFrame:
+    """Gradient PNG assets for every 5th document (a bounded asset set
+    with planted near-duplicate structure: ids sharing (w, h) produce
+    shift-related gradients whose aHashes collide or nearly collide).
+    Param-contracted: the PNG encoder runs once per distinct planted
+    triple (see :func:`_synth_param_assets`)."""
+    return _synth_param_assets(documents, synth_png_gradient)
 
 
 def synth_jpeg_gradient_assets(documents: DataFrame) -> DataFrame:
@@ -839,59 +879,22 @@ def synth_jpeg_gradient_assets(documents: DataFrame) -> DataFrame:
     the payload rides the full Huffman+DCT codec: flat 8×8 tiles are
     DC-only blocks, so `operators/jpeg.py` decodes the planted values
     EXACTLY and the SQL oracle hash-checks the real entropy-decode +
-    IDCT chain)."""
+    IDCT chain). Param-contracted encode."""
     from tfl_realtime_lakehouse_spark.operators.jpeg import (
         synth_jpeg_tile_gradient,
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = [int(i) for i in pdf["doc_id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": ids,
-                    "payload": [
-                        synth_jpeg_tile_gradient(*gradient_params(i))
-                        for i in ids
-                    ],
-                }
-            )
-
-    return (
-        documents.select("doc_id")
-        .where(F.col("doc_id") % 5 == 0)
-        .mapInPandas(run, SYNTH_SCHEMA)
-    )
+    return _synth_param_assets(documents, synth_jpeg_tile_gradient)
 
 
 def synth_gif_gradient_assets(documents: DataFrame) -> DataFrame:
     """GIF gradient assets for every 5th document — the SAME planted
     pixel function as :func:`synth_gradient_assets` (GIF is
     index-mapped/lossless, so the PNG oracle arithmetic hash-checks
-    the real LZW decode path verbatim)."""
+    the real LZW decode path verbatim). Param-contracted encode."""
     from tfl_realtime_lakehouse_spark.operators.gif import synth_gif_gradient
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ids = [int(i) for i in pdf["doc_id"]]
-            yield pd.DataFrame(
-                {
-                    "asset_id": ids,
-                    "payload": [
-                        synth_gif_gradient(*gradient_params(i)) for i in ids
-                    ],
-                }
-            )
-
-    return (
-        documents.select("doc_id")
-        .where(F.col("doc_id") % 5 == 0)
-        .mapInPandas(run, SYNTH_SCHEMA)
-    )
+    return _synth_param_assets(documents, synth_gif_gradient)
 
 
 PIXEL_STATS_SCHEMA = T.StructType(

@@ -875,6 +875,46 @@ def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
         text_duplicate_chunk_ratio,
     )
 
+    # weighted contraction (logreg): the multiplicity-weighted gradient
+    # recurrence must match a Python replay over the RAW corpus (same
+    # 12-dp pinning), and copies must share identical rows
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_quality_logreg_train,
+    )
+
+    def pin(v):
+        return float(
+            Decimal(repr(v)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+        )
+
+    feats = []
+    for d, ws in docs.items():
+        n_chars = len(" ".join(ws))
+        x1 = sum(1 for w in ws if w in ("the", "a")) / len(ws)
+        feats.append((d, x1, n_chars / 1000.0, 1.0 if n_chars >= 200 else 0.0))
+    wv, lr, ndl = (0.0, 0.0, 0.0), 20.0, float(len(feats))
+    for _ in range(16):
+        g = [0.0, 0.0, 0.0]
+        for _, x1, x2, y in feats:
+            z = wv[0] + wv[1] * x1 + wv[2] * x2
+            err = 0.5 + 0.5 * z / (1.0 + abs(z)) - y
+            g[0] += pin(err)
+            g[1] += pin(err * x1)
+            g[2] += pin(err * x2)
+        wv = tuple(wv[i] - lr * (g[i] / ndl) for i in range(3))
+    lg = {r.doc_id: r for r in text_quality_logreg_train(spark, sf).collect()}
+    for d, x1, x2, y in feats:
+        z = wv[0] + wv[1] * x1 + wv[2] * x2
+        s = 0.5 + 0.5 * z / (1.0 + abs(z))
+        assert abs(lg[d].score - s) < 1e-4, d
+        assert lg[d].label == int(y), d
+    assert (lg[0].score, lg[0].pred) == (lg[1].score, lg[1].pred) == (
+        lg[3].score,
+        lg[3].pred,
+    )
+
     dc = {r.doc_id: r for r in text_duplicate_chunk_ratio(spark, sf).collect()}
     assert set(dc) == set(docs)
     eight = [d for d, ws in docs.items() if ws == "q r s t u v w x".split()]

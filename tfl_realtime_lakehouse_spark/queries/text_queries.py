@@ -3232,10 +3232,23 @@ def _logreg_oracle(rounds: int = 3, lr: str = "0.1") -> str:
     "tree, 6 dp), hard prediction, label.",
 )
 def text_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WEIGHTED-CONTRACTED (r5): features and label are content-pure, so
+    # the 16 gradient aggregates run over distinct (text, n_chars) rows
+    # with each per-row decimal gradient term multiplied by the copy
+    # multiplicity — decimal x integer is exact, so every round's sums
+    # (and therefore the trained weights) are bit-identical to the raw
+    # corpus recurrence the oracle replays.
     docs = table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.md5("text").alias("_pk"))
     toks = F.split("text", " ")
-    feats = docs.select(
-        "doc_id",
+    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min("text").alias("text"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    feats = reps.select(
+        "_pk",
+        F.col("m").cast("decimal(10,0)").alias("m"),
         (
             F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double")
             / F.size(toks).cast("double")
@@ -3243,7 +3256,9 @@ def text_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x2"),
         (F.col("n_chars") >= 200).cast("int").cast("double").alias("y"),
     ).localCheckpoint(storageLevel=_CKPT_LEVEL)
-    nd = float(feats.count())
+    nd = float(
+        feats.agg(F.sum("m").alias("s")).collect()[0].s
+    )
     w = (0.0, 0.0, 0.0)
     lr = 20.0
     for _ in range(16):
@@ -3251,9 +3266,13 @@ def text_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
         err = sig - F.col("y")
         g = feats.agg(
-            F.sum(err.cast("decimal(27,12)")).alias("g0"),
-            F.sum((err * F.col("x1")).cast("decimal(27,12)")).alias("g1"),
-            F.sum((err * F.col("x2")).cast("decimal(27,12)")).alias("g2"),
+            F.sum(err.cast("decimal(27,12)") * F.col("m")).alias("g0"),
+            F.sum(
+                (err * F.col("x1")).cast("decimal(27,12)") * F.col("m")
+            ).alias("g1"),
+            F.sum(
+                (err * F.col("x2")).cast("decimal(27,12)") * F.col("m")
+            ).alias("g2"),
         ).collect()[0]
         w = (
             w[0] - lr * (float(g.g0) / nd),
@@ -3262,11 +3281,14 @@ def text_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     zf = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
     sigf = F.lit(0.5) + F.lit(0.5) * zf / (F.lit(1.0) + F.abs(zf))
-    return feats.select(
-        "doc_id",
+    per_text = feats.select(
+        "_pk",
         F.round(sigf, 6).alias("score"),
         (sigf >= F.lit(0.5)).cast("int").alias("pred"),
         F.col("y").cast("int").alias("label"),
+    )
+    return keyed.join(per_text, "_pk").select(
+        "doc_id", "score", "pred", "label"
     )
 
 

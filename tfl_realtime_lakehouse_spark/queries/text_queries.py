@@ -409,7 +409,13 @@ def text_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-sensitive, computed with higher-order functions per row.",
 )
 def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CONTENT-CONTRACTED (r5): the fingerprint is content-pure, so the
+    # per-word md5 fold runs once per distinct text.
     docs = table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", F.md5("text").alias("_pk"))
+    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+        F.min("text").alias("text")
+    )
     word_hashes = F.transform(
         F.split("text", " "),
         lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("bigint"),
@@ -419,7 +425,8 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * 31 + h) % 1000000007,
     )
-    return docs.select("doc_id", rolling.alias("rolling_hash"))
+    per_text = reps.select("_pk", rolling.alias("rolling_hash"))
+    return keyed.join(per_text, "_pk").select("doc_id", "rolling_hash")
 
 
 @register(

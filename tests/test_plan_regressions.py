@@ -43,6 +43,25 @@ BUDGETS = {
     # r5: capped-leg hybrid fusion — legs go through TakeOrdered, never
     # a global sort-shuffle; only the 400-row bounded rank single-part
     "retrieval_rrf_fusion": (4, 0),
+    # ---- r5 second optimization pass: pin the improved shapes ----
+    # single gram pass: bench distinct + one per-doc (total, hits) agg
+    "contamination_check": (2, 0),
+    # map-side BM25: tf as array expressions, ZERO doc-keyed exchanges
+    "bm25_search": (0, 0),
+    # basket collect_set + signature contraction + pair agg
+    "basket_part_affinity": (3, 0),
+    # distinct-text contraction + tf agg + df agg + rank window
+    "text_tfidf_topterms": (4, 0),
+    # contraction + gram arg-min + drop-position agg + join-backs
+    "text_crossdoc_span_dedup": (6, 0),
+    "text_ngram_novelty_curve": (6, 0),
+    # weighted one-pass NB train + distinct-text scoring + confusion
+    "nb_quality_classifier": (10, 0),
+    # contraction + per-(text,word) + per-word aggs
+    "text_word_frequencies": (2, 0),
+    # param-contracted encode (1 py stage) + decode-once (1) on the
+    # distinct-payload side + the Arrow stats stage
+    "multimodal_gif_pixel_stats": (5, 3),
 }
 
 

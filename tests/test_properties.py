@@ -926,3 +926,43 @@ def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
     short = [d for d, ws in docs.items() if len(ws) < 8]
     for d in short:
         assert dc[d].n_chunks == 0 and dc[d].dup_chunk_ratio is None
+
+
+def test_ood_vector_contraction_on_duplicated_embeddings(spark, tmp_path):
+    """Vector-contracted OOD scoring must equal the raw-corpus z²-sum
+    model (numpy replay, duplicate-weighted moments) and give copies
+    identical scores."""
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.vector_queries import (
+        embedding_ood_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8)).astype("float32")
+    rows, vid = [], 0
+    for i, copies in enumerate([1, 4, 2, 1, 7, 3]):
+        for _ in range(copies):
+            rows.append((vid, base[i].tolist(), i))
+            vid += 1
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    n = float(len(rows))
+    s1 = X.sum(axis=0)
+    s2 = (X**2).sum(axis=0)
+    model = (((X * n - s1) ** 2) / (n * (n * s2 - s1**2))).sum(axis=1)
+    got = {r.vec_id: r.ood_score
+           for r in embedding_ood_outliers(spark, str(tmp_path)).collect()}
+    assert got, "no rows"
+    for v, s in got.items():
+        assert abs(s - model[v]) < 1e-4, v
+    # copies of the same base vector share identical engine scores
+    by_base: dict[int, set] = {}
+    for j, (v, _e, b) in enumerate(rows):
+        if v in got:
+            by_base.setdefault(b, set()).add(got[v])
+    for b, ss in by_base.items():
+        assert len(ss) == 1, b

@@ -1661,21 +1661,39 @@ def multimodal_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "addition does not). Top-20 via TakeOrdered, ties on vec_id.",
 )
 def embedding_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VECTOR-CONTRACTED (r5): the per-dim moments weight each distinct
+    # vector by its copy count (decimal x integer — exact, identical to
+    # raw accumulation) and the z-score fold runs once per distinct
+    # vector; copies inherit their representative's score through an
+    # exact array-equality join before the global top-20.
     emb = table(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "vec_id", F.posexplode(F.col("embedding"))
+    reps = emb.groupBy("embedding").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("m")
+    )
+    dims = reps.select(
+        "embedding", "m", F.posexplode(F.col("embedding"))
     ).select(
-        "vec_id", F.col("pos").alias("dim"), F.col("col").cast("double").alias("x")
+        "embedding",
+        "m",
+        F.col("pos").alias("dim"),
+        F.col("col").cast("double").alias("x"),
     )
     xd = F.col("x").cast("decimal(27,12)")
+    # (xd*xd) lands on decimal(38,7); multiplying that by m would clip
+    # the scale to 6 (38+10+1 > 38) and shift the 6-dp output. Casting
+    # the square to decimal(27,7) first is exact (|x²| ≤ 1) and leaves
+    # room for the multiplicity without any scale loss — the weighted
+    # sum then equals raw per-copy accumulation bit-for-bit.
     stats = dims.groupBy("dim").agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        F.sum(xd).cast("double").alias("s1"),
-        F.sum(xd * xd).cast("double").alias("s2"),
+        F.sum("m").cast("double").alias("n"),
+        F.sum(xd * F.col("m")).cast("double").alias("s1"),
+        F.sum((xd * xd).cast("decimal(27,7)") * F.col("m"))
+        .cast("double")
+        .alias("s2"),
     )
     dev = F.col("x") * F.col("n") - F.col("s1")
     z = dims.join(F.broadcast(stats), "dim").select(
-        "vec_id",
+        "embedding",
         (
             (dev * dev)
             / (F.col("n") * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")))
@@ -1683,9 +1701,12 @@ def embedding_ood_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(27,12)")
         .alias("z2"),
     )
-    scored = z.groupBy("vec_id").agg(
+    rep_scored = z.groupBy("embedding").agg(
         F.round(F.sum("z2").cast("double"), 6).alias("ood_score")
     )
+    scored = emb.select("vec_id", "embedding").join(
+        rep_scored, "embedding"
+    ).select("vec_id", "ood_score")
     top = scored.orderBy(F.col("ood_score").desc(), "vec_id").limit(20)
     w = Window.orderBy(F.col("ood_score").desc(), "vec_id")
     return top.withColumn("rnk", F.row_number().over(w)).select(

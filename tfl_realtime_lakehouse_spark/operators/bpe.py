@@ -42,7 +42,14 @@ END = "</w>"
 
 
 def _chars(word: Column) -> Column:
-    """Word → array of single-char symbols + end-of-word marker."""
+    """Word → array of single-char symbols + end-of-word marker.
+
+    Precondition: word is non-empty (callers tokenize on single spaces
+    over non-empty documents). An empty word would make sequence(1, 0)
+    DESCEND — the repo-wide sequence() hazard — yielding two garbage
+    substr symbols; if a future corpus can produce empty tokens, guard
+    with F.when(F.length(word) >= 1, ...) on BOTH engines so the
+    unrolled-merge oracle stays byte-identical."""
     return F.concat(
         F.transform(
             F.sequence(F.lit(1), F.length(word)),

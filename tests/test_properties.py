@@ -966,3 +966,21 @@ def test_ood_vector_contraction_on_duplicated_embeddings(spark, tmp_path):
             by_base.setdefault(b, set()).add(got[v])
     for b, ss in by_base.items():
         assert len(ss) == 1, b
+
+    # Fisher separability on the same duplicated fixture: weighted
+    # per-(label, dim) moments must match a raw-corpus numpy ANOVA
+    from tfl_realtime_lakehouse_spark.queries.vector_queries import (
+        embedding_fisher_separability,
+    )
+
+    y = np.array([r[2] for r in rows])
+    labels = sorted(set(y.tolist()))
+    nn, k = len(rows), len(labels)
+    for r in embedding_fisher_separability(spark, str(tmp_path)).collect():
+        col = X[:, r.j]
+        assert r.n == nn and r.k == k
+        cls_ss = sum(col[y == c].sum() ** 2 / (y == c).sum() for c in labels)
+        between = cls_ss - col.sum() ** 2 / nn
+        within = (col**2).sum() - cls_ss
+        assert abs(r.between_ss - between) < 1e-4, r.j
+        assert abs(r.within_ss - within) < 1e-4, r.j

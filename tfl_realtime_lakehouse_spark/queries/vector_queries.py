@@ -1985,14 +1985,31 @@ _FISHER_FOLD = " + ".join(f"COALESCE(terms[{i}], 0.0)" for i in range(1, 11))
     "map-side-combined scans, no O(n) state anywhere.",
 )
 def embedding_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VECTOR-CONTRACTED (r5, the OOD discipline): per-(label, dim)
+    # moments weight each distinct (vector, label) row by its copy
+    # count — per-term decimal casts are taken BEFORE the multiplicity
+    # multiply (decimal(38,12) x int stays exact at these magnitudes),
+    # so the sums equal raw per-copy accumulation bit-for-bit and the
+    # 16M-row explode shrinks to the distinct-vector count x dims.
     emb = table(spark, sf_dir, "embeddings")
-    ex = emb.select(
-        "label", F.posexplode("embedding").alias("j", "x0")
-    ).select("label", "j", F.col("x0").cast("double").alias("x"))
+    reps = emb.groupBy("embedding", "label").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("m")
+    )
+    ex = reps.select(
+        "label", "m", F.posexplode("embedding").alias("j", "x0")
+    ).select("label", "m", "j", F.col("x0").cast("double").alias("x"))
     c = ex.groupBy("label", "j").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_c"),
-        F.sum(F.col("x").cast("decimal(38,12)")).alias("s_c"),
-        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("q_c"),
+        F.sum("m").cast("bigint").alias("n_c"),
+        F.sum(
+            (F.col("x").cast("decimal(27,12)") * F.col("m")).cast(
+                "decimal(38,12)"
+            )
+        ).alias("s_c"),
+        F.sum(
+            ((F.col("x") * F.col("x")).cast("decimal(27,12)") * F.col("m")).cast(
+                "decimal(38,12)"
+            )
+        ).alias("q_c"),
     )
     term = (
         F.col("s_c").cast("double")

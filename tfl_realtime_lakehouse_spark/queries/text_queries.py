@@ -3772,6 +3772,77 @@ def eval_quality_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_score_calibration",
+    oracle="""
+    WITH d AS (
+      SELECT CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y,
+             (LEN(STRING_SPLIT(text, ' ')) - 45.0) / 10.0
+                 + 2.0 * (LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                          w -> w IN ('the', 'a')))::DOUBLE
+                          / LEN(STRING_SPLIT(text, ' '))) AS z
+      FROM documents
+    ),
+    s AS (
+      SELECT y, 0.5 + 0.5 * z / (1.0 + ABS(z)) AS score FROM d
+    ),
+    b AS (
+      SELECT y, score,
+             LEAST(CAST(FLOOR(score * 10.0) AS INTEGER), 9) AS bin
+      FROM s
+    )
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CAST(score AS DECIMAL(27,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_conf,
+           ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS emp_rate
+    FROM b GROUP BY bin
+    """,
+    doc="Score-calibration reliability bins — the eval every scorer "
+    "needs before its outputs are used as probabilities (filter "
+    "thresholds, mixture weights): a deterministic rational-sigmoid "
+    "scorer (0.5 + 0.5z/(1+|z|), the logreg query's activation — no "
+    "transcendental, so the score tree is shared IEEE across "
+    "engines) over stopword-ratio + length features, binned into 10 "
+    "equal-width confidence bins; per bin the count, positive count, "
+    "mean confidence (DECIMAL(27,12)-pinned sum, one shared "
+    "division) and the empirical positive rate. Mean-conf vs "
+    "emp-rate per bin IS the reliability diagram; |diff| weighted by "
+    "n is ECE. One map + one 10-key aggregate — data-independent "
+    "output at any corpus size. Completes the eval family (AUC, "
+    "confusion, kappa, calibration).",
+)
+def eval_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    z = (F.size(toks).cast("double") - F.lit(45.0)) / F.lit(10.0) + F.lit(
+        2.0
+    ) * (
+        F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double")
+        / F.size(toks).cast("double")
+    )
+    score = F.lit(0.5) + F.lit(0.5) * z / (F.lit(1.0) + F.abs(z))
+    b = docs.select(
+        (F.col("n_chars") >= 200).cast("int").alias("y"),
+        score.alias("score"),
+        F.least(
+            F.floor(score * 10.0).cast("int"), F.lit(9)
+        ).alias("bin"),
+    )
+    return b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(27,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_conf"),
+        F.round(
+            F.sum("y").cast("double") / F.count(F.lit(1)), 6
+        ).alias("emp_rate"),
+    )
+
+
+@register(
     "text_readability_scores",
     oracle="""
     WITH w AS (

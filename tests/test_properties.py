@@ -875,6 +875,32 @@ def test_content_contraction_on_duplicated_corpus(spark, tmp_path):
         text_duplicate_chunk_ratio,
     )
 
+    # content-contracted scrub side (decontaminate): given the RAW
+    # benchmark gram set (doc_id % 97 == 0 → doc 0 here), training
+    # copies must scrub identically to a full-corpus Python model
+    from tfl_realtime_lakehouse_spark.queries.text_queries import (
+        text_decontaminate_spans,
+    )
+
+    bench_grams = set()
+    for d, ws in docs.items():
+        if d % 97 == 0:
+            bench_grams.update(
+                " ".join(ws[i : i + 4]) for i in range(len(ws) - 3)
+            )
+    deco = {r.doc_id: r for r in text_decontaminate_spans(spark, sf).collect()}
+    assert set(deco) == {d for d in docs if d % 97 != 0}
+    for d, ws in docs.items():
+        if d % 97 == 0:
+            continue
+        dp: set[int] = set()
+        for i in range(len(ws) - 3):
+            if " ".join(ws[i : i + 4]) in bench_grams:
+                dp.update(range(i, i + 4))
+        kept_ws = [w for p, w in enumerate(ws) if p not in dp]
+        assert deco[d].n_removed == len(ws) - len(kept_ws), d
+        assert deco[d].text_clean == " ".join(kept_ws), d
+
     # weighted contraction (logreg): the multiplicity-weighted gradient
     # recurrence must match a Python replay over the RAW corpus (same
     # 12-dp pinning), and copies must share identical rows

@@ -3351,40 +3351,51 @@ def text_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_clean per training doc.",
 )
 def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CONTENT-CONTRACTED scrub side (r5): the benchmark gram set stays
+    # RAW (membership is doc_id-derived), but GIVEN that set the
+    # scrubbed output of a training doc is content-pure — so the gram
+    # explode, the hit join and the positional re-assembly run once
+    # per distinct training text, fanning back to training doc ids
+    # through the content digest.
     docs = table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
     # guard: Spark's sequence(1, n) DESCENDS for n < 1 (DuckDB RANGE is
     # empty) — short docs must yield zero grams, not bogus positions
     starts = F.when(
         F.size("toks") >= 4, F.sequence(F.lit(1), F.size("toks") - 3)
     ).otherwise(F.array().cast("array<int>"))
-    grams = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.array_join(F.slice("toks", i, 4), " ").alias("gram"),
-                ),
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
-    bench = grams.where(F.col("doc_id") % 97 == 0).select("gram").distinct()
-    hits = (
-        grams.where(F.col("doc_id") % 97 != 0)
-        .join(F.broadcast(bench), "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("i"), F.col("i") + 3)
-            ).alias("p"),
-        )
+    gram_struct = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("i"),
+            F.array_join(F.slice("toks", i, 4), " ").alias("gram"),
+        ),
     )
-    drops = hits.groupBy("doc_id").agg(F.collect_set("p").alias("drop_ps"))
-    train = t.where(F.col("doc_id") % 97 != 0)
-    joined = train.join(drops, "doc_id", "left").select(
-        "doc_id",
+    bench = (
+        docs.where(F.col("doc_id") % 97 == 0)
+        .select(F.split("text", " ").alias("toks"))
+        .select(F.explode(gram_struct).alias("s"))
+        .select(F.col("s.gram").alias("gram"))
+        .distinct()
+    )
+    train_keyed = docs.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.md5("text").alias("_pk")
+    )
+    reps = (
+        docs.where(F.col("doc_id") % 97 != 0)
+        .groupBy(F.md5("text").alias("_pk"))
+        .agg(F.min("text").alias("text"))
+        .select("_pk", F.split("text", " ").alias("toks"))
+    )
+    grams = reps.select(
+        "_pk", F.explode(gram_struct).alias("s")
+    ).select("_pk", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    hits = grams.join(F.broadcast(bench), "gram").select(
+        "_pk",
+        F.explode(F.sequence(F.col("i"), F.col("i") + 3)).alias("p"),
+    )
+    drops = hits.groupBy("_pk").agg(F.collect_set("p").alias("drop_ps"))
+    joined = reps.join(drops, "_pk", "left").select(
+        "_pk",
         "toks",
         F.coalesce(F.col("drop_ps"), F.array().cast("array<int>")).alias(
             "drop_ps"
@@ -3394,11 +3405,14 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("toks"),
         lambda w, idx: ~F.array_contains(F.col("drop_ps"), idx + F.lit(1)),
     )
-    return joined.select(
-        "doc_id",
+    per_text = joined.select(
+        "_pk",
         F.size("toks").alias("n_tokens"),
         (F.size("toks") - F.size(kept)).cast("bigint").alias("n_removed"),
         F.array_join(kept, " ").alias("text_clean"),
+    )
+    return train_keyed.join(per_text, "_pk").select(
+        "doc_id", "n_tokens", "n_removed", "text_clean"
     )
 
 

@@ -733,6 +733,29 @@ def test_bm25_matches_python_reference(spark):
     assert got[4] > got[2]                # heavier term mass outranks
 
 
+def test_bm25_idempotent_to_duplicate_terms_and_rejects_empty(spark):
+    """ADVICE r5: the map-side plan builds one tf column per list
+    position, so duplicated query terms must be deduped at entry (the
+    old posting-join plan was naturally idempotent) and an empty query
+    must fail loudly instead of degenerating."""
+    import pytest as _pytest
+
+    from tfl_realtime_lakehouse_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "spark join window spark"), (2, "spark table scan")],
+        "doc_id long, text string",
+    )
+    clean = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["spark", "join"]).collect()}
+    duped = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, ["spark", "join", "spark", "spark"]).collect()
+    }
+    assert clean == duped
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_scores(docs, [])
+
+
 def test_pq_adc_matches_numpy_and_recalls_exact_l2(spark):
     """ADC distances must be EXACT codebook lookups (the approximation is
     in the codes, never the arithmetic), and recall@10 must clear a floor

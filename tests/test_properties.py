@@ -1010,3 +1010,53 @@ def test_ood_vector_contraction_on_duplicated_embeddings(spark, tmp_path):
         within = (col**2).sum() - cls_ss
         assert abs(r.between_ss - between) < 1e-4, r.j
         assert abs(r.within_ss - within) < 1e-4, r.j
+
+
+def test_fisher_guard_trips_on_wide_label_cardinality(spark, tmp_path):
+    """ADVICE r5: the DuckDB oracle's unrolled fold covers exactly
+    _FISHER_MAX_LABELS class terms, so a wider corpus must FAIL LOUDLY
+    on the Spark side (assert_true in the plan) instead of silently
+    diverging from an oracle that drops terms."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from tfl_realtime_lakehouse_spark.queries.vector_queries import (
+        _FISHER_MAX_LABELS,
+        embedding_fisher_separability,
+    )
+
+    rng = np.random.default_rng(11)
+    n_labels = _FISHER_MAX_LABELS + 1
+    rows = [
+        (i, rng.normal(size=4).astype("float32").tolist(), i % n_labels)
+        for i in range(3 * n_labels)
+    ]
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    with _pytest.raises(Exception, match="label cardinality"):
+        embedding_fisher_separability(spark, str(tmp_path)).collect()
+
+    # At exactly the fold width the guard must stay silent.
+    ok_rows = [
+        (i, rng.normal(size=4).astype("float32").tolist(), i % _FISHER_MAX_LABELS)
+        for i in range(3 * _FISHER_MAX_LABELS)
+    ]
+    pd.DataFrame(ok_rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = embedding_fisher_separability(spark, str(tmp_path)).collect()
+    assert got and all(r.k == _FISHER_MAX_LABELS for r in got)
+
+
+def test_corpus_metadata_is_content_derived(spark):
+    """ADVICE r5: the content contractions group by md5(text) and carry
+    metadata columns along; that is only sound while n_chars is a pure
+    function of text. Pin the invariant on the correctness-SF corpus so
+    a spec change fails here instead of silently skewing contracted
+    features (text_quality_logreg_train now also keys on n_chars
+    directly)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bad = docs.where(F.length("text") != F.col("n_chars")).count()
+    assert bad == 0

@@ -941,7 +941,18 @@ def pixel_stats(assets: DataFrame) -> DataFrame:
     it (the r5 sf5 sweep measured the GIF leg at 66 s decoding 50 k
     payloads drawn from ~128 distinct contents). Same uniform rule as
     the pair operators: contract exact duplicates before the expensive
-    stage."""
+    stage.
+
+    Contraction-key collision assumption (ADVICE r5): md5 is used as
+    the content-identity key here and in the text/embedding
+    contractions, matching the DuckDB-oracle digests elsewhere in the
+    registry. md5 collisions are practically constructible, so an
+    ADVERSARIAL corpus could alias two distinct payloads onto one
+    stats row; for benchmark/crawl corpora this is a non-event. A
+    production deployment that must resist adversarial inputs should
+    swap the key to ``F.sha2(col, 256)`` — identical plan shape, one
+    wider shuffle key — as already done for the prod-keyed xxhash64
+    paths."""
     import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -406,6 +406,13 @@ def bm25_scores(
     """
     import decimal
 
+    # One tf column is built PER LIST POSITION, so a duplicated term
+    # would double-count its contribution (the old posting-join plan
+    # was idempotent to duplicates). Dedupe order-preservingly and
+    # reject the degenerate empty query up front (ADVICE r5).
+    query_terms = list(dict.fromkeys(query_terms))
+    if not query_terms:
+        raise ValueError("bm25_scores: query_terms must be non-empty")
     nq = len(query_terms)
 
     def _tf(term):

@@ -3246,15 +3246,21 @@ def text_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and therefore the trained weights) are bit-identical to the raw
     # corpus recurrence the oracle replays.
     docs = table(spark, sf_dir, "documents")
-    keyed = docs.select("doc_id", F.md5("text").alias("_pk"))
+    # The features read the n_chars METADATA column, so it joins the
+    # contraction key instead of riding along via min() — identical
+    # texts with divergent metadata would otherwise silently collapse
+    # to one feature row (ADVICE r5). Same plan shape; on corpora where
+    # n_chars is content-derived (an invariant pytest pins this for the
+    # benchmark corpus) the groups are identical.
+    keyed = docs.select("doc_id", F.md5("text").alias("_pk"), "n_chars")
     toks = F.split("text", " ")
-    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+    reps = docs.groupBy(F.md5("text").alias("_pk"), "n_chars").agg(
         F.count(F.lit(1)).alias("m"),
         F.min("text").alias("text"),
-        F.min("n_chars").alias("n_chars"),
     )
     feats = reps.select(
         "_pk",
+        "n_chars",
         F.col("m").cast("decimal(10,0)").alias("m"),
         (
             F.size(F.filter(toks, lambda t: t.isin("the", "a"))).cast("double")
@@ -3290,11 +3296,12 @@ def text_quality_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigf = F.lit(0.5) + F.lit(0.5) * zf / (F.lit(1.0) + F.abs(zf))
     per_text = feats.select(
         "_pk",
+        "n_chars",
         F.round(sigf, 6).alias("score"),
         (sigf >= F.lit(0.5)).cast("int").alias("pred"),
         F.col("y").cast("int").alias("label"),
     )
-    return keyed.join(per_text, "_pk").select(
+    return keyed.join(per_text, ["_pk", "n_chars"]).select(
         "doc_id", "score", "pred", "label"
     )
 

@@ -1925,7 +1925,16 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FISHER_FOLD = " + ".join(f"COALESCE(terms[{i}], 0.0)" for i in range(1, 11))
+# The DuckDB oracle's label-ordered left fold is unrolled to a fixed
+# width, so it silently DROPS class terms beyond _FISHER_MAX_LABELS.
+# Both sides guard it: the fold width is generated from this one
+# constant, and the Spark plan embeds an assert_true(k <= max) that
+# fails the query loudly if a corpus ever carries more distinct labels
+# (ADVICE r5: a label-cardinality change must not silently diverge).
+_FISHER_MAX_LABELS = 10
+_FISHER_FOLD = " + ".join(
+    f"COALESCE(terms[{i}], 0.0)" for i in range(1, _FISHER_MAX_LABELS + 1)
+)
 
 
 @register(
@@ -2034,10 +2043,34 @@ def embedding_fisher_separability(spark: SparkSession, sf_dir: str) -> DataFrame
     n_d = F.col("n").cast("double")
     between = F.col("cls_ss") - s_d * s_d / n_d
     within = q_d - F.col("cls_ss")
+    # Loud guard (not silent divergence): the oracle's unrolled fold
+    # covers exactly _FISHER_MAX_LABELS class terms. assert_true yields
+    # NULL when the invariant holds, so the when() passes k through
+    # unchanged; a wider corpus fails the job with a clear message.
+    # assert_true returns NULL when the invariant holds, so
+    # coalesce(assert_true(...), 0) is always 0 on valid corpora and
+    # k + 0 == k bit-for-bit; the addition keeps the guard inside the
+    # projected expression tree where column pruning can't drop it.
+    k_guarded = (
+        F.col("k")
+        + F.coalesce(
+            F.assert_true(
+                F.col("k") <= F.lit(_FISHER_MAX_LABELS),
+                F.concat(
+                    F.lit("embedding_fisher_separability: label cardinality "),
+                    F.col("k").cast("string"),
+                    F.lit(
+                        f" exceeds the oracle's {_FISHER_MAX_LABELS}-term fold"
+                    ),
+                ),
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        )
+    ).cast("bigint").alias("k")
     return d.select(
         "j",
         "n",
-        "k",
+        k_guarded,
         F.round(between, 6).alias("between_ss"),
         F.round(within, 6).alias("within_ss"),
         F.when(

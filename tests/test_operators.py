@@ -2294,3 +2294,95 @@ def test_minhash_probe_raw_equals_contracted_cross_side(spark, sf_correct):
     assert got == raw
     # non-vacuous: the planted straddling copies produce jaccard-1 pairs
     assert any(j == 1.0 for _, j in got.values())
+
+
+def test_fuzzy_name_pairs_bounded_modes(spark, tmp_path):
+    """r5 verdict #5: the pair OUTPUT is fuzzy_name_pairs' only
+    super-linear term on duplicated corpora, so the plan function
+    grows bounded modes. count_only must reproduce the default mode's
+    per-name pair counts with no member expansion; max_pairs_per_name
+    must cap per-name output at k with the deterministic
+    (edit_dist, part_a, part_b) preference; the default path must be
+    untouched (it is also re-driven hash-green this round)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from tfl_realtime_lakehouse_spark.queries.relational import (
+        fuzzy_name_pairs_plan,
+    )
+
+    # one block, three near-miss names, heavy exact duplication
+    rows, pk = [], 0
+    for name, copies in [
+        ("ivory linen", 4),      # 4 exact copies
+        ("ivory line", 3),       # dist 1 from above
+        ("ivory lines", 2),      # dist 1 / 2
+        ("completely other", 1),
+    ]:
+        for _ in range(copies):
+            rows.append((pk, "B1", 5, name))
+            pk += 1
+    pd.DataFrame(
+        rows, columns=["p_partkey", "p_brand", "p_size", "p_name"]
+    ).to_parquet(f"{tmp_path}/part.parquet")
+
+    full = fuzzy_name_pairs_plan(spark, str(tmp_path)).collect()
+    # raw model: every same-block pair with dist <= 5
+    names = {r[0]: r[3] for r in rows}
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    want_pairs = {
+        (a, b): lev(names[a], names[b])
+        for a in names
+        for b in names
+        if a < b and lev(names[a], names[b]) <= 5
+    }
+    got_pairs = {(r.part_a, r.part_b): r.edit_dist for r in full}
+    assert got_pairs == want_pairs
+
+    # count_only: per-name counts match the expansion, output O(names)
+    counts = {
+        r.p_name: (r.n_fuzzy_names, r.n_part_pairs)
+        for r in fuzzy_name_pairs_plan(
+            spark, str(tmp_path), count_only=True
+        ).collect()
+    }
+    for name in {n for n in names.values()}:
+        owned = [
+            p for p in want_pairs
+            if names[p[0]] == name or names[p[1]] == name
+        ]
+        neigh = {
+            names[p[0]] if names[p[1]] == name else names[p[1]]
+            for p in owned
+            if names[p[0]] != names[p[1]]
+        }
+        assert counts[name] == (len(neigh), len(owned)), name
+
+    # max_pairs_per_name=2: per owning name_a group at most 2 pairs,
+    # all emitted pairs are a subset of the full result
+    capped = fuzzy_name_pairs_plan(
+        spark, str(tmp_path), max_pairs_per_name=2
+    ).collect()
+    assert all(
+        (r.part_a, r.part_b) in want_pairs
+        and want_pairs[(r.part_a, r.part_b)] == r.edit_dist
+        for r in capped
+    )
+    assert 0 < len(capped) < len(full)
+    # ties to names: regroup by the emitting name (name of part_a's
+    # name-pair side is not in the output, so check the global bound:
+    # <= k * n_distinct_names)
+    assert len(capped) <= 2 * len(set(names.values()))
+
+    with _pytest.raises(ValueError, match="positive"):
+        fuzzy_name_pairs_plan(spark, str(tmp_path), max_pairs_per_name=0)

@@ -62,6 +62,10 @@ BUDGETS = {
     # param-contracted encode (1 py stage) + decode-once (1) on the
     # distinct-payload side + the Arrow stats stage
     "multimodal_gif_pixel_stats": (5, 3),
+    # ---- r6: content-contracted matryoshka eval ----
+    # one contraction groupBy + the final (query, dim) agg; queries and
+    # dims ride as broadcasts, self-exclusion is an expression
+    "embedding_matryoshka_eval": (2, 0),
 }
 
 

@@ -1060,3 +1060,78 @@ def test_corpus_metadata_is_content_derived(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     bad = docs.where(F.length("text") != F.col("n_chars")).count()
     assert bad == 0
+
+
+def test_matryoshka_contraction_matches_raw_pair_model(spark, tmp_path):
+    """The r6 content-contraction in embedding_matryoshka_eval must be
+    output-preserving on a corpus WITH exact duplicates (the driver SFs
+    have none, so this plants them), including duplicates OF the query
+    vectors themselves — the per-query self-exclusion must drop exactly
+    the query's own row, never its content twins. Compared against a
+    raw per-copy numpy replay of the oracle's pair semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.vector_queries import (
+        embedding_matryoshka_eval,
+    )
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(7, 40)).astype("float32")
+    # copies[i] = how many corpus rows carry base vector i. Queries are
+    # vec_id 0..4; lay the corpus out so:
+    #  - query 0's content also appears 3 more times (twins included),
+    #  - query 2's content is UNIQUE (its group contracts to m_eff=0),
+    #  - queries 3 and 4 SHARE content (each excludes only itself).
+    rows = []
+    rows.append((0, base[0].tolist()))          # query 0
+    rows.append((1, base[1].tolist()))          # query 1
+    rows.append((2, base[2].tolist()))          # query 2 (unique content)
+    rows.append((3, base[3].tolist()))          # query 3
+    rows.append((4, base[3].tolist()))          # query 4 = query 3's content
+    vid = 5
+    for i, extra in [(0, 3), (1, 2), (4, 1), (5, 4), (6, 2)]:
+        for _ in range(extra):
+            rows.append((vid, base[i].tolist()))
+            vid += 1
+    pd.DataFrame(rows, columns=["vec_id", "embedding"]).assign(
+        label=0
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    ids = np.array([r[0] for r in rows])
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return round(float(a @ b / (na * nb)), 6) if na and nb else None
+
+    want = {}
+    for qid in range(5):
+        qv = X[ids == qid][0]
+        for d in (8, 16, 32):
+            deltas = []
+            for j in range(len(rows)):
+                if ids[j] == qid:
+                    continue
+                full = cos(qv, X[j])
+                pre = cos(qv[:d], X[j][:d])
+                deltas.append(abs(pre - full))
+            want[(qid, d)] = (
+                len(deltas),
+                round(sum(deltas) / len(deltas), 6),
+                round(max(deltas), 6),
+            )
+
+    got = {
+        (r.query_id, r.prefix_dim): (r.n_pairs, r.mean_abs_delta, r.max_abs_delta)
+        for r in embedding_matryoshka_eval(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, mean, mx) in want.items():
+        gn, gmean, gmx = got[k]
+        assert gn == n, k                       # self-exclusion exact
+        # numpy's dot order differs from the engine's fold in the last
+        # ulp, which can flip a 6-dp rounding by one quantum; the
+        # engine≡oracle bit-exactness is pinned by tools/str_identity
+        assert abs(gmean - mean) <= 2e-6, k
+        assert abs(gmx - mx) <= 2e-6, k

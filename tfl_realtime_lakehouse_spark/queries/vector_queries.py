@@ -1875,32 +1875,55 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map-only until a 15-key agg; the 100 TB shape.",
 )
 def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CONTENT-CONTRACTED (r6, closing the r5 deferral): byte-identical
+    # embeddings score ONCE against each query. The self-exclusion the
+    # r5 sketch worried about is one expression, not bookkeeping state:
+    # pair multiplicity for (query q, content group g) is m(g) minus 1
+    # exactly when g's content equals q's own vector (the raw plan
+    # excludes only vec_id == query_id, and that row's content is by
+    # definition q's vector). Per-group deltas are weighted by that
+    # effective multiplicity as exact decimals (decimal × int is exact,
+    # decimal addition order-free), so n_pairs / mean / max are
+    # bit-identical to the raw per-copy plan — pinned by the
+    # duplicated-fixture differential pytest the other contractions
+    # carry. At sf5's 50×-duplicated corpus the 750 k-pair 4-fold
+    # cosine shrinks to distinct-vectors × 5 queries × 3 dims.
     emb = table(spark, sf_dir, "embeddings")
+    reps = emb.groupBy("embedding").agg(
+        F.count(F.lit(1)).cast("int").alias("m")
+    )
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qvec")
     )
     dims = spark.createDataFrame([(8,), (16,), (32,)], "d int")
-    # cos_full is d-independent: compute it ONCE per (query, vec) pair
-    # BEFORE the dims fan-out (same expression tree on the same inputs,
-    # so the emitted value is bit-identical to evaluating it after the
-    # crossJoin — r5 hoist cuts the full-width folds 3×).
+    # cos_full is d-independent: compute it ONCE per (query, content)
+    # pair BEFORE the dims fan-out (same expression tree on the same
+    # inputs, so the emitted value is bit-identical to evaluating it
+    # after the crossJoin — r5 hoist cuts the full-width folds 3×).
     pairs = (
-        emb.crossJoin(F.broadcast(q))
-        .where(F.col("vec_id") != F.col("query_id"))
+        reps.crossJoin(F.broadcast(q))
         .select(
             "query_id",
-            "vec_id",
             "_qvec",
             "embedding",
+            (
+                F.col("m")
+                - F.when(
+                    F.col("embedding") == F.col("_qvec"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("m_eff"),
             F.round(S.cosine(F.col("_qvec"), F.col("embedding")), 6).alias(
                 "cos_full"
             ),
         )
+        # a group whose only member was the query row itself contributes
+        # no pairs (and must not feed the max)
+        .where(F.col("m_eff") > 0)
         .crossJoin(F.broadcast(dims))
         .select(
             "query_id",
-            "vec_id",
             "d",
+            "m_eff",
             "cos_full",
             F.round(
                 S.cosine(
@@ -1915,10 +1938,12 @@ def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         "query_id", F.col("d").cast("int").alias("prefix_dim")
     ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("m_eff").cast("bigint").alias("n_pairs"),
         F.round(
-            F.sum(delta.cast("decimal(27,12)")).cast("double")
-            / F.count(F.lit(1)),
+            F.sum(delta.cast("decimal(27,12)") * F.col("m_eff")).cast(
+                "double"
+            )
+            / F.sum("m_eff"),
             6,
         ).alias("mean_abs_delta"),
         F.round(F.max(delta), 6).alias("max_abs_delta"),

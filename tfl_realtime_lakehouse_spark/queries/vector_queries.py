@@ -1871,8 +1871,12 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "6-dp-rounded cosines (both folds share one IEEE tree), then "
     "aggregate as exact decimals (order-free) with one final "
     "division; max over rounded values is order-free by definition. "
-    "One broadcast-query corpus scan fanned ×3 prefix dims — "
-    "map-only until a 15-key agg; the 100 TB shape.",
+    "Content-contracted (r6): one corpus groupBy collapses "
+    "byte-identical vectors, each distinct vector scores once per "
+    "(query, dim) weighted by exact-decimal multiplicity, and the "
+    "per-query self-exclusion is one expression (m−1 iff group "
+    "content = query vector) — then a 15-key agg; the 100 TB shape "
+    "for the content-duplicated corpora this eval runs on.",
 )
 def embedding_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CONTENT-CONTRACTED (r6, closing the r5 deferral): byte-identical

@@ -22,6 +22,7 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     vector_queries,
     tpch_shapes2,
     layout_queries,
+    wave6,
 )
 
 # The driver's correctness harness checks the FIRST 50 registry entries in

@@ -66,6 +66,19 @@ BUDGETS = {
     # one contraction groupBy + the final (query, dim) agg; queries and
     # dims ride as broadcasts, self-exclusion is an expression
     "embedding_matryoshka_eval": (2, 0),
+    # ---- r6 wave: the new curation/eval queries ----
+    # one per-lang sort window, nothing else
+    "sample_uncertainty_margin": (1, 0),
+    # histogram-quantile shape: value-count agg + cum window + pick agg
+    "eval_conformal_thresholds": (4, 0),
+    # two aggregates + entropy join, all keyed on source
+    "docs_source_quality_profile": (6, 0),
+    # map-side regex flags -> ONE global aggregate (zero hash shuffles)
+    "text_pii_cooccurrence": (0, 0),
+    # chunk/pack windows + per-shard agg
+    "eval_packing_efficiency": (1, 0),
+    # one shuffle on the candidate key + one scalar agg
+    "layout_partition_skew_audit": (1, 0),
 }
 
 

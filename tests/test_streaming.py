@@ -1900,3 +1900,57 @@ def test_streaming_linear_attribution_matches_batch(spark, tmp_path):
     }
     in_order = {k: v for k, v in got.items() if k[0] != 106}
     assert in_order == want
+
+
+def test_streaming_conformal_matches_batch_query(spark, tmp_path):
+    """Cross-batch conformal-threshold maintenance: after both
+    micro-batches, each lang's (n, q_hat, coverage) must equal the
+    BATCH eval_conformal_thresholds query over the union of the
+    batches' rows — bit-for-bit (the nonconformity is the same JVM
+    expression tree; the histogram merge is exact integer addition)."""
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.conformal import (
+        streaming_conformal_thresholds,
+    )
+
+    def doc(i, lang, words):
+        return (i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(words))
+                + (" the a the" if i % 3 == 0 else " the"), lang, "s0", 0)
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = [doc(i, "en", 20 + i % 40) for i in range(60)] + [
+        doc(100 + i, "fr", 30 + i % 25) for i in range(25)
+    ]
+    b2 = [doc(200 + i, "en", 45 + i % 30) for i in range(50)] + [
+        doc(300 + i, "zh", 10 + i % 50) for i in range(30)
+    ]
+    src = str(tmp_path / "conf-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_conformal_thresholds(stream)
+    _run_stream(out, tmp_path, "conf_out", mode="update")
+    rows = spark.sql("select * from conf_out").collect()
+    final = {}
+    for r in rows:  # last emission per lang wins
+        final[r["lang"]] = (r["n"], r["q_hat"], r["coverage"])
+
+    # batch reference: the registered query over the union parquet
+    union_dir = str(tmp_path / "conf-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/documents.parquet"
+    )
+    want = {
+        r["lang"]: (r["n"], r["q_hat"], r["coverage"])
+        for r in REGISTRY["eval_conformal_thresholds"].fn(
+            spark, union_dir
+        ).collect()
+    }
+    assert final == want
+    # langs seen only in batch 1 keep a valid threshold after batch 2
+    assert "fr" in final and final["fr"][0] == 25

@@ -2368,21 +2368,32 @@ def test_fuzzy_name_pairs_bounded_modes(spark, tmp_path):
         }
         assert counts[name] == (len(neigh), len(owned)), name
 
-    # max_pairs_per_name=2: per owning name_a group at most 2 pairs,
-    # all emitted pairs are a subset of the full result
-    capped = fuzzy_name_pairs_plan(
-        spark, str(tmp_path), max_pairs_per_name=2
-    ).collect()
-    assert all(
-        (r.part_a, r.part_b) in want_pairs
-        and want_pairs[(r.part_a, r.part_b)] == r.edit_dist
-        for r in capped
-    )
-    assert 0 < len(capped) < len(full)
-    # ties to names: regroup by the emitting name (name of part_a's
-    # name-pair side is not in the output, so check the global bound:
-    # <= k * n_distinct_names)
-    assert len(capped) <= 2 * len(set(names.values()))
+    # max_pairs_per_name=k: EXACTLY the brute-force top-k per owning
+    # group under (edit_dist, part_a, part_b) — d=0 pairs are owned by
+    # their name, cross pairs by the lexicographically smaller name.
+    # k=1 is the r6-ADVICE regression: a name with >1 exact copies must
+    # emit its smallest d=0 pair (the pre-fix k-cap left C(1,2)=0
+    # diagonal candidates and promoted a worse d>=1 pair instead).
+    def brute_topk(k):
+        owned = {}
+        for (pa, pb), d in want_pairs.items():
+            gname = names[pa] if names[pa] <= names[pb] else names[pb]
+            owned.setdefault(gname, []).append((d, pa, pb))
+        out = set()
+        for grp in owned.values():
+            for d, pa, pb in sorted(grp)[:k]:
+                out.add((pa, pb, d))
+        return out
+
+    for k in (1, 2, 3):
+        capped = {
+            (r.part_a, r.part_b, r.edit_dist)
+            for r in fuzzy_name_pairs_plan(
+                spark, str(tmp_path), max_pairs_per_name=k
+            ).collect()
+        }
+        assert capped == brute_topk(k), k
+    assert 0 < len(brute_topk(2)) < len(full)
 
     with _pytest.raises(ValueError, match="positive"):
         fuzzy_name_pairs_plan(spark, str(tmp_path), max_pairs_per_name=0)

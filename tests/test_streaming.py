@@ -1920,10 +1920,13 @@ def test_streaming_conformal_matches_batch_query(spark, tmp_path):
     schema = "doc_id long, text string, lang string, source string, n_chars long"
     b1 = [doc(i, "en", 20 + i % 40) for i in range(60)] + [
         doc(100 + i, "fr", 30 + i % 25) for i in range(25)
-    ]
+    ] + [(900, None, "en", "s0", 0)]  # unscorable: null text
     b2 = [doc(200 + i, "en", 45 + i % 30) for i in range(50)] + [
         doc(300 + i, "zh", 10 + i % 50) for i in range(30)
-    ]
+    ] + [(901, None, "fr", "s0", 0)]
+    # the null-text docs must be excluded IDENTICALLY on both sides
+    # (r6 ADVICE: value_counts dropped NaN while the batch query kept
+    # a NULL group) — equality below is only meaningful if they exist
     src = str(tmp_path / "conf-src")
     spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
     spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
@@ -1952,5 +1955,7 @@ def test_streaming_conformal_matches_batch_query(spark, tmp_path):
         ).collect()
     }
     assert final == want
-    # langs seen only in batch 1 keep a valid threshold after batch 2
+    # langs seen only in batch 1 keep a valid threshold after batch 2;
+    # n counts exclude the planted null-text docs on BOTH sides
     assert "fr" in final and final["fr"][0] == 25
+    assert final["en"][0] == 110

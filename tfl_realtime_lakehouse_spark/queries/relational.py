@@ -769,11 +769,15 @@ def fuzzy_name_pairs_plan(
       pairs the default mode would emit — computed from name-level
       pairs × member multiplicities, with NO member expansion anywhere
       in the plan (output is O(distinct names) at any scale).
-    - ``max_pairs_per_name=k``: emit at most k part pairs per
-      (block, name_a) group, deterministically preferring smaller
-      edit distance then smaller part ids. Members are pre-ranked and
-      capped at k per name BEFORE the expansion joins, so intermediate
-      size is bounded by k (not by copy multiplicity) on each side.
+    - ``max_pairs_per_name=k``: emit EXACTLY the top-k part pairs per
+      (block, owning-name) group under the total order
+      (edit_dist, part_a, part_b) — same-name d=0 pairs first, then
+      cross pairs owned by the lexicographically smaller name. Members
+      are pre-ranked by part id and capped at k+1 per name BEFORE the
+      expansion joins (k+1 so the d=0 diagonal's true top-k survives;
+      cross sides need only k — proof at the cap site), so
+      intermediate size is bounded by (k+1)² per name pair, never by
+      copy multiplicity.
     """
     # Same exact-contraction trick as ngram_jaccard_pairs: the DP kernel
     # runs once per UNIQUE (block, name) pair — identical rows pay
@@ -836,11 +840,15 @@ def fuzzy_name_pairs_plan(
                 (F.col("_ma") * F.col("_mb")).alias("_np"),
             )
         ).unionByName(
-            # the d=0 diagonal the default mode emits: m·(m−1)/2 per name
+            # the d=0 diagonal the default mode emits: m·(m−1)/2 per
+            # name — exact INTEGER arithmetic (DIV, always even so no
+            # truncation): double `/` would silently lose precision
+            # once m·(m−1) exceeds 2^53, exactly the extreme-duplication
+            # regime this mode is advertised for (r6 ADVICE).
             m.select(
                 "p_brand", "p_size", "p_name",
                 F.lit(0).cast("bigint").alias("_nn"),
-                (F.col("_m") * (F.col("_m") - 1) / 2).cast("bigint").alias("_np"),
+                F.expr("_m * (_m - 1) DIV 2").cast("bigint").alias("_np"),
             )
         )
         return contrib.groupBy("p_brand", "p_size", "p_name").agg(
@@ -852,16 +860,24 @@ def fuzzy_name_pairs_plan(
         k = int(max_pairs_per_name)
         if k <= 0:
             raise ValueError("max_pairs_per_name must be positive")
-        # Cap member lists BEFORE the expansion joins: intermediate
-        # size per (name pair) is ≤ k·k instead of m_a·m_b, so copy
-        # multiplicity never reaches the join. Deterministic choice:
-        # smallest part ids survive, then smallest (edit_dist, ids).
+        # Cap member lists at k+1 BEFORE the expansion joins:
+        # intermediate size per (name pair) is ≤ (k+1)² instead of
+        # m_a·m_b, so copy multiplicity never reaches the join.
+        # k+1 (not k) because the d=0 diagonal's true top-k pairs under
+        # (edit_dist, part_a, part_b) are (p₁,p₂)…(p₁,p_{k+1}) — they
+        # need the k+1 smallest part ids (k members emit only C(k,2)
+        # < k pairs; at k=1 they emit NONE, silently promoting a worse
+        # d≥1 pair — r6 ADVICE). Cross pairs need only k per side:
+        # swapping a rank->k member for a lower-ranked one of the same
+        # name strictly lowers the (dist, part_a, part_b) tuple, so any
+        # true top-k pair uses rank≤k members; capping at k+1 is a
+        # superset and stays multiplicity-independent.
         wm = Window.partitionBy("p_brand", "p_size", "p_name").orderBy(
             "p_partkey"
         )
         capped = (
             pt.withColumn("_r", F.row_number().over(wm))
-            .where(F.col("_r") <= k)
+            .where(F.col("_r") <= k + 1)
             .drop("_r")
         )
         mk_a = capped.select(

@@ -48,6 +48,7 @@ def _score_col() -> F.Column:
     oracle=f"""
     WITH d AS (
       SELECT lang, doc_id, {_Z_SQL} AS z FROM documents
+      WHERE text IS NOT NULL
     ),
     s AS (
       SELECT lang, doc_id,
@@ -72,6 +73,11 @@ def _score_col() -> F.Column:
     "per label. Ordering is on the UNROUNDED margin with doc_id "
     "tie-break, and the margin reuses the repo's shared "
     "rational-sigmoid tree, so both engines rank bit-identically. "
+    "Null-text documents are excluded EXPLICITLY on both engines — a "
+    "doc with no text can't be scored, and the engines disagree on "
+    "what a null-text score even is (Spark's size(split(NULL)) is -1, "
+    "DuckDB's LEN(STRING_SPLIT(NULL)) is NULL), so the filter must be "
+    "on text itself, never downstream of the scorer. "
     "Per-lang top-k window ships as sort-per-partition; at 100 TB the "
     "same plan runs as TakeOrdered per lang key (k bounded), never a "
     "global sort.",
@@ -80,7 +86,7 @@ def sample_uncertainty_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     score = _score_col()
     margin = F.abs(score - F.lit(0.5))
-    base = docs.select(
+    base = docs.where(F.col("text").isNotNull()).select(
         "lang", "doc_id", score.alias("_s"), margin.alias("_m")
     )
     w = Window.partitionBy("lang").orderBy("_m", "doc_id")
@@ -102,6 +108,7 @@ def sample_uncertainty_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH d AS (
       SELECT lang, {_Z_SQL} AS z FROM documents
+      WHERE text IS NOT NULL
     ),
     a AS (
       SELECT lang,
@@ -133,10 +140,18 @@ def sample_uncertainty_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile via the agg_quantile_per_group histogram discipline: "
     "per-(lang, value) counts + one cumulative window over the BOUNDED "
     "6-dp value space — never a per-group sort of raw rows. Reports "
-    "the realized coverage alongside the threshold.",
+    "the realized coverage alongside the threshold. Null-text "
+    "documents are EXCLUDED explicitly on both engines: a doc with no "
+    "text can't enter a calibration set, the engines disagree on what "
+    "its score even is (Spark size(split(NULL)) = -1, DuckDB "
+    "LEN(STRING_SPLIT(NULL)) = NULL), and the streaming twin's pandas "
+    "histogram silently drops NaN (r6 ADVICE) — so the filter is on "
+    "text itself, applied identically batch-side and stream-side.",
 )
 def eval_conformal_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
     a = F.round(F.lit(1.0) - _score_col(), 6)
     c = docs.groupBy("lang", a.alias("a")).agg(F.count(F.lit(1)).alias("cnt"))
     t = c.groupBy("lang").agg(F.sum("cnt").alias("n"))

@@ -97,7 +97,14 @@ def streaming_conformal_thresholds(docs: DataFrame) -> DataFrame:
 
     a = F.round(F.lit(1.0) - _score_col(), 6)
     return (
-        docs.select("lang", a.alias("a"))
+        # identical null policy to the batch query: null-text docs are
+        # excluded BEFORE the stateful operator (filter on text, not on
+        # the score — Spark's size(split(NULL)) is -1, so a score-null
+        # filter would keep them). Without this the twin silently
+        # diverged on null-text corpora: pandas value_counts drops NaN
+        # while the pre-fix batch query kept a NULL group (r6 ADVICE).
+        docs.where(F.col("text").isNotNull())
+        .select("lang", a.alias("a"))
         .groupBy("lang")
         .applyInPandasWithState(
             _conformal_state_fn,

@@ -79,6 +79,10 @@ BUDGETS = {
     "eval_packing_efficiency": (1, 0),
     # one shuffle on the candidate key + one scalar agg
     "layout_partition_skew_audit": (1, 0),
+    # ---- r7: the registered bounded fuzzy mode (X186 verified path) ----
+    # multiplicity agg + name-pair join legs + contrib re-agg; member
+    # expansion must NEVER appear (output O(distinct names))
+    "fuzzy_name_pair_counts": (6, 0),
 }
 
 

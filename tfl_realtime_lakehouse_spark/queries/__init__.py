@@ -34,84 +34,90 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
 # cap) are all verified every round by tools/parity.py + tools/str_identity.py
 # (the same DuckDB-oracle compare, strict string equality).
 DRIVER_WINDOW = [
-    # ---- Round-6 rotation (sixth window) ----
-    # r01 ∪ r02 ∪ r03 ∪ r04 ∪ r05 gave 232 of the 260 registered
-    # queries a hard driver record; this window promotes ALL 28 that
-    # never had one (the round-5 additions X158–X185 — every one
-    # parity + str-identity green locally each session, and 28/28 on
-    # the r5 judge's independent re-run), in the r5 verdict's priority
-    # order: novel-oracle entries first (16-round logreg recurrence,
-    # span-level decontamination scrub, cross-doc span dedup,
-    # persisted-index probes, the two from-scratch codecs, Fisher
-    # separability, RRF fusion), then the analytics/scalar tail. The
-    # 22 remaining slots are high-value re-drives: the flagship, the
-    # fragile unrolled-oracle class, every query whose plan the
-    # round-5 weighted/content-contraction wave rewrote (regression
-    # risk flagged in VERDICT r5 "What's wrong" #1), and the two
-    # queries touched by this round's changes (fuzzy_name_pairs —
-    # bounded-output parameter added; embedding_matryoshka_eval — in
-    # the 28 — contraction rewrite).
+    # ---- Round-7 rotation (seventh window) ----
+    # r01 ∪ … ∪ r06 gave 260 of the 266 round-6-registered queries a
+    # hard driver record; the only never-driver-checked set is the 6
+    # round-6 additions (X188–X193) — promoted here first (each already
+    # parity + str-identity green locally AND 6/6 on the r6 judge's
+    # independent re-run) — plus the r7-new registered bounded fuzzy
+    # mode (X195, the r6 verdict's ask #3). The 43 remaining slots are
+    # re-drives weighted exactly as the r6 verdict asked:
+    # contraction-touched queries (this round's ADVICE fixes touched
+    # fuzzy_name_pairs' plan function and the two wave6 null-policy
+    # queries), the full graph iteration family (its lineage-cut
+    # cadence is this round's optimization target — regression risk),
+    # fragile/novel-oracle queries (codecs, WARC, unrolled-iteration
+    # oracles, logreg recurrence, span scrubbers), and the standing
+    # flagship anchors. Queries added LATER in round 7 queue for the
+    # r08 rotation.
     #
-    # Never-driver-checked round-5 additions (judge priority 1: novel oracles)
+    # Never-driver-checked (the 6 round-6 additions + the r7 promotion)
+    "sample_uncertainty_margin",
+    "eval_conformal_thresholds",
+    "docs_source_quality_profile",
+    "text_pii_cooccurrence",
+    "eval_packing_efficiency",
+    "layout_partition_skew_audit",
+    "fuzzy_name_pair_counts",
+    # ---- Re-drives (43) ----
+    # touched by this round's ADVICE fixes (plan-function rewrites)
+    "fuzzy_name_pairs",
+    # the graph iteration family: this round's optimization target
+    "graph_pagerank",
+    "graph_label_propagation",
+    "graph_bfs_khop",
+    "graph_hits_hubs_authorities",
+    "graph_kcore_members",
+    "graph_triangle_count",
+    "graph_neighbor_jaccard",
+    # fragile / novel-oracle class (r6 verdict's priority list)
+    "embedding_matryoshka_eval",
     "text_quality_logreg_train",
-    "text_decontaminate_spans",
-    "text_crossdoc_span_dedup",
-    "dedup_incremental_minhash_probe",
-    "dedup_incremental_new_batch",
     "multimodal_jpeg_pixel_stats",
     "multimodal_gif_pixel_stats",
+    "text_decontaminate_spans",
     "embedding_fisher_separability",
-    "embedding_matryoshka_eval",
-    "retrieval_rrf_fusion",
     "docs_warc_roundtrip",
+    "bpe_train_tokenize",
+    "entity_resolution_parts",
+    "retrieval_rrf_fusion",
+    "dedup_incremental_minhash_probe",
+    "dedup_incremental_new_batch",
+    "text_crossdoc_span_dedup",
     "events_kmv_trailing_distinct",
-    "events_linear_attribution",
     "events_theilsen_trend",
-    "layout_compaction_plan",
+    "events_linear_attribution",
     "dq_label_agreement_kappa",
+    "layout_compaction_plan",
     "training_curriculum_order",
-    # (priority 2: the analytics/scalar/text tail of the 28)
-    "text_readability_scores",
-    "text_mojibake_screen",
-    "text_tokenizer_fertility",
-    "text_duplicate_chunk_ratio",
-    "text_pmi_collocations",
-    "text_ngram_novelty_curve",
-    "eval_quality_auc_by_lang",
-    "eval_score_calibration",
-    "eval_langid_confusion",
-    "scalar_luhn_card_audit",
-    "scalar_csv_parse_battery",
-    # ---- Re-drives (22): flagship + fragile oracles + contraction-touched ----
-    "fct_headways",                    # flagship; every-round anchor
-    "q1_pricing_summary",              # TPC-H headline agg
-    "dedup_cluster_resolution",        # large-star/small-star CC
-    "contamination_check",             # r5 content-contraction rewrite
-    "text_bigram_interpolated_perplexity",  # r5 weighted-contraction rewrite
-    "embedding_ood_outliers",          # r5 weighted-contraction rewrite
-    "embedding_neardup_blocked",       # r5 weighted-contraction rewrite
-    "nb_quality_classifier",           # r5 weighted-contraction rewrite
-    "text_repetition_filter",          # r5 contraction-touched
-    "semantic_dedup_prune",            # r5 contraction-touched
-    "fuzzy_name_pairs",                # r6: bounded-output param added (default path re-driven)
-    "bpe_train_tokenize",              # 12-round unrolled-merge oracle
-    "graph_pagerank",                  # iterative unrolled oracle
-    "minhash_lsh_candidates",          # banded-LSH bucket join
-    "simhash_near_pairs",              # Hamming-band near-dup
-    "text_containment_pairs",          # asymmetric-containment PPJoin
-    "embedding_pca_project",           # sqrt-contract PCA tier
-    "embedding_ann_lsh_verified",      # shared-IEEE-tree verify leg
-    "agg_quantile_per_group",          # scale-safe histogram plan
-    "training_corpus_build",           # widest composed pipeline
-    "entity_resolution_parts",         # recursive-CTE compose oracle
-    "asof_tolerance_bounded",          # as-of family representative
+    # flagship anchors
+    "fct_headways",
+    "q1_pricing_summary",
+    "training_corpus_build",
+    "agg_quantile_per_group",
+    # dedup / similarity heavy hitters (bench top-10 residents)
+    "dedup_cluster_resolution",
+    "minhash_lsh_candidates",
+    "simhash_near_pairs",
+    "text_containment_pairs",
+    "embedding_ann_lsh_verified",
+    "embedding_neardup_blocked",
+    "dedup_keep_best_quality",
+    "dedup_minhash_recall_eval",
+    # contraction-rewrite regression sentinels
+    "contamination_check",
+    "nb_quality_classifier",
+    "text_bigram_interpolated_perplexity",
+    # the #1 bench-cost query (iterative IVF-PQ build)
+    "embedding_ann_ivfpq",
 ]
-# After this round every query registered through round 5 (260) has a
-# hard driver record: r01 ∪ … ∪ r05 covered 232, and this window holds
-# exactly the 28-query complement plus 22 re-drives. Queries added
-# DURING round 6 queue for the r07 rotation; every tail entry remains
-# verified each session by tools/parity.py AND tools/str_identity.py
-# (the same DuckDB-oracle compare, strict string equality).
+# After this round every registered query has a hard driver record
+# again: r01 ∪ … ∪ r06 covered 260 of 266, and this window holds the
+# exact 6-query complement (the round-6 additions) plus the r7-new
+# fuzzy_name_pair_counts and 43 re-drives. Queries added DURING round
+# 7 queue for the r08 rotation; every tail entry remains verified each
+# session by tools/parity.py AND tools/str_identity.py (the same
+# DuckDB-oracle compare, strict string equality).
 
 
 def _apply_driver_window() -> None:

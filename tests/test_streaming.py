@@ -1959,3 +1959,126 @@ def test_streaming_conformal_matches_batch_query(spark, tmp_path):
     # n counts exclude the planted null-text docs on BOTH sides
     assert "fr" in final and final["fr"][0] == 25
     assert final["en"][0] == 110
+
+
+def _mk_docs(i, lang, source, words):
+    text = " ".join(f"w{(i * 7 + j) % 13}" for j in range(words)) + (
+        " the a the" if i % 3 == 0 else " the"
+    )
+    return (i, text, lang, source, len(text))
+
+
+def test_streaming_uncertainty_margin_matches_batch_query(spark, tmp_path):
+    """Cross-batch top-k maintenance (X188 twin): after both
+    micro-batches each lang's top-20 boundary docs must equal the
+    BATCH sample_uncertainty_margin query over the union — bit-for-bit
+    (same JVM score/margin tree; Python only merges bounded top-k
+    lists; rounding happens JVM-side after the stateful operator)."""
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.margin import (
+        streaming_uncertainty_margin,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = [_mk_docs(i, "en", "s0", 20 + i % 40) for i in range(60)] + [
+        _mk_docs(100 + i, "fr", "s1", 30 + i % 25) for i in range(25)
+    ] + [(900, None, "en", "s0", 0)]
+    b2 = [_mk_docs(200 + i, "en", "s0", 45 + i % 30) for i in range(50)] + [
+        _mk_docs(300 + i, "zh", "s1", 10 + i % 50) for i in range(30)
+    ] + [(901, None, "fr", "s1", 0)]
+    src = str(tmp_path / "marg-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_uncertainty_margin(stream)
+    _run_stream(out, tmp_path, "marg_out", mode="update")
+    final = {}
+    for r in spark.sql("select * from marg_out").collect():
+        # update-mode memory sink appends emissions in batch order:
+        # the LAST emission per (lang, pick_rank) is the current top-k
+        final[(r["lang"], r["pick_rank"])] = (
+            r["doc_id"], r["score"], r["margin"]
+        )
+
+    union_dir = str(tmp_path / "marg-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/documents.parquet"
+    )
+    want = {
+        (r["lang"], r["pick_rank"]): (r["doc_id"], r["score"], r["margin"])
+        for r in REGISTRY["sample_uncertainty_margin"].fn(
+            spark, union_dir
+        ).collect()
+    }
+    assert final == want
+    # non-vacuous: en spans both batches, so its final top-20 must mix
+    # docs from each (the merge actually re-ranked)
+    en_ids = {v[0] for k, v in final.items() if k[0] == "en"}
+    assert any(i < 100 for i in en_ids) and any(i >= 200 for i in en_ids)
+    assert len(en_ids) == 20 and 900 not in en_ids and 901 not in en_ids
+
+
+def test_streaming_source_scorecard_matches_batch_query(spark, tmp_path):
+    """Cross-batch scorecard maintenance (X190 twin): after both
+    micro-batches each source's full scorecard row must equal the
+    BATCH docs_source_quality_profile query over the union —
+    bit-for-bit (counts/sums/md5-set/lang-map merge in Python; every
+    float step is a JVM expression tree identical to the batch's)."""
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.scorecard import (
+        streaming_source_scorecard,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = [_mk_docs(i, "en", "s0", 20 + i % 40) for i in range(40)] + [
+        _mk_docs(100 + i, "fr", "s1", 30 + i % 25) for i in range(25)
+    ] + [(900, None, "en", "s0", 0)]
+    b2 = [_mk_docs(200 + i, "en", "s0", 45 + i % 30) for i in range(30)] + [
+        _mk_docs(300 + i, "zh", "s1", 10 + i % 50) for i in range(30)
+    ] + [(901, None, "fr", "s1", 0)]
+    # exact duplicates STRADDLING the batch boundary: same text as b1
+    # docs, new ids in b2 — the distinct-hash set must dedupe across
+    # batches (dup_ratio is the cross-batch leg)
+    b2 += [(950 + j, b1[j][1], b1[j][2], b1[j][3], b1[j][4]) for j in range(6)]
+    src = str(tmp_path / "score-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_source_scorecard(stream)
+    _run_stream(out, tmp_path, "score_out", mode="update")
+    final = {}
+    for r in spark.sql("select * from score_out").collect():
+        final[r["source"]] = (
+            r["n_docs"], r["n_distinct"], r["dup_ratio"], r["mean_chars"],
+            r["mean_quality"], r["lang_entropy_bits"],
+        )
+
+    union_dir = str(tmp_path / "score-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/documents.parquet"
+    )
+    want = {
+        r["source"]: (
+            r["n_docs"], r["n_distinct"], r["dup_ratio"], r["mean_chars"],
+            r["mean_quality"], r["lang_entropy_bits"],
+        )
+        for r in REGISTRY["docs_source_quality_profile"].fn(
+            spark, union_dir
+        ).collect()
+    }
+    assert final == want
+    # non-vacuous: s0 counts the null-text doc in volume but not in
+    # quality/hashes, and the straddling duplicates depress n_distinct
+    assert final["s0"][0] == 40 + 1 + 30 + 6
+    assert final["s0"][1] < final["s0"][0] - 1  # null + 6 dups excluded
+    assert final["s0"][2] > 0.0  # dup_ratio sees the cross-batch dups

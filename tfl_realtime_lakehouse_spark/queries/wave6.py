@@ -231,10 +231,16 @@ def docs_source_quality_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
+    # null-text docs stay in the VOLUME counts but contribute neither a
+    # quality score nor a distinct hash — exactly what the oracle does
+    # (DuckDB's scorer yields NULL on NULL text and SUM/COUNT DISTINCT
+    # skip it); Spark's size(split(NULL)) = -1 would silently score
+    # null text without the explicit guard (same class as the r6
+    # conformal-twin ADVICE).
     base = docs.select(
         "source",
         "n_chars",
-        _score_col().alias("_score"),
+        F.when(F.col("text").isNotNull(), _score_col()).alias("_score"),
         F.md5("text").alias("_h"),
     )
     a = base.groupBy("source").agg(

@@ -2397,3 +2397,105 @@ def test_fuzzy_name_pairs_bounded_modes(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="positive"):
         fuzzy_name_pairs_plan(spark, str(tmp_path), max_pairs_per_name=0)
+
+
+def test_embedding_set_diversity_matches_numpy_brute_force(spark, tmp_path):
+    """The sum-vector identity must reproduce the literal mean pairwise
+    cosine: Spark/DuckDB share one expression tree, so a same-tree bug
+    would pass the oracle — this pins the MATH against an independent
+    O(n²) numpy recompute (tolerance covers the 12-dp decimal pinning
+    of normalized components)."""
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave7 import (
+        embedding_set_diversity,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for label, n in [(0, 17), (1, 5), (2, 2)]:
+        base = rng.randn(8).astype(np.float32)
+        for i in range(n):
+            v = (base * (label + 1) + rng.randn(8) * 0.7).astype(np.float32)
+            rows.append((len(rows), v.tolist(), label))
+    rows.append((len(rows), [0.0] * 8, 0))   # zero-norm: excluded
+    rows.append((len(rows), rng.randn(8).astype(np.float32).tolist(), 3))
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = {
+        r.label: (r.n, r.mean_pairwise_cosine)
+        for r in embedding_set_diversity(spark, str(tmp_path)).collect()
+    }
+    assert 3 not in got  # n=1 → no pairs
+    for label, n in [(0, 17), (1, 5), (2, 2)]:
+        vs = np.array(
+            [r[1] for r in rows[:-2] if r[2] == label], dtype=np.float64
+        )
+        u = vs / np.linalg.norm(vs, axis=1, keepdims=True)
+        g = u @ u.T
+        want = (g.sum() - np.trace(g)) / (n * (n - 1))
+        assert got[label][0] == n
+        assert abs(got[label][1] - want) < 5e-7, (label, got[label][1], want)
+
+
+def test_graph_modularity_lpa_terms_match_brute_force(spark, tmp_path):
+    """Modularity terms against a literal python recompute of Q over
+    the same sampled graph + LPA labels the query derives."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave7 import (
+        graph_modularity_lpa,
+    )
+
+    # small orders/lineitem fixture: 12 customers x 6 suppliers
+    orders = [(ok, ok % 12) for ok in range(60)]
+    lines = [(ok, ln, (ok * 7 + ln) % 6) for ok in range(60) for ln in range(3)]
+    pd.DataFrame(orders, columns=["o_orderkey", "o_custkey"]).to_parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+    pd.DataFrame(
+        lines, columns=["l_orderkey", "l_linenumber", "l_suppkey"]
+    ).to_parquet(f"{tmp_path}/lineitem.parquet")
+
+    # model: sampled edges
+    eraw = {(c, 1000000000 + s) for ok, c in orders for lo, ln, s in lines if lo == ok}
+    def keep(a, b):
+        h = hashlib.md5(f"mod:{a}:{b}".encode()).hexdigest()
+        return int(h[:15], 16) % 8 == 0
+    e0 = sorted((a, b) for a, b in eraw if keep(a, b))
+    adj = {}
+    for a, b in e0:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n in adj:
+            cnt = Counter(labels[m] for m in adj[n])
+            best = min(cnt, key=lambda l: (-cnt[l], l))
+            new[n] = best
+        labels = new
+    m = len(e0)
+    deg = Counter()
+    for a, b in e0:
+        deg[a] += 1
+        deg[b] += 1
+    want = {}
+    for c in set(labels.values()):
+        members = {n for n, l in labels.items() if l == c}
+        e_in = sum(1 for a, b in e0 if a in members and b in members)
+        d_sum = sum(deg[n] for n in members)
+        term = e_in / m - (d_sum / (2.0 * m)) ** 2
+        want[c] = (len(members), e_in, d_sum, round(term, 6) + 0.0)
+
+    got = {
+        r.label: (r.n_nodes, r.e_in, r.d_sum, r.term)
+        for r in graph_modularity_lpa(spark, str(tmp_path)).collect()
+    }
+    assert m >= 3 and len(want) >= 2  # non-vacuous fixture
+    assert got == want

@@ -83,6 +83,15 @@ BUDGETS = {
     # multiplicity agg + name-pair join legs + contrib re-agg; member
     # expansion must NEVER appear (output O(distinct names))
     "fuzzy_name_pair_counts": (6, 0),
+    # ---- r7 wave: corpus-audit queries ----
+    # shingle distinct + per-hash source-set agg + pair agg + totals;
+    # the h-keyed SELF-JOIN must never appear (in-row pair expansion)
+    "docs_cross_source_overlap": (6, 0),
+    # (label,dim) agg + label agg + count join — the O(n·d) identity
+    # plan; a pair join appearing here would be the O(n²) regression
+    "embedding_set_diversity": (3, 0),
+    # edge distinct + degree agg + community aggs over the LPA rounds
+    "graph_modularity_lpa": (8, 0),
 }
 
 

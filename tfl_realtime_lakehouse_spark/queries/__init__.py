@@ -23,6 +23,7 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     tpch_shapes2,
     layout_queries,
     wave6,
+    wave7,
 )
 
 # The driver's correctness harness checks the FIRST 50 registry entries in

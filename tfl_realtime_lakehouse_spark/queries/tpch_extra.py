@@ -801,10 +801,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle(iters: int = 3) -> str:
+def _lpa_oracle(
+    iters: int = 3,
+    final: str | None = None,
+    graph_cte: str | None = None,
+) -> str:
     """Unrolled synchronous label propagation in DuckDB SQL, mirroring
     operators/graph.py:label_propagation round-for-round (same
-    count-desc/label-asc argmax, same isolated-node coalesce)."""
+    count-desc/label-asc argmax, same isolated-node coalesce).
+
+    ``final`` optionally replaces the default label SELECT with a
+    consumer block (it may open with further CTEs: ``, x AS (...)``);
+    ``{prev}`` inside it resolves to the last round's label relation —
+    wave7's modularity query builds on the SAME unrolled rounds so the
+    two oracles can never drift. ``graph_cte`` optionally replaces the
+    default co-supply edge derivation with any CTE chain ending in an
+    ``e0(a, b)`` relation (a < b, distinct)."""
     its, prev = [], "l0"
     for i in range(1, iters + 1):
         its.append(f"""
@@ -821,19 +833,20 @@ def _lpa_oracle(iters: int = 3) -> str:
       ) w ON w.node = nodes.node
     )""")
         prev = f"l{i}"
-    return f"""
-    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    default_graph = """ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 64),
     oks AS (SELECT p FROM ok
             WHERE ('0x' || SUBSTR(MD5('lpa:' || p), 1, 15))::BIGINT % 16 = 0),
     psf AS (SELECT ps.p, ps.s FROM ps JOIN oks USING (p)),
     e0 AS (SELECT DISTINCT x.s AS a, y.s AS b
-           FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s),
+           FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s)"""
+    return f"""
+    WITH {graph_cte or default_graph},
     adj AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
     nodes AS (SELECT DISTINCT a AS node FROM adj),
     l0 AS (SELECT node, node AS label FROM nodes),
     {",".join(its)}
-    SELECT node, label FROM {prev}
+    {(final or "SELECT node, label FROM {prev}").format(prev=prev)}
     """
 
 
@@ -863,6 +876,14 @@ def _lpa_oracle(iters: int = 3) -> str:
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfl_realtime_lakehouse_spark.operators.graph import label_propagation
 
+    return label_propagation(_lpa_pairs(spark, sf_dir), iters=3)
+
+
+def _lpa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampled co-supply edge derivation shared by
+    graph_label_propagation and wave7's modularity query (src < dst,
+    NOT deduplicated — label_propagation distincts internally, exactly
+    like the oracle's e0 CTE)."""
     ps = (
         table(spark, sf_dir, "lineitem")
         .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
@@ -891,12 +912,11 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p")
     )
     psf = ps.join(ok, "p")
-    pairs = (
+    return (
         psf.alias("x")
         .join(psf.alias("y"), (F.col("x.p") == F.col("y.p")) & (F.col("x.s") < F.col("y.s")))
         .select(F.col("x.s").alias("src"), F.col("y.s").alias("dst"))
     )
-    return label_propagation(pairs, iters=3)
 
 
 def _contracted_basket_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1016,14 +1036,15 @@ def _bfs_oracle(hops: int = 3) -> str:
       ) GROUP BY node
     )""")
         prev = f"d{i}"
-    return f"""
-    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    default_graph = """ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     ok AS (SELECT p FROM ps GROUP BY p HAVING COUNT(*) <= 64),
     oks AS (SELECT p FROM ok
             WHERE ('0x' || SUBSTR(MD5('lpa:' || p), 1, 15))::BIGINT % 16 = 0),
     psf AS (SELECT ps.p, ps.s FROM ps JOIN oks USING (p)),
     e0 AS (SELECT DISTINCT x.s AS a, y.s AS b
-           FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s),
+           FROM psf x JOIN psf y ON x.p = y.p AND x.s < y.s)"""
+    return f"""
+    WITH {default_graph},
     adj AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
     d0 AS (SELECT s AS node, 0 AS dist
            FROM (SELECT DISTINCT s FROM ps) WHERE s % 100 = 0),

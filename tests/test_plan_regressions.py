@@ -92,6 +92,8 @@ BUDGETS = {
     "embedding_set_diversity": (3, 0),
     # edge distinct + degree agg + community aggs over the LPA rounds
     "graph_modularity_lpa": (8, 0),
+    # one moment agg + half-vs-half join + label fold — corpus scanned once
+    "embedding_centroid_drift": (3, 0),
 }
 
 

@@ -350,3 +350,82 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half,
+             CAST(GENERATE_SUBSCRIPTS(embedding, 1) AS INTEGER) AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ),
+    m AS (
+      SELECT label, half, dim,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS mu,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ex GROUP BY 1, 2, 3
+    ),
+    d AS (
+      SELECT a.label, a.dim, a.mu - b.mu AS diff, a.n AS n0, b.n AS n1
+      FROM m a JOIN m b
+        ON a.label = b.label AND a.dim = b.dim
+       AND a.half = 0 AND b.half = 1
+    )
+    SELECT label, MIN(n0) AS n0, MIN(n1) AS n1,
+           ROUND(SQRT(CAST(SUM(CAST(diff * diff AS DECIMAL(27,12)))
+                           AS DOUBLE)), 6) AS centroid_l2_shift
+    FROM d GROUP BY label
+    """,
+    doc="Embedding centroid drift per label between two corpus halves "
+    "(vec_id parity models batch-A vs batch-B snapshots): the L2 "
+    "distance between per-half centroids — the distribution-shift "
+    "monitor an embedding pipeline alarms on before retraining an "
+    "index or a probe (complements events_psi_drift, which watches "
+    "scalar histograms; this watches the vector mean). Scale shape: "
+    "one posexplode scan into a (label, half, dim) decimal-exact "
+    "moment aggregate — key space 2·|labels|·|dims|, data-independent "
+    "— then a half-vs-half equi-join and one |labels|-key fold; the "
+    "corpus is touched ONCE. Determinism: per-dim sums pin to "
+    "decimal(38,12) before crossing rows, the mean is one double "
+    "division, squared diffs re-pin to decimal(27,12) so the per-label "
+    "sum is order-free, SQRT is correctly rounded in both engines.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "dim", "x"
+        ),
+    )
+    m = ex.groupBy("label", "half", "dim").agg(
+        (
+            F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = m.where(F.col("half") == 0).select(
+        "label", "dim", F.col("mu").alias("mu0"), F.col("n").alias("n0")
+    )
+    b = m.where(F.col("half") == 1).select(
+        "label", "dim", F.col("mu").alias("mu1"), F.col("n").alias("n1")
+    )
+    diff = F.col("mu0") - F.col("mu1")
+    return (
+        a.join(b, ["label", "dim"])
+        .groupBy("label")
+        .agg(
+            F.min("n0").alias("n0"),
+            F.min("n1").alias("n1"),
+            F.round(
+                F.sqrt(
+                    F.sum((diff * diff).cast("decimal(27,12)")).cast("double")
+                ),
+                6,
+            ).alias("centroid_l2_shift"),
+        )
+    )

@@ -4,11 +4,16 @@ Complements the dedup family's connected components (dedup.py — which
 resolves SIMILARITY graphs into clusters) with the other classic
 massive-graph primitive: importance scoring by power iteration.
 
-Scale shape: each iteration is one equi-join (edge src → current rank)
-plus one map-side-combined groupBy on dst — shuffles keyed by node id,
-no driver state beyond the node count. Lineage is cut per iteration
-with localCheckpoint so the plan stays O(1) deep in the iteration
-count (same discipline as kmeans_train / connected_components).
+Scale shape: each iteration is one NODE-sized equi-join (rank ⋈
+outdeg → per-src ratio) feeding one edge equi-join plus one
+map-side-combined groupBy on dst — shuffles keyed by node id, no
+driver state beyond the node count. The edge relation is materialized
+exactly once (the round-7 probe showed a second edge-wide
+e ⋈ outdeg checkpoint bought nothing: the per-round cost is the edge
+shuffle itself, so the narrow e0 + node-sized outdeg join is strictly
+less bytes). Lineage is cut per iteration with localCheckpoint so the
+plan stays O(1) deep in the iteration count (same discipline as
+kmeans_train / connected_components).
 
 Determinism: float addition is order-dependent, and a parallel SUM of
 double contributions would make ranks nondeterministic across runs and
@@ -60,18 +65,30 @@ def pagerank(
         .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     n = nodes.count()  # one scalar of driver state — the model, not the data
-    outdeg = e0.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e = e0.join(outdeg, "src").localCheckpoint(storageLevel=_CKPT_LEVEL)
+    # outdeg stays NODE-sized and joins into the rank side each round;
+    # the former e = e0 ⋈ outdeg edge-relation materialization was a
+    # second full O(|E|) checkpoint plus an outdeg column riding every
+    # per-round edge shuffle — eliminated round 7 (bit-identical: the
+    # pr/outdeg division sees the same two doubles whether it runs per
+    # src or per edge; probe tools/profile_graph_variants2_r7.py,
+    # result hashes equal, ~20% faster warm at sf5).
+    outdeg = e0.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(storageLevel=_CKPT_LEVEL)
 
     pr = nodes.select("node", F.lit(1.0 / n).alias("pr")).localCheckpoint(storageLevel=_CKPT_LEVEL)
     base = (1 - damping) / n  # IEEE-evaluated once; oracle mirrors the op tree
     for _ in range(iters):
+        ratio = pr.join(outdeg, pr["node"] == outdeg["src"]).select(
+            outdeg["src"].alias("rsrc"),
+            (F.col("pr") / F.col("outdeg")).alias("r"),
+        )
         sums = (
-            e.join(pr, e["src"] == pr["node"])
+            e0.join(ratio, e0["src"] == ratio["rsrc"])
             .select(
                 F.col("dst").alias("node"),
                 # decimal-exact contribution: order-independent sum
-                (F.col("pr") / F.col("outdeg")).cast("decimal(27,12)").alias("c"),
+                F.col("r").cast("decimal(27,12)").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("s"))

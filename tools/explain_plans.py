@@ -126,6 +126,19 @@ HEADLINERS = [
     "embedding_matryoshka_eval",
     "training_curriculum_order",
     "scalar_luhn_card_audit",
+    # round-6 wave: curation/eval analytics
+    "sample_uncertainty_margin",
+    "eval_conformal_thresholds",
+    "docs_source_quality_profile",
+    "text_pii_cooccurrence",
+    "eval_packing_efficiency",
+    "layout_partition_skew_audit",
+    # round-7 wave: bounded fuzzy mode + corpus audits
+    "fuzzy_name_pair_counts",
+    "docs_cross_source_overlap",
+    "embedding_set_diversity",
+    "graph_modularity_lpa",
+    "embedding_centroid_drift",
 ]
 
 

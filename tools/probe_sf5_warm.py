@@ -22,6 +22,22 @@ from tfl_realtime_lakehouse_spark.queries import REGISTRY  # noqa: E402
 from tfl_realtime_lakehouse_spark.session import get_spark  # noqa: E402
 
 
+def _release_blocks(spark) -> None:
+    """bench.py's discipline: drop retained localCheckpoint blocks
+    between trials — accumulated blocks GC-thrash the heap and poison
+    later timings (r7 measured a 280 s outlier on a 40 s query)."""
+    import gc
+
+    gc.collect()
+    try:
+        jsc = spark.sparkContext._jsc.sc()
+        retained = jsc.getPersistentRDDs().values().toList()
+        for i in range(retained.size()):
+            retained.apply(i).unpersist(False)
+    except Exception:
+        pass
+
+
 def main():
     sf_dir = sys.argv[1]
     trials = int(sys.argv[2])
@@ -42,6 +58,7 @@ def main():
                 "overwrite"
             ).save()
             times.append(round(time.monotonic() - t0, 2))
+            _release_blocks(spark)
         warm = sorted(times[1:])
         out["queries"][name] = {
             "cold_first_touch": times[0],

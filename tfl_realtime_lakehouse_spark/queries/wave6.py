@@ -236,11 +236,20 @@ def docs_source_quality_profile(
     # (DuckDB's scorer yields NULL on NULL text and SUM/COUNT DISTINCT
     # skip it); Spark's size(split(NULL)) = -1 would silently score
     # null text without the explicit guard (same class as the r6
-    # conformal-twin ADVICE).
+    # conformal-twin ADVICE). The guard is ARITHMETIC null propagation
+    # (score + [0.0 iff text non-null]) rather than CASE WHEN(score):
+    # Spark skips subexpression elimination inside conditional
+    # branches, so wrapping the scorer in WHEN re-evaluated its triple
+    # split(text) per row — measured 2× on the whole query at sf5
+    # (3.1 s → 6.7 s); the additive form keeps the scorer outside any
+    # branch (+0.0 is exact: the score is in (0,1), never −0.0).
+    _score_guarded = _score_col() + F.when(
+        F.col("text").isNotNull(), F.lit(0.0)
+    )
     base = docs.select(
         "source",
         "n_chars",
-        F.when(F.col("text").isNotNull(), _score_col()).alias("_score"),
+        _score_guarded.alias("_score"),
         F.md5("text").alias("_h"),
     )
     a = base.groupBy("source").agg(

@@ -111,8 +111,10 @@ def streaming_source_scorecard(docs: DataFrame) -> DataFrame:
         "n_chars",
         "lang",
         # identical null policy + expression tree to the batch query:
-        # null text contributes volume but neither quality nor a hash
-        F.when(F.col("text").isNotNull(), _score_col())
+        # null text contributes volume but neither quality nor a hash.
+        # Arithmetic null propagation, not WHEN(score) — see the batch
+        # query's comment (CSE is disabled inside conditional branches)
+        (_score_col() + F.when(F.col("text").isNotNull(), F.lit(0.0)))
         .cast("decimal(27,12)")
         .alias("_sq"),
         F.md5("text").alias("_h"),

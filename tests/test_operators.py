@@ -2463,7 +2463,7 @@ def test_graph_modularity_lpa_terms_match_brute_force(spark, tmp_path):
     ).to_parquet(f"{tmp_path}/lineitem.parquet")
 
     # model: sampled edges
-    eraw = {(c, 1000000000 + s) for ok, c in orders for lo, ln, s in lines if lo == ok}
+    eraw = {(c, 1000000000000 + s) for ok, c in orders for lo, ln, s in lines if lo == ok}
     def keep(a, b):
         h = hashlib.md5(f"mod:{a}:{b}".encode()).hexdigest()
         return int(h[:15], 16) % 8 == 0

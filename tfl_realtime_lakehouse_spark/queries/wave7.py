@@ -234,7 +234,7 @@ _MODULARITY_FINAL = """
 
 
 _MODULARITY_GRAPH = """eraw AS (
-      SELECT DISTINCT o_custkey AS a, 1000000000 + l_suppkey AS b
+      SELECT DISTINCT o_custkey AS a, 1000000000000 + l_suppkey AS b
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     ),
     e0 AS (
@@ -280,7 +280,11 @@ def graph_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
     ).select(
         F.col("o_custkey").alias("a"),
-        (F.lit(1000000000) + F.col("l_suppkey")).alias("b"),
+        # 10^12 supplier offset: collision-proof while o_custkey < 10^12,
+        # i.e. sf < ~6.7e6 (o_custkey = sf * 1.5e5 * 4 in TPC-H numbering);
+        # 100 TB ~ sf 1e5 keeps 4 orders of magnitude of headroom. A 1e9
+        # offset collided with o_custkey from sf ~6700.
+        (F.lit(1000000000000) + F.col("l_suppkey")).alias("b"),
     ).distinct()
     keep_edge = (
         F.conv(

@@ -77,7 +77,11 @@ def _scorecard_state_fn(
         n_docs, sch, sq, hset, lmap = 0, 0, Decimal(0), set(), {}
     for pdf in pdfs:
         n_docs += len(pdf)
-        sch += int(pdf["n_chars"].dropna().sum())
+        # exact bigint accumulation: with nulls present pandas holds
+        # n_chars as float64, and dropna().sum() in IEEE doubles can
+        # diverge from the batch SUM(BIGINT) past 2^53 chars/source —
+        # cast back to int64 per element before summing.
+        sch += int(pdf["n_chars"].dropna().astype("int64").sum())
         # decimal(27,12) values arrive as Decimal objects — exact sum
         sq += sum((d for d in pdf["_sq"] if d is not None), Decimal(0))
         hset.update(h for h in pdf["_h"] if h is not None)

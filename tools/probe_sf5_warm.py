@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -63,7 +64,7 @@ def main():
         out["queries"][name] = {
             "cold_first_touch": times[0],
             "warm_trials": times[1:],
-            "warm_median": warm[len(warm) // 2],
+            "warm_median": round(statistics.median(warm), 2),
             "warm_spread": round(warm[-1] - warm[0], 2),
         }
     out["load_after"] = [round(v, 2) for v in os.getloadavg()]

@@ -2082,3 +2082,69 @@ def test_streaming_source_scorecard_matches_batch_query(spark, tmp_path):
     assert final["s0"][0] == 40 + 1 + 30 + 6
     assert final["s0"][1] < final["s0"][0] - 1  # null + 6 dups excluded
     assert final["s0"][2] > 0.0  # dup_ratio sees the cross-batch dups
+
+
+def test_streaming_centroid_drift_matches_batch_query(spark, tmp_path):
+    """Cross-batch centroid-drift maintenance (X201 twin): after both
+    micro-batches each label's drift row must equal the BATCH
+    embedding_centroid_drift query over the union — bit-for-bit
+    (decimal moments merge in Python; every float step is a JVM
+    post-projection tree-identical to the batch's). Planted: a null
+    embedding, a null coordinate, a label seen in one half only, and a
+    label whose second half arrives only in batch 2."""
+    import random
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.drift import (
+        streaming_centroid_drift,
+    )
+
+    rng = random.Random(8)
+    d = 8
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(d)]
+
+    schema = "vec_id long, embedding array<float>, label int"
+    b1 = [(i, vec(), i % 3) for i in range(40)]
+    b1.append((900, None, 0))           # null embedding: no dims at all
+    v = vec()
+    v[3] = None
+    b1.append((902, v, 1))              # null coordinate: counts, adds 0
+    b1.append((904, vec(), 7))          # label 7: even half only, ever
+    b1.append((905, vec(), 9))          # label 9: odd half here ...
+    b2 = [(100 + i, vec(), i % 3) for i in range(30)]
+    b2.append((906, vec(), 9))          # ... even half only in batch 2
+    src = str(tmp_path / "drift-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_centroid_drift(stream)
+    _run_stream(out, tmp_path, "drift_out", mode="update")
+    final = {
+        r["label"]: (r["n0"], r["n1"], r["centroid_l2_shift"])
+        for r in spark.sql("select * from drift_out").collect()
+    }
+
+    union_dir = str(tmp_path / "drift-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/embeddings.parquet"
+    )
+    want = {
+        r["label"]: (r["n0"], r["n1"], r["centroid_l2_shift"])
+        for r in REGISTRY["embedding_centroid_drift"].fn(
+            spark, union_dir
+        ).collect()
+    }
+    assert final == want
+    # non-vacuous: labels 0-2 present with drift > 0; label 7 never has
+    # both halves (no row); label 9 completes only across the batch
+    # boundary — the cross-batch leg
+    assert set(final) == {0, 1, 2, 9}
+    assert 7 not in final
+    assert all(s > 0.0 for _, _, s in final.values())

@@ -2499,3 +2499,235 @@ def test_graph_modularity_lpa_terms_match_brute_force(spark, tmp_path):
     }
     assert m >= 3 and len(want) >= 2  # non-vacuous fixture
     assert got == want
+
+
+def test_bradley_terry_matches_brute_force_mm(spark, tmp_path):
+    """BT ratings against a literal python recompute of the smoothed MM
+    recurrence from the same duel fixture (winner = higher score, the
+    repo's rational sigmoid; here texts are built so longer = higher
+    score deterministically)."""
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave8 import (
+        eval_pairwise_bradley_terry,
+    )
+
+    def mk(i, source, words):
+        return (i, " ".join(f"w{j}" for j in range(words)), "en", source, 0)
+
+    # 4 sources, deterministic strengths via word counts 5..44; pair
+    # (2k, 2k+1) duels; one null-text doc kills its pair
+    rows = []
+    for k in range(40):
+        rows.append(mk(2 * k, f"s{k % 4}", 5 + k))
+        rows.append(mk(2 * k + 1, f"s{(k + 1) % 4}", 6 + ((k * 13) % 37)))
+    rows.append((900, None, "en", "s0", 0))
+    rows.append((901, "a b c", "en", "s1", 0))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    # model: score is monotone in token count for these all-novel-word
+    # texts (z = (n-45)/10 + 0), so winner = more tokens, ties impossible
+    def score(words):
+        z = (words - 45.0) / 10.0
+        return 0.5 + 0.5 * z / (1.0 + abs(z))
+
+    duels = []
+    for k in range(40):
+        sa, xa = f"s{k % 4}", score(5 + k)
+        sb, xb = f"s{(k + 1) % 4}", score(6 + ((k * 13) % 37))
+        if sa == sb:
+            continue
+        w = sa if xa > xb else sb if xb > xa else min(sa, sb)
+        duels.append((w, sb if w == sa else sa))
+    und = {}
+    for w, l in duels:
+        i, j = min(w, l), max(w, l)
+        n, wi = und.get((i, j), (0, 0))
+        und[(i, j)] = (n + 1, wi + (1 if w == i else 0))
+    dirp, wtot = [], {}
+    for (i, j), (n, wi) in und.items():
+        dirp.append((i, j, n + 1))
+        dirp.append((j, i, n + 1))
+        for s, ww, nd in ((i, wi + 0.5, n), (j, (n - wi) + 0.5, n)):
+            t, d, wn = wtot.get(s, (0.0, 0, 0.0))
+            wtot[s] = (t + ww, d + nd, wn + (ww - 0.5))
+    g = {s: 1.0 for s in wtot}
+    from decimal import Decimal
+
+    def pin(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-12"))
+
+    for _ in range(8):
+        den = {}
+        for s, o, nn in dirp:
+            den[s] = den.get(s, Decimal(0)) + pin(nn / (g[s] + g[o]))
+        g = {s: wtot[s][0] / float(den[s]) for s in g}
+        sg = float(sum((pin(v) for v in g.values()), Decimal(0)))
+        g = {s: v / sg for s, v in g.items()}
+    want = {
+        s: (wtot[s][1], int(wtot[s][2]), round(g[s], 6)) for s in wtot
+    }
+
+    got = {
+        r.source: (r.n_duels, r.wins, r.rating)
+        for r in eval_pairwise_bradley_terry(spark, str(tmp_path)).collect()
+    }
+    assert len(want) == 4 and sum(v[0] for v in want.values()) > 0
+    assert got == want
+    # ratings sum to ~1 and are all positive (smoothing keeps gamma > 0)
+    assert abs(sum(r for _, _, r in got.values()) - 1.0) < 1e-5
+    assert all(r > 0 for _, _, r in got.values())
+
+
+def test_minhash_estimate_error_weighted_contraction_matches_raw(
+    spark, tmp_path
+):
+    """The weighted-contracted histogram must equal a literal raw-corpus
+    enumeration (signatures per doc, candidates, est-jac bins) on a
+    fixture with planted exact duplicates, a null text, and a
+    sub-3-token doc."""
+    import hashlib
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave8 import (
+        dedup_minhash_estimate_error,
+    )
+
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over a sleepy dog",
+        "pack my box with five dozen liquor jugs today",
+        "pack my box with five dozen liquor jugs",
+        "completely different text about spark physical plans here",
+    ]
+    rows = []
+    did = 0
+    for t in base:
+        for _ in range(3):  # 3 exact copies of each distinct text
+            rows.append((did, t, "en", "s0", len(t)))
+            did += 1
+    rows.append((did, None, "en", "s1", 0)); did += 1
+    rows.append((did, "too short", "en", "s1", 9)); did += 1
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def sh3(t):
+        w = t.split(" ")
+        return sorted({" ".join(w[i:i + 3]) for i in range(len(w) - 2)})
+
+    sigs, sets_ = {}, {}
+    for i, t, *_ in rows:
+        if t is None:
+            continue
+        s = sh3(t)
+        if not s:
+            continue
+        sets_[i] = set(s)
+        sigs[i] = [min(h60(f"{k}:{g}") for g in s) for k in range(16)]
+    bands = {}
+    for i, sig in sigs.items():
+        for b in range(4):
+            key = (b, h60(",".join(str(v) for v in sig[b * 4:b * 4 + 4])))
+            bands.setdefault(key, []).append(i)
+    cands = set()
+    for members in bands.values():
+        for a in members:
+            for b in members:
+                if a < b:
+                    cands.add((a, b))
+    want = {}
+    for a, b in cands:
+        agree = sum(1 for k in range(16) if sigs[a][k] == sigs[b][k])
+        inter = len(sets_[a] & sets_[b])
+        jac = round(inter / (len(sets_[a]) + len(sets_[b]) - inter), 6)
+        bin_ = int((agree / 16.0 - jac) * 16 // 1)
+        want[bin_] = want.get(bin_, 0) + 1
+
+    got = {
+        r.err_bin: r.n_pairs
+        for r in dedup_minhash_estimate_error(spark, str(tmp_path)).collect()
+    }
+    # non-vacuous: the diagonal (3 copies x 5 texts -> 15 zero-error
+    # pairs) plus cross-text candidate pairs beyond the diagonal (their
+    # sub-1/16 errors may legitimately share bin 0; the multi-bin
+    # behavior is exercised by the sf0.01 oracle parity, 4 bins)
+    assert got.get(0, 0) >= 15
+    assert sum(got.values()) > 15
+    assert got == want
+
+
+def test_ann_recall_eval_invariants_and_exact_leg(spark):
+    """recall@k bookkeeping on the real sf0.001 corpus: the exact leg
+    is always k deep, the approx leg never exceeds k, the overlap is
+    bounded by both, and recall is their ratio."""
+    from tfl_realtime_lakehouse_spark.queries.wave8 import (
+        embedding_ann_recall_eval,
+    )
+
+    rows = embedding_ann_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    assert {r.query_id for r in rows} == {0, 4, 8, 12, 16}
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_approx <= 10
+        assert 0 <= r.n_common <= min(r.n_exact, r.n_approx)
+        assert r.recall_at_k == round(r.n_common / r.n_exact, 6)
+
+
+def test_column_stats_profile_matches_pandas(spark, tmp_path):
+    """Per-column stats against a pandas recompute on a fixture with
+    planted nulls in every column kind."""
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave8 import (
+        table_column_stats_profile,
+    )
+
+    n = 50
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": [i if i % 7 else None for i in range(n)],
+            "l_partkey": list(range(n)),
+            "l_suppkey": [i % 5 for i in range(n)],
+            "l_linenumber": [i % 3 for i in range(n)],
+            "l_quantity": [float(i % 11) + 0.25 for i in range(n)],
+            "l_extendedprice": [100.5 + i for i in range(n)],
+            "l_discount": [0.01 * (i % 9) for i in range(n)],
+            "l_tax": [0.02] * n,
+            "l_returnflag": [None if i % 13 == 0 else "AR"[i % 2] for i in range(n)],
+            "l_linestatus": ["OF"[i % 2] for i in range(n)],
+            "l_shipdate": pd.to_datetime(
+                [f"2024-01-{(i % 28) + 1:02d}T03:04:05" for i in range(n)]
+            ),
+        }
+    )
+    pdf["l_orderkey"] = pdf["l_orderkey"].astype("Int64")
+    # µs precision: pandas defaults to TIMESTAMP(NANOS), which a bare
+    # spark.read.parquet rejects (the events.parquet gotcha)
+    pdf["l_shipdate"] = pdf["l_shipdate"].astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/lineitem.parquet")
+
+    got = {
+        r.col_name: r.asDict()
+        for r in table_column_stats_profile(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(pdf.columns)
+    for c in pdf.columns:
+        s = pdf[c]
+        assert got[c]["n_rows"] == n
+        assert got[c]["n_nulls"] == int(s.isna().sum())
+        assert got[c]["ndv"] == s.nunique(dropna=True)
+    assert got["l_quantity"]["min_num"] == 0.25
+    assert got["l_quantity"]["max_num"] == 10.25
+    assert got["l_returnflag"]["min_str"] == "A"
+    assert got["l_returnflag"]["max_str"] == "R"
+    assert got["l_returnflag"]["min_num"] is None
+    assert got["l_shipdate"]["min_num"] == pd.Timestamp(
+        "2024-01-01T03:04:05"
+    ).timestamp()

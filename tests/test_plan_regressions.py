@@ -94,6 +94,20 @@ BUDGETS = {
     "graph_modularity_lpa": (8, 0),
     # one moment agg + half-vs-half join + label fold — corpus scanned once
     "embedding_centroid_drift": (3, 0),
+    # ---- r8 wave: approximation-quality + infra queries ----
+    # LSH bucket join + both top-k windows + recall fold; the Arrow
+    # stages are the sign-code matmuls (pairs referenced from both duel
+    # directions) — a corpus-sized cross join appearing here would be
+    # the O(n²) regression the approximate tier exists to avoid
+    "embedding_ann_recall_eval": (7, 4),
+    # contraction agg + signature/band aggs + candidate join + verify
+    # joins + histogram agg — all keyed on fixed-width digests
+    "dedup_minhash_estimate_error": (8, 0),
+    # duel scan + matchup agg; the 8 MM rounds are cut by model-sized
+    # checkpoints, so the FINAL plan is just the rating join
+    "eval_pairwise_bradley_terry": (2, 0),
+    # ONE scan, one expand-based multi-distinct agg, JVM-side explode
+    "table_column_stats_profile": (1, 0),
 }
 
 

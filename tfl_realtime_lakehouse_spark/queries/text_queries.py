@@ -206,13 +206,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
-    """DuckDB replica of the md5-family MinHash+LSH+verify pipeline —
-    the sketch is seeded deterministic integer arithmetic, so the whole
-    thing (signatures, band hashes, candidate join, exact-Jaccard
-    verify) is expressible in ANSI SQL and hash-checkable, not just
-    rows-only. Same md5-prefix recipe proven cross-engine in
-    doc_rolling_hash / sample_hash_split."""
+def _minhash_cte_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """The shared CTE block rebuilding the md5-family MinHash pipeline
+    in ANSI SQL — shingle sets ``s``, signatures ``sigs`` (columns
+    h0..h{k-1}), band hashes ``banded``, candidate pairs ``cands``.
+    Composed by the LSH-candidates oracle and the wave-8 sketch-error
+    oracle."""
     rows_per_band = num_hashes // bands
     h60 = "('0x' || SUBSTR(MD5({x}), 1, 15))::BIGINT"
     sig_cols = ",\n             ".join(
@@ -228,8 +227,7 @@ def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-    WITH s AS (
+    return f"""s AS (
       SELECT doc_id,
              LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text,' ')) - 1),
                i -> ARRAY_TO_STRING(STRING_SPLIT(text,' ')[i:i+2], ' '))) AS sh
@@ -253,7 +251,18 @@ def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
       FROM banded a JOIN banded b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB replica of the md5-family MinHash+LSH+verify pipeline —
+    the sketch is seeded deterministic integer arithmetic, so the whole
+    thing (signatures, band hashes, candidate join, exact-Jaccard
+    verify) is expressible in ANSI SQL and hash-checkable, not just
+    rows-only. Same md5-prefix recipe proven cross-engine in
+    doc_rolling_hash / sample_hash_split."""
+    return f"""
+    WITH {_minhash_cte_sql(num_hashes, bands)}
     SELECT c.doc_a, c.doc_b,
            CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS BIGINT) AS n_shared,
            ROUND(LEN(LIST_INTERSECT(sa.sh, sb.sh))::DOUBLE

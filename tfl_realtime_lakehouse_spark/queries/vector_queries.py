@@ -1347,17 +1347,15 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_project_fold(emb, mean, comps)
 
 
-def _rademacher_lsh_oracle(tables: int = 16, bits: int = 8, dims: int = 64) -> str:
-    """DuckDB replica of the md5-seeded Rademacher sign-LSH pipeline:
-    per (table, bit) plane the ±1 pattern is re-derived HERE from the
-    same md5 recipe and baked in as positive/negative index lists, so
-    codes, buckets, candidates and the verified cosines are all
-    recomputed from scratch — a hash match proves the whole ANN
-    pipeline end-to-end (the X63 sign-matrix discipline applied to
-    LSH)."""
+def _rademacher_codes_sql(tables: int = 16, bits: int = 8, dims: int = 64) -> str:
+    """SQL select body rebuilding the md5-seeded Rademacher sign-LSH
+    codes (vec_id, tbl, code) over a CTE named ``sample`` with columns
+    (vec_id, embedding): per (table, bit) plane the ±1 pattern is
+    re-derived HERE from the same md5 recipe and baked in as
+    positive/negative index lists. Shared by the LSH-pair oracle and
+    the ANN recall-eval oracle (wave8)."""
     from tfl_realtime_lakehouse_spark.operators.similarity import rademacher_signs
 
-    cos = _COSINE_DOUBLE.format(a="ea.embedding", b="eb.embedding")
     tbl_selects = []
     for t in range(tables):
         bit_terms = []
@@ -1383,7 +1381,19 @@ def _rademacher_lsh_oracle(tables: int = 16, bits: int = 8, dims: int = 64) -> s
             f"SELECT vec_id, {t} AS tbl, CAST({' + '.join(bit_terms)} AS INTEGER)"
             f" AS code FROM sample"
         )
-    codes_sql = "\n      UNION ALL\n      ".join(tbl_selects)
+    return "\n      UNION ALL\n      ".join(tbl_selects)
+
+
+def _rademacher_lsh_oracle(tables: int = 16, bits: int = 8, dims: int = 64) -> str:
+    """DuckDB replica of the md5-seeded Rademacher sign-LSH pipeline:
+    per (table, bit) plane the ±1 pattern is re-derived HERE from the
+    same md5 recipe and baked in as positive/negative index lists, so
+    codes, buckets, candidates and the verified cosines are all
+    recomputed from scratch — a hash match proves the whole ANN
+    pipeline end-to-end (the X63 sign-matrix discipline applied to
+    LSH)."""
+    cos = _COSINE_DOUBLE.format(a="ea.embedding", b="eb.embedding")
+    codes_sql = _rademacher_codes_sql(tables, bits, dims)
     return f"""
     WITH sample AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0

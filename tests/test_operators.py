@@ -2731,3 +2731,71 @@ def test_column_stats_profile_matches_pandas(spark, tmp_path):
     assert got["l_shipdate"]["min_num"] == pd.Timestamp(
         "2024-01-01T03:04:05"
     ).timestamp()
+
+
+def test_abtest_cuped_matches_numpy_ols(spark, tmp_path):
+    """CUPED readout against a numpy recompute (theta as the OLS slope,
+    rho2 as squared Pearson correlation, per-arm adjusted means) on a
+    fixture with correlated pre/post values, a user with only views,
+    one with only purchases, and null values."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave8 import events_abtest_cuped
+
+    rows = []
+    eid = 0
+    for u in range(30):
+        base = (u * 7) % 11 + 1.0
+        for k in range(3):
+            rows.append((eid, "2024-01-01T00:00:00", u, "view", base + k, None))
+            eid += 1
+        rows.append(
+            (eid, "2024-01-01T01:00:00", u, "purchase", 2.0 * base + (u % 5), None)
+        )
+        eid += 1
+    rows.append((eid, "2024-01-01T02:00:00", 40, "view", 3.0, None)); eid += 1
+    rows.append((eid, "2024-01-01T02:00:00", 41, "purchase", 4.0, None)); eid += 1
+    rows.append((eid, "2024-01-01T02:00:00", 42, "click", None, None)); eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    xs, ys, variants = {}, {}, {}
+    for _, r in pdf.iterrows():
+        u = r.user_id
+        variants[u] = (
+            int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15], 16) % 2
+        )
+        if pd.notna(r.value):
+            if r.event_type in ("view", "click"):
+                xs[u] = xs.get(u, 0.0) + r.value
+            elif r.event_type == "purchase":
+                ys[u] = ys.get(u, 0.0) + r.value
+    users = sorted(variants)
+    x = np.array([xs.get(u, 0.0) for u in users])
+    y = np.array([ys.get(u, 0.0) for u in users])
+    theta = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    rho2 = np.corrcoef(x, y)[0, 1] ** 2
+    got = {
+        r.variant: r.asDict()
+        for r in events_abtest_cuped(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1}
+    assert sum(g["n_users"] for g in got.values()) == 33
+    for v, g in got.items():
+        vu = [u for u in users if variants[u] == v]
+        mean_y = float(np.mean([ys.get(u, 0.0) for u in vu]))
+        adj = mean_y - theta * (
+            float(np.mean([xs.get(u, 0.0) for u in vu])) - float(np.mean(x))
+        )
+        assert abs(g["mean_metric"] - round(mean_y, 6)) < 2e-6
+        assert abs(g["mean_cuped"] - adj) < 2e-6
+        assert abs(g["theta"] - theta) < 2e-6
+        assert abs(g["rho2"] - rho2) < 2e-6
+    # the covariate genuinely reduces variance on this fixture
+    assert got[0]["rho2"] > 0.3

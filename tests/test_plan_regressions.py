@@ -108,6 +108,10 @@ BUDGETS = {
     "eval_pairwise_bradley_terry": (2, 0),
     # ONE scan, one expand-based multi-distinct agg, JVM-side explode
     "table_column_stats_profile": (1, 0),
+    # per-user conditional sums (computed for the moment fold and the
+    # per-arm fold) + the two folds; the covariance never materializes
+    # pairs — at 100 TB the per-user relation would persist for reuse
+    "events_abtest_cuped": (3, 0),
 }
 
 

@@ -139,6 +139,12 @@ HEADLINERS = [
     "embedding_set_diversity",
     "graph_modularity_lpa",
     "embedding_centroid_drift",
+    # round-8 wave: approximation-quality + infra queries
+    "embedding_ann_recall_eval",
+    "dedup_minhash_estimate_error",
+    "eval_pairwise_bradley_terry",
+    "table_column_stats_profile",
+    "events_abtest_cuped",
 ]
 
 

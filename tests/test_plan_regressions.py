@@ -106,8 +106,11 @@ BUDGETS = {
     # duel scan + matchup agg; the 8 MM rounds are cut by model-sized
     # checkpoints, so the FINAL plan is just the rating join
     "eval_pairwise_bradley_terry": (2, 0),
-    # ONE scan, one expand-based multi-distinct agg, JVM-side explode
-    "table_column_stats_profile": (1, 0),
+    # one single-distinct agg per column over a COLUMN-PRUNED scan,
+    # unioned: 11 exchanges each carrying one column's partials; total
+    # I/O = one table pass. The one-pass 11-distinct alternative's
+    # Expand was measured 12x slower (22.8 s vs 1.9 s at sf0.1, r8)
+    "table_column_stats_profile": (11, 0),
     # per-user conditional sums (computed for the moment fold and the
     # per-arm fold) + the two folds; the covariance never materializes
     # pairs — at 100 TB the per-user relation would persist for reuse

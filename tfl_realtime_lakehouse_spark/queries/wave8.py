@@ -682,18 +682,7 @@ _CUPED_ORACLE = """
 )
 def events_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
-    variant = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    ).cast("int")
+    variant = _cuped_variant_col()
     dec = "decimal(27,12)"
     per_user = ev.groupBy("user_id", variant.alias("variant")).agg(
         F.coalesce(
@@ -718,6 +707,33 @@ def events_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
+    return _cuped_readout(per_user)
+
+
+def _cuped_variant_col():
+    """The deterministic md5 arm assignment shared by every A/B query
+    (and the streaming CUPED twin, which must reproduce it exactly)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    ).cast("int")
+
+
+def _cuped_readout(per_user: DataFrame) -> DataFrame:
+    """CUPED downstream shared verbatim by the batch query and the
+    streaming twin (streaming/cuped.py): takes the per-user frame
+    (variant int, x double, y double) and produces the 6-column
+    readout. Keeping this a single function is what makes the twin's
+    bit-for-bit claim structural rather than copy-paste parity."""
+    dec = "decimal(27,12)"
     mom = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),

@@ -2148,3 +2148,100 @@ def test_streaming_centroid_drift_matches_batch_query(spark, tmp_path):
     assert set(final) == {0, 1, 2, 9}
     assert 7 not in final
     assert all(s > 0.0 for _, _, s in final.values())
+
+
+def test_streaming_cuped_matches_batch_query(spark, tmp_path):
+    """Cross-batch CUPED maintenance (X207 twin): the user-keyed state
+    operator maintains the exact per-user (x, y) decimal sums, and the
+    stateless readout over the maintained table (latest row per user)
+    must equal the BATCH events_abtest_cuped query over the union —
+    bit-for-bit, because the readout IS the batch downstream function.
+    Planted: a null purchase value (registers the user, adds nothing),
+    a user whose events are all other types (x=0, y=0 row — the batch
+    COALESCE), and a user whose covariate arrives in batch 1 but whose
+    metric arrives only in batch 2 (the cross-batch leg)."""
+    from decimal import Decimal
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.cuped import (
+        cuped_readout,
+        streaming_cuped_per_user,
+    )
+
+    import datetime
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    eid = iter(range(10_000))
+
+    def ev(user, etype, value):
+        return (next(eid), t0, user, etype, value, "{}")
+
+    b1 = []
+    for i in range(30):
+        b1.append(ev(i, "view", 10.0 + i))
+        b1.append(ev(i, "click", 5.0 + (i % 7)))
+        if i % 2 == 0:
+            b1.append(ev(i, "purchase", 50.0 + 3 * i))
+    b1.append(ev(200, "purchase", None))   # null value: user exists, adds 0
+    b1.append(ev(201, "scroll", 99.0))     # other-type-only user: x=0, y=0
+    b1.append(ev(202, "view", 42.5))       # covariate now ...
+    b2 = []
+    for i in range(15, 45):
+        b2.append(ev(i, "view", 20.0 + i))
+        if i % 3 == 0:
+            b2.append(ev(i, "purchase", 80.0 + i))
+    b2.append(ev(202, "purchase", 17.25))  # ... metric only in batch 2
+    src = str(tmp_path / "cuped-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_cuped_per_user(stream)
+    _run_stream(out, tmp_path, "cuped_out", mode="update")
+    # maintained table: the LATEST emission per user (update-mode memory
+    # sink appends; values are nonnegative here so the row with the
+    # largest exact (sx + sy) is the final state — order-independent)
+    latest = {}
+    for r in spark.sql("select * from cuped_out").collect():
+        tot = Decimal(r["sx"]) + Decimal(r["sy"])
+        if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (tot, r)
+    per_user = spark.createDataFrame(
+        [v[1] for v in latest.values()],
+        "user_id long, variant int, sx string, sy string",
+    )
+    got = {
+        r["variant"]: (
+            r["n_users"], r["mean_metric"], r["mean_cuped"],
+            r["theta"], r["rho2"],
+        )
+        for r in cuped_readout(per_user).collect()
+    }
+
+    union_dir = str(tmp_path / "cuped-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+    want = {
+        r["variant"]: (
+            r["n_users"], r["mean_metric"], r["mean_cuped"],
+            r["theta"], r["rho2"],
+        )
+        for r in REGISTRY["events_abtest_cuped"].fn(spark, union_dir).collect()
+    }
+    assert got == want
+    # non-vacuous: both arms populated, the covariate actually removes
+    # variance (theta/rho2 non-null and > 0), user counts include the
+    # null-value and other-type-only users
+    assert set(got) == {0, 1}
+    assert sum(g[0] for g in got.values()) == 48
+    assert all(g[3] is not None and g[4] is not None for g in got.values())
+    assert all(g[4] > 0.0 for g in got.values())

@@ -2799,3 +2799,349 @@ def test_abtest_cuped_matches_numpy_ols(spark, tmp_path):
         assert abs(g["rho2"] - rho2) < 2e-6
     # the covariate genuinely reduces variance on this fixture
     assert got[0]["rho2"] > 0.3
+
+
+# ---------------------------------------------------------------------------
+# r8 second wave (wave9): brute-force recomputes
+# ---------------------------------------------------------------------------
+
+
+def _h60(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_poisson_bootstrap_ci_matches_python_recompute(spark, tmp_path):
+    """X209 against a pure-python replay of the hash-seeded Poisson
+    bootstrap: same md5→threshold weights, same replicate means, same
+    order-statistic CI selection and decimal-free SE recompute (the
+    python floats agree to well below the 6-dp rounding step)."""
+    import statistics
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave9 import (
+        _BOOT_B,
+        _POIS_T,
+        events_poisson_bootstrap_ci,
+    )
+
+    rows = []
+    for e in range(120):
+        u = e % 17
+        et = "purchase" if e % 3 == 0 else "view"
+        rows.append((e, "2024-01-01T00:00:00", u, et, 10.0 + (e % 23) * 1.5, None))
+    rows.append((500, "2024-01-01T00:00:00", 1, "purchase", None, None))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    def weight(b, eid):
+        h = _h60(f"boot:{b}:{eid}")
+        for k, t in enumerate(_POIS_T):
+            if h < t:
+                return k
+        return 6
+
+    pur = [
+        (int(r.event_id), _h60(f"ab:{int(r.user_id)}") % 2, float(r.value))
+        for r in pdf.itertuples()
+        if r.event_type == "purchase" and pd.notna(r.value)
+    ]
+    want = {}
+    for v in (0, 1):
+        vals = [(e, x) for e, vv, x in pur if vv == v]
+        means = []
+        for b in range(_BOOT_B):
+            sw = sum(weight(b, e) for e, _ in vals)
+            if sw > 0:
+                means.append(
+                    (sum(weight(b, e) * x for e, x in vals) / sw, b)
+                )
+        means.sort()
+        ms = [m for m, _ in means]
+        want[v] = (
+            len(vals),
+            round(sum(x for _, x in vals) / len(vals), 6),
+            round(statistics.stdev(ms), 6),
+            round(means[1][0], 6),
+            round(means[len(means) - 2][0], 6),
+        )
+    got = {
+        r["variant"]: (
+            r["n_rows"], r["mean_value"], r["boot_se"], r["ci_lo"], r["ci_hi"]
+        )
+        for r in events_poisson_bootstrap_ci(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == want[v][0]
+        for gx, wx in zip(got[v][1:], want[v][1:]):
+            assert abs(gx - wx) < 2e-6
+        # non-vacuous: the interval brackets the point estimate
+        assert got[v][3] < got[v][1] < got[v][4]
+
+
+def test_lsh_threshold_sweep_matches_raw_enumeration(spark, tmp_path):
+    """X210 against a pure-python replay of the ENTIRE md5 MinHash
+    pipeline on the raw (uncontracted) corpus — shingles, signatures,
+    band hashes, candidates, agreement estimate, exact Jaccard, and the
+    per-threshold TP/FP/FN counts. Duplicated texts planted so the
+    weighted contraction (incl. the DIV-2 diagonal) is exercised."""
+    import itertools
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave9 import dedup_lsh_threshold_sweep
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy cat tonight",
+        "a completely different document about spark physical plans",
+        "a completely different document about spark logical plans",
+        "short text",
+    ]
+    texts = base + [base[0]] * 3 + [base[2]] * 2  # multiplicities 4 and 3
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+
+    def sh3(t):
+        w = t.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)} if len(w) >= 3 else set()
+
+    def sig(t):
+        ss = sh3(t)
+        return [min(_h60(f"{i}:{s}") for s in ss) for i in range(16)] if ss else None
+
+    def bands(sg):
+        return [
+            _h60(",".join(str(x) for x in sg[b * 4 : b * 4 + 4]))
+            for b in range(4)
+        ]
+
+    docs = [(i, t, sig(t)) for i, t in enumerate(texts)]
+    want = {k: [0, 0, 0] for k in range(4, 15)}
+    for (ia, ta, sa), (ib, tb, sb) in itertools.combinations(docs, 2):
+        if sa is None or sb is None:
+            continue
+        if not any(x == y for x, y in zip(bands(sa), bands(sb))):
+            continue
+        est = sum(x == y for x, y in zip(sa, sb)) / 16.0
+        A, B = sh3(ta), sh3(tb)
+        jac = round(len(A & B) / len(A | B), 6)
+        for k in range(4, 15):
+            pred, lab = est >= k / 16.0, jac >= 0.5
+            if pred and lab:
+                want[k][0] += 1
+            elif pred:
+                want[k][1] += 1
+            elif lab:
+                want[k][2] += 1
+    got = {
+        r["k"]: [r["tp"], r["fp"], r["fn"]]
+        for r in dedup_lsh_threshold_sweep(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # non-vacuous: the near-identical pair flips from TP to FN as the
+    # threshold passes its estimate, and the dup diagonals stay TP
+    assert want[4][0] > want[14][0]
+    assert want[14][0] >= 3 + 6  # C(3,2) + C(4,2) identical-text pairs
+
+
+def test_lsh_bucket_balance_matches_numpy(spark, tmp_path):
+    """X211 against a numpy recompute of the Rademacher codes and the
+    per-table bucket statistics."""
+    import random
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.operators.similarity import rademacher_signs
+    from tfl_realtime_lakehouse_spark.queries.wave9 import (
+        embedding_lsh_bucket_balance,
+    )
+
+    rng = random.Random(9)
+    n, d = 80, 64
+    vecs = [[rng.uniform(-1, 1) for _ in range(d)] for _ in range(n)]
+    pd.DataFrame(
+        {"vec_id": range(n), "embedding": [np.asarray(v, dtype=np.float32) for v in vecs], "label": 0}
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    w = np.asarray(
+        [rademacher_signs("rlsh", t, b, d) for t in range(16) for b in range(8)]
+    )
+    x = np.asarray([np.asarray(v, dtype=np.float32) for v in vecs], dtype=np.float64)
+    dots = x @ w.T
+    codes = ((dots >= 0).astype(int).reshape(n, 16, 8) * (1 << np.arange(8))).sum(
+        axis=2
+    )
+    got = {
+        r["tbl"]: (
+            r["n_vecs"], r["n_buckets"], r["max_bucket"],
+            r["top1_share"], r["collision_rate"],
+        )
+        for r in embedding_lsh_bucket_balance(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(16))
+    for t in range(16):
+        c = Counter(codes[:, t])
+        mx = max(c.values())
+        coll = sum(v * (v - 1) for v in c.values()) / (n * (n - 1))
+        assert got[t][0] == n
+        assert got[t][1] == len(c)
+        assert got[t][2] == mx
+        assert abs(got[t][3] - mx / n) < 2e-6
+        assert abs(got[t][4] - coll) < 2e-6
+
+
+def test_uplift_by_decile_matches_python(spark, tmp_path):
+    """X212 against a pure-python recompute with the ANSI ntile rule
+    (first n mod 10 buckets get the extra row) over the (x, user_id)
+    total order."""
+    import hashlib
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave9 import events_uplift_by_decile
+
+    rows, eid = [], 0
+    for u in range(53):
+        rows.append((eid, "2024-01-01T00:00:00", u, "view", float((u * 13) % 29), None)); eid += 1
+        if u % 2 == 0:
+            rows.append((eid, "2024-01-01T01:00:00", u, "purchase", float(u % 7) * 3.0, None)); eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    per_user = {}
+    for r in pdf.itertuples():
+        v = int(hashlib.md5(f"ab:{int(r.user_id)}".encode()).hexdigest()[:15], 16) % 2
+        x, y = per_user.get(r.user_id, (0.0, 0.0, v))[:2] + (v,)[:0] or (0.0, 0.0)
+        px, py, _ = per_user.get(r.user_id, (0.0, 0.0, v))
+        if pd.notna(r.value):
+            if r.event_type in ("view", "click"):
+                px += r.value
+            elif r.event_type == "purchase":
+                py += r.value
+        per_user[r.user_id] = (px, py, v)
+    users = sorted(per_user.items(), key=lambda kv: (kv[1][0], kv[0]))
+    n = len(users)
+    base, extra = divmod(n, 10)
+    want = {}
+    idx = 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        grp = users[idx : idx + size]
+        idx += size
+        for v in (0, 1):
+            ys = [y for _, (x, y, vv) in grp if vv == v]
+            want.setdefault(dec, {})[v] = (
+                len(ys), round(sum(ys) / len(ys), 6) if ys else None
+            )
+    got = {
+        r["decile"]: r.asDict()
+        for r in events_uplift_by_decile(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(want)
+    for dec, g in got.items():
+        assert g["n0"] == want[dec][0][0]
+        assert g["n1"] == want[dec][1][0]
+        for arm, mk in ((0, "mean_y0"), (1, "mean_y1")):
+            wm = want[dec][arm][1]
+            if wm is None:
+                assert g[mk] is None
+            else:
+                assert abs(g[mk] - wm) < 2e-6
+        if g["n0"] > 0 and g["n1"] > 0:
+            assert abs(
+                g["uplift"] - round(
+                    (want[dec][1][1] or 0) - (want[dec][0][1] or 0), 6
+                )
+            ) < 4e-6
+
+
+def test_winnowing_matches_python_and_guarantee(spark, tmp_path):
+    """X213 against a pure-python winnow (k=4-gram hashes, window w=4,
+    values-only selection) — plus the winnowing GUARANTEE: two docs
+    sharing a passage of ≥ k+w−1 = 7 words share a fingerprint."""
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave9 import (
+        doc_winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+    texts = [
+        f"intro words here {shared} closing remarks",
+        f"{shared} and then a totally different continuation follows",
+        "tiny doc",                      # < 4 words -> (0, 0, None)
+        "exactly four words here",       # one k-gram, one window
+        None,                            # filtered on both engines
+        f"intro words here {shared} closing remarks",  # exact dup
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) if t else 0 for t in texts],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+
+    def winnow(t):
+        w = t.split(" ")
+        if len(w) < 4:
+            return 0, []
+        hs = [
+            _h60_8(" ".join(w[i : i + 4])) for i in range(len(w) - 3)
+        ]
+        wins = max(1, len(hs) - 3)
+        sel = sorted({min(hs[j : j + 4]) for j in range(wins)})
+        return len(hs), sel
+
+    def _h60_8(s):
+        import hashlib
+
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    got = {
+        r["doc_id"]: (r["n_kgrams"], r["n_fingerprints"], r["fp_digest"])
+        for r in doc_winnowing_fingerprints(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 5}  # null text dropped
+    import hashlib as _hl
+
+    sels = {}
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        nk, sel = winnow(t)
+        sels[i] = set(sel)
+        assert got[i][0] == nk
+        assert got[i][1] == len(sel)
+        if sel:
+            digest = _hl.md5(",".join(str(v) for v in sel).encode()).hexdigest()
+            assert got[i][2] == digest
+        else:
+            assert got[i][2] is None
+    # guarantee: docs 0 and 1 share the 7-word passage -> a common print
+    assert sels[0] & sels[1]
+    # exact dup docs fingerprint identically
+    assert got[0] == got[5]

@@ -115,6 +115,27 @@ BUDGETS = {
     # per-arm fold) + the two folds; the covariance never materializes
     # pairs — at 100 TB the per-user relation would persist for reuse
     "events_abtest_cuped": (3, 0),
+    # ---- r8 second wave ----
+    # replica agg (|arms|·B keys) + order-stat window + base fold; the
+    # x64 expansion lives in the MAP stage, never a B-fold shuffle
+    "events_poisson_bootstrap_ci": (3, 0),
+    # the X203 pair enumeration + the x11 in-map sweep collapsed into
+    # one 11-row agg (same budget shape as dedup_minhash_estimate_error)
+    "dedup_lsh_threshold_sweep": (8, 0),
+    # one Arrow code matmul + (tbl,code) agg + per-table agg — the
+    # audit must stay corpus-linear: a pair join appearing here would
+    # defeat its purpose of PREDICTING the pair join's cost
+    "embedding_lsh_bucket_balance": (2, 1),
+    # per-user agg; the ntile is the documented O(users) global sort
+    # (1 SinglePartition exchange, not counted here) + decile agg
+    "events_uplift_by_decile": (1, 0),
+    # content contraction + posting posexplode + _pk-keyed sliding-min
+    # window reused by the fingerprint-set agg + join-back. The all-HOF
+    # alternative re-inlined the hash array into every window lambda
+    # (no CSE across lambdas): O(n²) md5s, measured 87 s vs 0.7 s at
+    # sf0.1 — a THIRD exchange appearing here is cheaper than that,
+    # but the budget pins the linear-hashing shape
+    "doc_winnowing_fingerprints": (2, 0),
 }
 
 

@@ -1885,40 +1885,22 @@ def rademacher_signs(tag: str, table: int, bit: int, dims: int):
     ]
 
 
-def rademacher_lsh_pairs(
+def rademacher_codes(
     corpus: DataFrame,
     tables: int = 16,
     bits: int = 8,
-    threshold: float = 0.4,
     tag: str = "rlsh",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
 ) -> DataFrame:
-    """Sign-LSH near-dup pairs with md5-seeded RADEMACHER (±1) planes —
-    the cross-engine-VERIFIABLE member of the ANN family.
-
-    The Gaussian tier (:func:`hyperplane_lsh_pairs`) draws planes from
-    numpy's RNG, which no SQL engine can replay, so its driver check is
-    rows-only. Rademacher planes from the md5 hash family (the X63
-    random-projection recipe) are rebuildable as SQL literals, which
-    makes every stage — codes, buckets, candidates, verified cosines —
-    hash-checkable against DuckDB. Sign-LSH theory is unchanged
-    (±1 projections are a valid cosine LSH family on isotropic data;
-    same p = 1 − acos(s)/π collision rate).
-
-    Plan: one Arrow-batch BLAS matmul computes all tables·bits dots per
-    vector (planes regenerated in-batch from the tag — model-sized,
-    never shipped); codes melt to (id, tbl, code) rows; candidates are
-    the bucket equi-join (never O(n²)); verification joins the two
-    vectors by id (plain shuffle joins, no corpus broadcast) and
-    row-wise BLAS-cosines each candidate, emitting pairs ≥ threshold
-    rounded at 6 dp. Sign decisions compare a BLAS dot against the
-    oracle's LIST_SUM — different association, same sign unless the
-    true dot lies within ~1 ulp of zero (probability ~1e-13 per
-    decision; the same negligible-collision argument as the 64-bit
-    shingle hashes).
-    """
+    """The (_cid, tbl, code) sign-LSH code frame for the md5-seeded
+    Rademacher plane family: one Arrow-batch BLAS matmul computes all
+    tables·bits dot signs per vector (planes regenerated in-batch from
+    the tag — model-sized, never shipped), melted to one row per
+    (vector, table). Map-only, zero shuffle; shared by
+    :func:`rademacher_lsh_pairs` (bucket equi-join candidates) and the
+    wave-9 bucket-balance audit (index-health readout)."""
     import numpy as np
 
     w = np.asarray(
@@ -1961,7 +1943,47 @@ def rademacher_lsh_pairs(
                 }
             )
 
-    cd = fan_out(corpus.select(id_col, vec_col)).mapInPandas(codes, code_schema)
+    return fan_out(corpus.select(id_col, vec_col)).mapInPandas(codes, code_schema)
+
+
+def rademacher_lsh_pairs(
+    corpus: DataFrame,
+    tables: int = 16,
+    bits: int = 8,
+    threshold: float = 0.4,
+    tag: str = "rlsh",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Sign-LSH near-dup pairs with md5-seeded RADEMACHER (±1) planes —
+    the cross-engine-VERIFIABLE member of the ANN family.
+
+    The Gaussian tier (:func:`hyperplane_lsh_pairs`) draws planes from
+    numpy's RNG, which no SQL engine can replay, so its driver check is
+    rows-only. Rademacher planes from the md5 hash family (the X63
+    random-projection recipe) are rebuildable as SQL literals, which
+    makes every stage — codes, buckets, candidates, verified cosines —
+    hash-checkable against DuckDB. Sign-LSH theory is unchanged
+    (±1 projections are a valid cosine LSH family on isotropic data;
+    same p = 1 − acos(s)/π collision rate).
+
+    Plan: one Arrow-batch BLAS matmul computes all tables·bits dots per
+    vector (planes regenerated in-batch from the tag — model-sized,
+    never shipped); codes melt to (id, tbl, code) rows; candidates are
+    the bucket equi-join (never O(n²)); verification joins the two
+    vectors by id (plain shuffle joins, no corpus broadcast) and
+    row-wise BLAS-cosines each candidate, emitting pairs ≥ threshold
+    rounded at 6 dp. Sign decisions compare a BLAS dot against the
+    oracle's LIST_SUM — different association, same sign unless the
+    true dot lies within ~1 ulp of zero (probability ~1e-13 per
+    decision; the same negligible-collision argument as the 64-bit
+    shingle hashes).
+    """
+    cd = rademacher_codes(
+        corpus, tables=tables, bits=bits, tag=tag, id_col=id_col,
+        vec_col=vec_col, dims=dims,
+    )
     a = cd.select(F.col("_cid").alias("ida"), "tbl", "code")
     b = cd.select(F.col("_cid").alias("idb"), "tbl", "code")
     cand = (

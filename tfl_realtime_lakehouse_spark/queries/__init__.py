@@ -25,6 +25,7 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     wave6,
     wave7,
     wave8,
+    wave9,
 )
 
 # The driver's correctness harness checks the FIRST 50 registry entries in

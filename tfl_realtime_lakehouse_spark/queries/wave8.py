@@ -173,7 +173,11 @@ def embedding_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_error_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_est_jac_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """The shared oracle prefix ``WITH …, p AS (est, jac)`` enumerating
+    every RAW-corpus LSH candidate pair with its signature-agreement
+    Jaccard estimate and exact shingle Jaccard — composed by the
+    sketch-error histogram (X203) and the threshold-sweep (wave 9)."""
     from tfl_realtime_lakehouse_spark.queries.text_queries import _minhash_cte_sql
 
     agree = " + ".join(
@@ -194,7 +198,11 @@ def _minhash_error_oracle(num_hashes: int = 16, bands: int = 4) -> str:
       JOIN sigs sb ON sb.doc_id = c.doc_b
       JOIN s ta ON ta.doc_id = c.doc_a
       JOIN s tb ON tb.doc_id = c.doc_b
-    )
+    )"""
+
+
+def _minhash_error_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    return f"""{_minhash_est_jac_sql(num_hashes, bands)}
     SELECT CAST(FLOOR((est - jac) * {num_hashes}) AS INTEGER) AS err_bin,
            CAST(COUNT(*) AS BIGINT) AS n_pairs
     FROM p GROUP BY 1
@@ -226,10 +234,33 @@ def _minhash_error_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     "so every raw member pair is a candidate iff its rep pair is).",
 )
 def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    num_hashes = 16
+    pairs = _minhash_est_jac_pairs(spark, sf_dir, num_hashes=num_hashes)
+    return (
+        pairs.select(
+            F.floor((F.col("est") - F.col("jac")) * num_hashes)
+            .cast("int")
+            .alias("err_bin"),
+            "w",
+        )
+        .groupBy("err_bin")
+        .agg(F.sum("w").cast("bigint").alias("n_pairs"))
+    )
+
+
+def _minhash_est_jac_pairs(
+    spark: SparkSession, sf_dir: str, num_hashes: int = 16
+) -> DataFrame:
+    """Weighted-contracted (est double, jac double, w long) frame over
+    every LSH candidate pair: est = signature-agreement Jaccard
+    estimate, jac = exact 6-dp shingle Jaccard, w = the raw-corpus
+    multiplicity of the contracted rep pair (mA·mB off-diagonal,
+    m(m−1) DIV 2 at the est = jac = 1 diagonal). Shared by the X203
+    sketch-error histogram and the wave-9 threshold sweep — one
+    verified pair-enumeration, two downstream readouts."""
     from tfl_realtime_lakehouse_spark.operators import dedup as D
     from tfl_realtime_lakehouse_spark.operators.text import shingles
 
-    num_hashes = 16
     docs = table(spark, sf_dir, "documents")
     classes = docs.groupBy(F.md5("text").alias("_pk")).agg(
         F.count(F.lit(1)).alias("m"),
@@ -265,34 +296,24 @@ def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
         )
         .select(
-            F.floor(
-                (
-                    agree.cast("double") / F.lit(float(num_hashes))
-                    - F.col("jaccard")
-                )
-                * num_hashes
-            )
-            .cast("int")
-            .alias("err_bin"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est"),
+            F.col("jaccard").alias("jac"),
             (F.col("ma") * F.col("mb")).alias("w"),
         )
     )
     # diagonal: classes of m≥2 identical docs with ≥1 shingle are
     # candidate pairs in the raw corpus (identical signatures collide
-    # on every band) with est = jac = 1.0 exactly → err_bin 0.
+    # on every band) with est = jac = 1.0 exactly.
     # shingles(NULL) is the guarded empty array, so null-text classes
     # are excluded on both engines.
     diag = classes.where(
         (F.col("m") >= 2) & (F.size(F.array_distinct(shingles("text", 3))) >= 1)
     ).select(
-        F.lit(0).alias("err_bin"),
+        F.lit(1.0).alias("est"),
+        F.lit(1.0).alias("jac"),
         F.expr("m * (m - 1) div 2").alias("w"),
     )
-    return (
-        cross.unionAll(diag)
-        .groupBy("err_bin")
-        .agg(F.sum("w").cast("bigint").alias("n_pairs"))
-    )
+    return cross.unionAll(diag)
 
 
 # ---------------------------------------------------------------------------
@@ -681,10 +702,18 @@ _CUPED_ORACLE = """
     "canonicalization rule for rounded differences).",
 )
 def events_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
+    return _cuped_readout(_cuped_per_user(table(spark, sf_dir, "events")))
+
+
+def _cuped_per_user(ev: DataFrame) -> DataFrame:
+    """The per-user (variant, x, y) experiment frame shared by the
+    CUPED readout (X207) and the wave-9 uplift-by-decile query: exact
+    decimal conditional sums of the pre-exposure covariate x
+    (view+click value) and the metric y (purchase value), COALESCE'd to
+    0 so every user with any event participates."""
     variant = _cuped_variant_col()
     dec = "decimal(27,12)"
-    per_user = ev.groupBy("user_id", variant.alias("variant")).agg(
+    return ev.groupBy("user_id", variant.alias("variant")).agg(
         F.coalesce(
             F.sum(
                 F.when(
@@ -707,7 +736,6 @@ def events_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("y"),
     )
-    return _cuped_readout(per_user)
 
 
 def _cuped_variant_col():

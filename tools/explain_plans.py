@@ -145,6 +145,12 @@ HEADLINERS = [
     "eval_pairwise_bradley_terry",
     "table_column_stats_profile",
     "events_abtest_cuped",
+    # round-8 second wave
+    "events_poisson_bootstrap_ci",
+    "dedup_lsh_threshold_sweep",
+    "embedding_lsh_bucket_balance",
+    "events_uplift_by_decile",
+    "doc_winnowing_fingerprints",
 ]
 
 

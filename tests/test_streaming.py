@@ -2245,3 +2245,85 @@ def test_streaming_cuped_matches_batch_query(spark, tmp_path):
     assert sum(g[0] for g in got.values()) == 48
     assert all(g[3] is not None and g[4] is not None for g in got.values())
     assert all(g[4] > 0.0 for g in got.values())
+
+
+def test_streaming_bootstrap_ci_matches_batch_query(spark, tmp_path):
+    """Cross-batch Poisson-bootstrap maintenance (X209 twin): the
+    (variant, b)-keyed state operator maintains the exact replica sums
+    (state bounded at |arms|·65 structs — no data-sized leg), and the
+    stateless readout over the maintained table must equal the BATCH
+    events_poisson_bootstrap_ci query over the union — bit-for-bit,
+    because the readout IS the batch downstream function. Planted:
+    a null purchase value (filtered identically), non-purchase events
+    (ignored), and purchases straddling the batch boundary (every
+    replica's sums must merge across batches)."""
+    import datetime
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.bootstrap import (
+        bootstrap_readout,
+        streaming_bootstrap_replicas,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    b1 = [
+        (e, t0, e % 13, "purchase" if e % 2 == 0 else "view", 5.0 + (e % 9) * 2.5, "{}")
+        for e in range(60)
+    ]
+    b1.append((900, t0, 1, "purchase", None, "{}"))  # null value: filtered
+    b2 = [
+        (100 + e, t0, e % 13, "purchase" if e % 3 == 0 else "click",
+         12.0 + (e % 5) * 1.25, "{}")
+        for e in range(45)
+    ]
+    src = str(tmp_path / "boot-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_bootstrap_replicas(stream)
+    _run_stream(out, tmp_path, "boot_out", mode="update")
+    # latest emission per (variant, b): sums are nonnegative here, so
+    # the row with the largest (sw, swx-decimal) is the final state
+    from decimal import Decimal
+
+    latest = {}
+    for r in spark.sql("select * from boot_out").collect():
+        key = (r["variant"], r["b"])
+        rank = (r["sw"], Decimal(r["swx"]))
+        if key not in latest or rank >= latest[key][0]:
+            latest[key] = (rank, r)
+    reps = spark.createDataFrame(
+        [v[1] for v in latest.values()],
+        "variant int, b int, sw long, swx string",
+    )
+    cols = ["n_rows", "mean_value", "boot_se", "ci_lo", "ci_hi"]
+    got = {
+        r["variant"]: tuple(r[c] for c in cols)
+        for r in bootstrap_readout(reps).collect()
+    }
+
+    union_dir = str(tmp_path / "boot-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+    want = {
+        r["variant"]: tuple(r[c] for c in cols)
+        for r in REGISTRY["events_poisson_bootstrap_ci"].fn(
+            spark, union_dir
+        ).collect()
+    }
+    assert got == want
+    # non-vacuous: both arms, cross-batch purchase totals (30 from b1 +
+    # 15 from b2), and a CI that brackets the point estimate
+    assert set(got) == {0, 1}
+    assert sum(g[0] for g in got.values()) == 45
+    assert all(g[3] < g[1] < g[4] for g in got.values())

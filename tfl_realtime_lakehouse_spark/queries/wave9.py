@@ -133,14 +133,33 @@ _BOOT_ORACLE = f"""
     "shuffle width — the shuffle carries |arms|·B keys.",
 )
 def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    reps = _boot_replica_rows(_boot_purchases(ev)).groupBy("variant", "b").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum("wx").cast("double").alias("swx"),
+    )
+    return _bootstrap_readout(reps)
+
+
+def _boot_purchases(ev: DataFrame) -> DataFrame:
+    """The bootstrap population: purchase rows with a value, tagged
+    with the md5 arm (shared with the streaming twin)."""
     from tfl_realtime_lakehouse_spark.queries.wave8 import _cuped_variant_col
 
-    dec = "decimal(27,12)"
-    ev = table(spark, sf_dir, "events")
-    pur = ev.where(
+    return ev.where(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
     ).select("event_id", "value", _cuped_variant_col().alias("variant"))
 
+
+def _boot_replica_rows(pur: DataFrame) -> DataFrame:
+    """(variant, b, w, wx) replica rows: b = −1 is the BASE 'replica'
+    (w ≡ 1 — its sums are exactly the row count and the exact decimal
+    value sum, since 1.0·x = x in IEEE), b = 0…B−1 carry the
+    hash-seeded Poisson weights. One expression tree shared by the
+    batch query and the streaming twin; the per-(variant, b) sums it
+    feeds are mergeable, so the twin's state is bounded at
+    |arms|·(B+1) structs."""
+    dec = "decimal(27,12)"
     h = F.conv(
         F.substring(
             F.md5(
@@ -160,20 +179,28 @@ def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.lit(6)
     for k in range(len(_POIS_T) - 1, -1, -1):
         w = F.when(h < _POIS_T[k], k).otherwise(w)
-    reps = (
+    w = F.when(F.col("b") == -1, F.lit(1)).otherwise(w)
+    return (
         pur.withColumn(
-            "b", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1)))
+            "b", F.explode(F.sequence(F.lit(-1), F.lit(_BOOT_B - 1)))
         )
         .withColumn("w", w)
-        .groupBy("variant", "b")
-        .agg(
-            F.sum("w").cast("bigint").alias("sw"),
-            F.sum((F.col("w").cast("double") * F.col("value")).cast(dec))
-            .cast("double")
-            .alias("swx"),
+        .select(
+            "variant",
+            "b",
+            "w",
+            (F.col("w").cast("double") * F.col("value")).cast(dec).alias("wx"),
         )
     )
-    means = reps.where(F.col("sw") > 0).select(
+
+
+def _bootstrap_readout(reps: DataFrame) -> DataFrame:
+    """The CI readout over the maintained (variant, b, sw, swx double)
+    replica table — shared verbatim by the batch query and the
+    streaming twin (streaming/bootstrap.py), the _cuped_readout
+    pattern: one function object, so the float tree cannot drift."""
+    dec = "decimal(27,12)"
+    means = reps.where((F.col("b") >= 0) & (F.col("sw") > 0)).select(
         "variant", "b", (F.col("swx") / F.col("sw")).alias("m")
     )
     win = Window.partitionBy("variant").orderBy("m", "b")
@@ -191,12 +218,10 @@ def events_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("m") * F.col("m")).cast(dec)).cast("double").alias("sm2"),
         F.count(F.lit(1)).cast("bigint").alias("nb"),
     )
-    base = pur.groupBy("variant").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        (
-            F.sum(F.col("value").cast(dec)).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_value"),
+    base = reps.where(F.col("b") == -1).select(
+        "variant",
+        F.col("sw").alias("n_rows"),
+        (F.col("swx") / F.col("sw")).alias("mean_value"),
     )
     nb = F.col("nb").cast("double")
     se = F.sqrt(

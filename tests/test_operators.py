@@ -3031,7 +3031,6 @@ def test_uplift_by_decile_matches_python(spark, tmp_path):
     per_user = {}
     for r in pdf.itertuples():
         v = int(hashlib.md5(f"ab:{int(r.user_id)}".encode()).hexdigest()[:15], 16) % 2
-        x, y = per_user.get(r.user_id, (0.0, 0.0, v))[:2] + (v,)[:0] or (0.0, 0.0)
         px, py, _ = per_user.get(r.user_id, (0.0, 0.0, v))
         if pd.notna(r.value):
             if r.event_type in ("view", "click"):

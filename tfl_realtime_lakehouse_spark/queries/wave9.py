@@ -349,9 +349,13 @@ def _bucket_balance_oracle(tables: int = 16, bits: int = 8) -> str:
            CAST(MAX(n) AS BIGINT) AS max_bucket,
            ROUND(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
              AS top1_share,
-           ROUND(CAST(SUM(n * (n - 1)) AS DOUBLE)
-                 / (CAST(SUM(n) AS DOUBLE) * (CAST(SUM(n) AS DOUBLE) - 1.0)),
-                 6) AS collision_rate
+           CASE WHEN SUM(n) > 1 THEN
+             ROUND(CAST(SUM(CAST(n AS DECIMAL(19,0))
+                            * CAST(n - 1 AS DECIMAL(19,0))) AS DOUBLE)
+                   / (CAST(SUM(n) AS DOUBLE)
+                      * (CAST(SUM(n) AS DOUBLE) - 1.0)),
+                   6)
+           END AS collision_rate
     FROM bkt GROUP BY 1
     """
 
@@ -370,9 +374,11 @@ def _bucket_balance_oracle(tables: int = 16, bits: int = 8) -> str:
     "groupBy per (table, code), never touching pairs — so the audit "
     "is corpus-linear even when the join it predicts would not be. "
     "All counts exact integers; the two ratios are single double "
-    "divisions of identical integers, rounded at 6 dp. (Σn(n−1) "
-    "overflows bigint only past ~3e9 rows per bucket; the 100 TB "
-    "swap is a double accumulator, noted here for honesty.)",
+    "divisions of identical integers, rounded at 6 dp. Σn(n−1) is "
+    "accumulated as DECIMAL(38,0) on BOTH engines (exact and "
+    "order-independent to 10^38, far past any bucket count a 100 TB "
+    "corpus can produce), and the ratio is NULL-guarded for the "
+    "degenerate single-vector table so neither engine emits NaN.",
 )
 def embedding_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfl_realtime_lakehouse_spark.operators.similarity import rademacher_codes
@@ -384,15 +390,22 @@ def embedding_lsh_bucket_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nsum = F.sum("n").cast("bigint")
     nd = nsum.cast("double")
+    # Σn(n−1) in decimal(38,0): exact + order-independent (unlike a double
+    # accumulator), no bigint overflow until 10^38; NULL-guarded when the
+    # table holds a single vector (N(N−1) = 0 would be NaN on Spark and
+    # ieee_floating_point_ops-dependent on DuckDB).
+    pair_sum = F.sum(
+        F.col("n").cast("decimal(19,0)")
+        * (F.col("n") - F.lit(1)).cast("decimal(19,0)")
+    )
     return bkt.groupBy("tbl").agg(
         nsum.alias("n_vecs"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.max("n").cast("bigint").alias("max_bucket"),
         F.round(F.max("n").cast("double") / nd, 6).alias("top1_share"),
-        F.round(
-            F.sum(F.col("n") * (F.col("n") - 1)).cast("double")
-            / (nd * (nd - F.lit(1.0))),
-            6,
+        F.when(
+            nsum > 1,
+            F.round(pair_sum.cast("double") / (nd * (nd - F.lit(1.0))), 6),
         ).alias("collision_rate"),
     )
 
@@ -461,6 +474,14 @@ def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dec = "decimal(27,12)"
     per_user = _cuped_per_user(table(spark, sf_dir, "events"))
+    # DELIBERATE single-partition exchange: ntile over an unpartitioned
+    # Window globally sorts the per-user frame on ONE task. The frame is
+    # the AGGREGATED per-user table (one row per experiment user — ~1e6
+    # rows/GB-scale at 100 TB of events, not O(events)), so the exchange
+    # is bounded by experiment population, and the exact ANSI ntile is
+    # what the cross-engine hash requires. The 100 TB escape hatch
+    # (documented in the registry doc) is percentile_approx boundaries
+    # over x — same schema, no global sort.
     d = per_user.select(
         "variant",
         "y",

@@ -3144,3 +3144,225 @@ def test_winnowing_matches_python_and_guarantee(spark, tmp_path):
     assert sels[0] & sels[1]
     # exact dup docs fingerprint identically
     assert got[0] == got[5]
+
+
+def test_ivf_recall_eval_matches_python(spark, tmp_path):
+    """X215 end-to-end against a pure-Python replay of the ENTIRE
+    exact-replayable pipeline: md5-seeded init, two Lloyd rounds with
+    decimal(38,12) centroid sums, 6-dp squared-L2 assignment with id
+    ties, nprobe cell probing, and both top-k legs. Vector elements are
+    planted on the /1024 dyadic grid so the decimal quantization step
+    is exact (no engine-vs-Python double-rounding ambiguity); the
+    POST-update centroids are arbitrary doubles, exercising the messy
+    path through identical IEEE operation sequences. One seed vector is
+    duplicated so a cell goes empty in round 1, pinning the
+    carry-forward branch on both sides."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave10 import (
+        embedding_ann_ivf_recall_eval,
+    )
+
+    n, d = 60, 64
+    K, ITERS, NPROBE, TOPK, NQ = 8, 2, 2, 10, 20
+    rng = np.random.default_rng(15)
+    vecs = (rng.integers(-1024, 1025, size=(n, d)) / 1024.0).astype(np.float32)
+    order = sorted(
+        range(n),
+        key=lambda i: (hashlib.md5(f"ivfx:{i}".encode()).hexdigest(), i),
+    )
+    # duplicate the second seed onto the first -> assignment ties go to
+    # the lower cell, cell 1 empties, carry-forward must fire
+    vecs[order[1]] = vecs[order[0]]
+    pd.DataFrame(
+        {"vec_id": range(n), "embedding": list(vecs), "label": 0}
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    x = vecs.astype(np.float64)
+
+    def sqdist(a, b):
+        acc = 0.0
+        for i in range(d):
+            t = a[i] - b[i]
+            acc += t * t
+        return acc
+
+    def q6(v):
+        return float(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    cents = {c: [float(v) for v in x[order[c]]] for c in range(K)}
+
+    def assign_all():
+        out = {}
+        for i in range(n):
+            out[i] = min(
+                range(K), key=lambda c: (q6(sqdist(x[i], cents[c])), c)
+            )
+        return out
+
+    for _ in range(ITERS):
+        a = assign_all()
+        for c in range(K):
+            members = [i for i in range(n) if a[i] == c]
+            if not members:
+                continue  # carry forward
+            newc = []
+            for dim in range(d):
+                s = sum(
+                    (
+                        Decimal(float(x[i][dim])).quantize(
+                            Decimal("1e-12"), ROUND_HALF_UP
+                        )
+                        for i in members
+                    ),
+                    Decimal(0),
+                )
+                newc.append(float(s) / len(members))
+            cents[c] = newc
+    mem = assign_all()
+
+    want = {}
+    for qid in range(NQ):
+        probed = sorted(
+            range(K), key=lambda c: (q6(sqdist(x[qid], cents[c])), c)
+        )[:NPROBE]
+        by_dist = lambda i: (q6(sqdist(x[qid], x[i])), i)  # noqa: E731
+        approx = sorted(
+            (i for i in range(n) if mem[i] in probed and i != qid), key=by_dist
+        )[:TOPK]
+        exact = sorted((i for i in range(n) if i != qid), key=by_dist)[:TOPK]
+        common = len(set(approx) & set(exact))
+        want[qid] = (len(exact), len(approx), common, common / len(exact))
+
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_approx"], r["n_common"], r["recall_at_k"])
+        for r in embedding_ann_ivf_recall_eval(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(NQ))
+    for qid in range(NQ):
+        assert got[qid][:3] == want[qid][:3], (qid, got[qid], want[qid])
+        assert abs(got[qid][3] - round(want[qid][3], 6)) < 1e-9
+    # the planted duplicate makes at least one cell empty after round 1;
+    # the measurement itself must stay non-degenerate
+    assert any(v[3] < 1.0 for v in want.values())
+
+
+def test_pq_recall_eval_matches_python(spark, tmp_path):
+    """X216 end-to-end against a pure-Python replay: per-subspace
+    md5-seeded codebooks (one Lloyd round, decimal(38,12) sums), exact
+    code assignment, decimal-pinned ADC totals, both top-k legs. Same
+    dyadic-grid fixture discipline as the X215 test."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries import wave10
+    from tfl_realtime_lakehouse_spark.queries.wave10 import (
+        embedding_ann_pq_recall_eval,
+    )
+
+    n, d = 50, 64
+    m, sd, codes, iters = (
+        wave10._PQ_M,
+        wave10._PQ_SUB_D,
+        wave10._PQ_CODES,
+        wave10._PQ_ITERS,
+    )
+    TOPK, NQ = 10, 20
+    rng = np.random.default_rng(16)
+    vecs = (rng.integers(-1024, 1025, size=(n, d)) / 1024.0).astype(np.float32)
+    pd.DataFrame(
+        {"vec_id": range(n), "embedding": list(vecs), "label": 0}
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    x = vecs.astype(np.float64)
+
+    def sqdist(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            t = a[i] - b[i]
+            acc += t * t
+        return acc
+
+    def q6(v):
+        return float(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def d6dec(v):
+        # ROUND(x, 6) then CAST AS DECIMAL(18,6): quantize twice like
+        # the engines do (round-the-double, then re-pin to decimal)
+        return Decimal(q6(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    def train(sub_x, tag):
+        kk = min(codes, n)
+        order = sorted(
+            range(n),
+            key=lambda i: (hashlib.md5(f"{tag}{i}".encode()).hexdigest(), i),
+        )
+        cents = {c: [float(v) for v in sub_x[order[c]]] for c in range(kk)}
+        for _ in range(iters):
+            a = {
+                i: min(
+                    range(kk), key=lambda c: (q6(sqdist(sub_x[i], cents[c])), c)
+                )
+                for i in range(n)
+            }
+            for c in range(kk):
+                mem = [i for i in range(n) if a[i] == c]
+                if not mem:
+                    continue
+                cents[c] = [
+                    float(
+                        sum(
+                            (
+                                Decimal(float(sub_x[i][dim])).quantize(
+                                    Decimal("1e-12"), ROUND_HALF_UP
+                                )
+                                for i in mem
+                            ),
+                            Decimal(0),
+                        )
+                    )
+                    / len(mem)
+                    for dim in range(sd)
+                ]
+        assign = {
+            i: min(range(kk), key=lambda c: (q6(sqdist(sub_x[i], cents[c])), c))
+            for i in range(n)
+        }
+        return cents, assign
+
+    adc = {i: {j: Decimal(0) for j in range(n)} for i in range(NQ)}
+    for s in range(m):
+        sub_x = x[:, s * sd : (s + 1) * sd]
+        cents, assign = train(sub_x, f"pq{s}:")
+        for qid in range(NQ):
+            lut = {c: d6dec(sqdist(sub_x[qid], cents[c])) for c in cents}
+            for j in range(n):
+                adc[qid][j] += lut[assign[j]]
+
+    want = {}
+    for qid in range(NQ):
+        approx = sorted(
+            (j for j in range(n) if j != qid), key=lambda j: (adc[qid][j], j)
+        )[:TOPK]
+        exact = sorted(
+            (j for j in range(n) if j != qid),
+            key=lambda j: (q6(sqdist(x[qid], x[j])), j),
+        )[:TOPK]
+        common = len(set(approx) & set(exact))
+        want[qid] = (len(exact), len(approx), common, common / len(exact))
+
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_approx"], r["n_common"], r["recall_at_k"])
+        for r in embedding_ann_pq_recall_eval(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(NQ))
+    for qid in range(NQ):
+        assert got[qid][:3] == want[qid][:3], (qid, got[qid], want[qid])
+        assert abs(got[qid][3] - round(want[qid][3], 6)) < 1e-9

@@ -583,6 +583,130 @@ def kmeans_train(
     return cents
 
 
+def _sq_l2_6(a: Column, b: Column) -> Column:
+    """6-dp-rounded squared L2 distance between two double arrays via a
+    sequential zip_with left-fold — the SAME operation order DuckDB's
+    ``LIST_SUM(LIST_TRANSFORM(...))`` evaluates, so the unrounded double
+    is bit-identical across engines and the 6-dp round can't diverge."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+
+
+def kmeans_assign_exact(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Cross-engine-REPLAYABLE nearest-centroid assignment: broadcast-k
+    join, 6-dp-rounded squared-L2, ties to the lowest cell id via a
+    map-side-combinable ``min(struct(dist, cell))``.
+
+    This is the hash-checkable twin of :func:`kmeans_assign` (the BLAS
+    tier): every arithmetic step (sequential fold, 6-dp round, struct
+    min) has an exactly-equivalent ANSI/DuckDB form, so an oracle can
+    replay the assignment bit-for-bit. Use it when the ASSIGNMENT
+    ITSELF must be verifiable (recall evals, audits); use the BLAS tier
+    when only downstream invariants matter. Cost: k× row expansion
+    through codegen'd HOF lambdas — fine for the bounded k of a
+    verification query, the BLAS tier wins for large k."""
+    cents = centroids.select(
+        F.col("cell").alias("_cc"), F.col("centroid").alias("_cv")
+    )
+    j = corpus.select(id_col, _as_double(F.col(vec_col)).alias("_e")).join(
+        F.broadcast(cents)
+    )
+    best = (
+        j.select(
+            id_col,
+            F.struct(
+                _sq_l2_6(F.col("_e"), F.col("_cv")).alias("d"),
+                F.col("_cc").alias("c"),
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_s").alias("_s"))
+    )
+    return best.select(id_col, F.col("_s.c").alias(cell_col))
+
+
+def kmeans_train_exact(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag: str = "ivfx:",
+) -> DataFrame:
+    """Lloyd k-means whose EVERY step is SQL-replayable, so a DuckDB
+    oracle can reproduce the trained cells bit-for-bit (the X194
+    md5-seeded-literal discipline applied to iterative training — the
+    missing piece that kept the IVF/PQ ANN tiers rows-only).
+
+    - init: the k corpus vectors with the smallest
+      ``(md5(tag || id), id)`` — a deterministic textual order both
+      engines sort identically;
+    - assign: :func:`kmeans_assign_exact` (6-dp squared-L2, id ties);
+    - update: per-(cell, dim) mean with the sum pinned to
+      decimal(38,12) BEFORE crossing rows (order-free, exact — the
+      embedding_centroid_drift discipline), one double division;
+    - empty cells carry their previous centroid forward (both engines
+      via the same left-join + coalesce).
+
+    Returns (cell int, centroid array<double>). O(k·d) driver state per
+    round (the model), one (cell, dim)-keyed shuffle per update — the
+    same scale shape as :func:`kmeans_train`; the decimal sum costs
+    ~2× the plain double avg and buys cross-engine verifiability."""
+    corpus = fan_out(corpus)
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit(tag), F.col(id_col).cast("string"))), F.col(id_col)
+    )
+    seeds = (
+        corpus.select(id_col, _as_double(F.col(vec_col)).alias("centroid"))
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= k)
+        .select((F.col("_r") - 1).cast("int").alias("cell"), "centroid")
+    )
+    cents = seeds.localCheckpoint(storageLevel=_CKPT_LEVEL)
+    ex = corpus.select(
+        id_col, F.posexplode(_as_double(F.col(vec_col))).alias("_dim", "_x")
+    )
+    for _ in range(iters):
+        assigned = kmeans_assign_exact(corpus, cents, id_col, vec_col)
+        upd = (
+            ex.join(assigned, id_col)
+            .groupBy("cell", "_dim")
+            .agg(
+                (
+                    F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("_mu")
+            )
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_dim", "_mu"))),
+                    lambda s: s["_mu"],
+                ).alias("_nc")
+            )
+        )
+        cents = (
+            cents.join(upd, "cell", "left")
+            .select(
+                "cell", F.coalesce(F.col("_nc"), F.col("centroid")).alias("centroid")
+            )
+            .localCheckpoint(storageLevel=_CKPT_LEVEL)
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -26,6 +26,7 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     wave7,
     wave8,
     wave9,
+    wave10,
 )
 
 # The driver's correctness harness checks the FIRST 50 registry entries in
@@ -57,7 +58,8 @@ DRIVER_WINDOW = [
     "events_uplift_by_decile",
     "doc_winnowing_fingerprints",
     # ---- Registered this round (wave 10) ----
-    # (appended as they land; see wave10.py)
+    "embedding_ann_ivf_recall_eval",
+    "embedding_ann_pq_recall_eval",
     # ---- Oracle-generator refactor re-drives ----
     "dedup_minhash_estimate_error",
     "embedding_ann_lsh_verified",

@@ -2402,3 +2402,99 @@ def test_streaming_scorecard_kmv_mode(spark, tmp_path):
     assert len(by_source["s0"]) > KMV_K and len(by_source["s1"]) > KMV_K
     with __import__("pytest").raises(ValueError):
         streaming_source_scorecard(spark.readStream.schema(schema).parquet(f"{src}/f=*"), distinct_mode="hll")
+
+
+def test_streaming_uplift_by_decile_matches_batch_query(spark, tmp_path):
+    """Cross-batch uplift-by-decile maintenance (X212 twin, r8 verdict
+    ask #5): the state layer is X208's CUPED per-user operator VERBATIM
+    (one state store serves both dashboards), and the stateless decile
+    readout over the maintained table must equal the BATCH
+    events_uplift_by_decile query over the union — bit-for-bit, because
+    the readout IS the batch downstream function object. Planted: a
+    user whose covariate arrives in batch 1 but whose metric arrives
+    only in batch 2 (the straddling leg), and a lowest-decile cohort
+    that is entirely arm 0 (missing-arm decile → NULL mean_y1/uplift
+    on both sides)."""
+    import datetime
+    import hashlib
+    from decimal import Decimal
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.uplift import (
+        streaming_uplift_per_user,
+        uplift_decile_readout,
+    )
+
+    def arm(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15], 16) % 2
+
+    arm0 = [u for u in range(200) if arm(u) == 0]
+    # the three lowest-x users are ALL arm 0: two x=0 specials + one
+    # tiny-covariate user → decile 1 of the 22-user frame has no arm-1
+    lo_null, lo_scroll, lo_tiny = arm0[0], arm0[1], arm0[2]
+    others = [u for u in range(200) if u not in (lo_null, lo_scroll, lo_tiny)][:19]
+    straddler = others[7]
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    eid = iter(range(10_000))
+
+    def ev(user, etype, value):
+        return (next(eid), t0, user, etype, value, "{}")
+
+    b1 = [ev(lo_null, "purchase", None), ev(lo_scroll, "scroll", 99.0),
+          ev(lo_tiny, "view", 0.5), ev(lo_tiny, "purchase", 3.25)]
+    for i, u in enumerate(others):
+        b1.append(ev(u, "view", 10.0 + 1.37 * i))
+        if u != straddler and i % 2 == 0:
+            b1.append(ev(u, "purchase", 40.0 + 2.5 * i))
+    b2 = []
+    for i, u in enumerate(others):
+        b2.append(ev(u, "click", 4.0 + (i % 5) * 0.75))
+        if i % 3 == 0:
+            b2.append(ev(u, "purchase", 60.0 + i))
+    b2.append(ev(straddler, "purchase", 123.45))  # metric only in batch 2
+    src = str(tmp_path / "uplift-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_uplift_per_user(stream)
+    _run_stream(out, tmp_path, "uplift_out", mode="update")
+    latest = {}
+    for r in spark.sql("select * from uplift_out").collect():
+        tot = Decimal(r["sx"]) + Decimal(r["sy"])
+        if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (tot, r)
+    per_user = spark.createDataFrame(
+        [v[1] for v in latest.values()],
+        "user_id long, variant int, sx string, sy string",
+    )
+    cols = ("n0", "n1", "mean_y0", "mean_y1", "uplift")
+    got = {
+        r["decile"]: tuple(r[c] for c in cols)
+        for r in uplift_decile_readout(per_user).collect()
+    }
+
+    union_dir = str(tmp_path / "uplift-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+    want = {
+        r["decile"]: tuple(r[c] for c in cols)
+        for r in REGISTRY["events_uplift_by_decile"].fn(spark, union_dir).collect()
+    }
+    assert got == want
+    # non-vacuous plants: 22 users → 10 deciles all present; decile 1
+    # is the all-arm-0 cohort (n1 = 0, NULL mean_y1/uplift); the
+    # straddling user's cross-batch y participates somewhere
+    assert set(got) == set(range(1, 11))
+    assert got[1][1] == 0 and got[1][3] is None and got[1][4] is None
+    assert sum(v[0] + v[1] for v in got.values()) == 22

@@ -472,8 +472,18 @@ _UPLIFT_ORACLE = """
 def events_uplift_by_decile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfl_realtime_lakehouse_spark.queries.wave8 import _cuped_per_user
 
+    return _uplift_decile_readout(
+        _cuped_per_user(table(spark, sf_dir, "events"))
+    )
+
+
+def _uplift_decile_readout(per_user: DataFrame) -> DataFrame:
+    """Uplift-by-decile downstream shared verbatim by the batch query
+    and the streaming twin (streaming/uplift.py): takes the per-user
+    frame (user_id, variant int, x double, y double) and produces the
+    decile table. Single function object = the twin's bit-for-bit
+    claim is structural (the X207/_cuped_readout discipline)."""
     dec = "decimal(27,12)"
-    per_user = _cuped_per_user(table(spark, sf_dir, "events"))
     # DELIBERATE single-partition exchange: ntile over an unpartitioned
     # Window globally sorts the per-user frame on ONE task. The frame is
     # the AGGREGATED per-user table (one row per experiment user — ~1e6

@@ -86,7 +86,11 @@ BUDGETS = {
     # ---- r7 wave: corpus-audit queries ----
     # shingle distinct + per-hash source-set agg + pair agg + totals;
     # the h-keyed SELF-JOIN must never appear (in-row pair expansion)
-    "docs_cross_source_overlap": (6, 0),
+    # r9: content contraction (shingle once per DISTINCT text, expand
+    # through the tiny (source, pk) relation) + checkpointed sets/tot
+    # relations — was (6,0) with the exploded-volume distinct; the 50x
+    # replicated sf5 corpus shingles 50x less text now
+    "docs_cross_source_overlap": (5, 0),
     # (label,dim) agg + label agg + count join — the O(n·d) identity
     # plan; a pair join appearing here would be the O(n²) regression
     "embedding_set_diversity": (3, 0),
@@ -136,6 +140,11 @@ BUDGETS = {
     # sf0.1 — a THIRD exchange appearing here is cheaper than that,
     # but the budget pins the linear-hashing shape
     "doc_winnowing_fingerprints": (2, 0),
+    # ---- r9 ----
+    # training runs eagerly (one fused count+mean+products job over the
+    # vector-contracted relation); the FINAL plan is the literal-basis
+    # fold projection — map-only, zero shuffle, zero Python
+    "embedding_pca_project": (0, 0),
 }
 
 

@@ -1821,41 +1821,79 @@ def pca_cov_exact(corpus: DataFrame, vec_col: str = "embedding", dims: int = 64)
     (each decimal→double cast correctly rounded, each op one rounding).
     """
     xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
-    src = fan_out(corpus.select(vec_col))  # small parquet = 1 split; the
-    # d²-per-row expansion must not run single-threaded (decimal sums
-    # are order-free, so spreading rows never changes the result)
-    ms = (
-        src.select(F.posexplode(xd).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum(F.col("x").cast("decimal(38,12)")).alias("s"))
+    # EXACT-VECTOR CONTRACTION (r9, the contracted_vector_pairs recipe
+    # applied to moments): k byte-identical copies of a vector
+    # contribute k·x and k·xᵢxⱼ, and decimal arithmetic makes the
+    # weighted sum EXACTLY equal to summing the copies (cnt·cast(v) is
+    # exact in decimal — unlike float weighting), so the d²-per-row
+    # expansion runs once per DISTINCT vector. On the 50× replicated
+    # sf5 corpus that is 50× less map-side hashing for the same
+    # bit-identical result; the oracle keeps the per-row SUM form.
+    # ONE user exchange does contraction AND spread: repartition(N, vec)
+    # hash-distributes by vector, the groupBy then aggregates IN PLACE
+    # (partitioning already satisfies it — no second exchange), and AQE
+    # never coalesces a user-specified repartition, so the d²-per-row
+    # expansion keeps all N partitions. The two obvious alternatives
+    # both lost: plain groupBy output gets AQE-coalesced to ONE
+    # partition (2000 rows reads as "nothing to parallelize" — the
+    # expansion then ran single-threaded, 12.6 s vs 2.4 s at sf0.1),
+    # and groupBy + round-robin repartition pays a second exchange plus
+    # per-leg recomputation. Decimal sums are order-free, so the
+    # distribution never changes the result.
+    src = (
+        corpus.select(vec_col)
+        .repartition(
+            corpus.sparkSession.sparkContext.defaultParallelism,
+            F.col(vec_col),
+        )
+        .groupBy(vec_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
     )
-    # all d² products per row as ONE nested-transform/flatten HOF —
-    # no self-join (the r4 bench lesson: the join formulation cost
-    # 11.5 s at sf0.1; this map-only expansion feeds the same
-    # decimal sums straight into the map-side-combined agg). The
-    # double multiply xᵢ·xⱼ and the decimal cast are bit-identical
-    # to the oracle's self-join formulation, so the oracle needn't
-    # mirror the plan — only the expression tree, which is unchanged.
+    # ONE fused pass for count + mean sums + all d² products: position
+    # 0 is a 1.0 count marker, [1, d] the mean entries, [d+1, d+d²] the
+    # products as ONE nested-transform/flatten HOF — no self-join (the
+    # r4 bench lesson: the join formulation cost 11.5 s at sf0.1) and
+    # no per-leg jobs (the r9 lesson: separate ms/xx/count jobs each
+    # re-ran the contraction lineage, tripling the fixed cost). The
+    # double multiply xᵢ·xⱼ and the decimal cast stay bit-identical to
+    # the oracle's per-row formulation, so the oracle needn't mirror
+    # the plan — only the expression tree, which is unchanged.
     prods = F.flatten(
         F.transform(xd, lambda xi: F.transform(xd, lambda xj: xi * xj))
     )
-    xx = (
-        src.select(F.posexplode(prods).alias("p", "v"))
-        .groupBy(
-            F.floor(F.col("p") / dims).cast("int").alias("i"),
-            (F.col("p") % dims).cast("int").alias("j"),
+    combo = F.concat(F.array(F.lit(1.0)), xd, prods)
+    # Weighting trick: cnt·cast(v) per exploded row would put a slow
+    # BigDecimal multiply in the hot loop (measured 5× the cast-sum at
+    # sf0.1). Instead group by (p, cnt) with the SAME per-row cast-sum
+    # as before, then apply the weight on the aggregated relation —
+    # ≤ (1+d+d²)·|distinct multiplicities| rows, model-sized.
+    # Σ_vec cnt·cast(v) = Σ_cnt cnt·Σ_vec cast(v): decimal-exact.
+    # Operand widths (25,12)×(12,0) → decimal(38,12) with NO precision
+    # cap (a cap would silently drop scale to 6): exact while
+    # |partial sum| < 10¹³ and multiplicity < 10¹² — both satisfied at
+    # any conceivable corpus (|x| < 10 here).
+    agg = (
+        src.select("_cnt", F.posexplode(combo).alias("p", "v"))
+        .groupBy("p", "_cnt")
+        .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("s1"))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.col("s1").cast("decimal(25,12)")
+                * F.col("_cnt").cast("decimal(12,0)")
+            ).alias("s")
         )
-        .agg(F.sum(F.col("v").cast("decimal(38,12)")).alias("s"))
     )
-    n = corpus.count()
+    vals = {r["p"]: r["s"] for r in agg.collect()}  # 1+d+d² driver rows
+    n = int(vals[0])  # decimal count marker sum — exact
     nd = float(n)
-    mean = [0.0] * dims
-    for r in ms.collect():  # O(d) driver rows
-        mean[r["i"]] = float(r["s"]) / nd
+    mean = [float(vals[1 + i]) / nd for i in range(dims)]
     cov = [[0.0] * dims for _ in range(dims)]
-    for r in xx.collect():  # O(d²) driver rows — model-sized
-        i, j = r["i"], r["j"]
-        cov[i][j] = float(r["s"]) / nd - mean[i] * mean[j]
+    for i in range(dims):
+        for j in range(dims):
+            cov[i][j] = (
+                float(vals[1 + dims + i * dims + j]) / nd - mean[i] * mean[j]
+            )
     return n, mean, cov
 
 

@@ -64,20 +64,39 @@ _CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
     "nothing on both engines.",
 )
 def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # CONTENT CONTRACTION (the doc_rolling_hash/X187 recipe): shingle
+    # sets are content-pure, so the explode+md5 pipeline runs once per
+    # DISTINCT text and expands back through the tiny (source, content
+    # key) relation — on the 50× replicated sf5 corpus this cuts the
+    # exploded volume 50× (250 k docs share ~5 k texts) and was the r8
+    # verdict's named fix for this query's 45 s sf5 wall.
+    sp = docs.select("source", F.md5("text").alias("_pk")).distinct()
+    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
+        F.min("text").alias("text")
+    )
     w = F.split("text", " ")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size("w") - 7),
         lambda i: F.md5(F.array_join(F.slice("w", i, 8), " ")),
     )
-    d = (
-        docs.where(F.col("text").isNotNull())
-        .select("source", w.alias("w"))
+    hs = (
+        reps.select("_pk", w.alias("w"))
         .where(F.size("w") >= 8)
-        .select("source", F.explode(shingles).alias("h"))
-        .distinct()
+        .select("_pk", F.explode(shingles).alias("h"))
     )
-    sets = d.groupBy("h").agg(F.sort_array(F.collect_set("source")).alias("ss"))
+    # no pre-distinct: collect_set dedups (source, h) inside the ONE
+    # h-keyed shuffle (map-side partial sets), where the old shape paid
+    # a full distinct shuffle of the exploded volume first
+    d = hs.join(sp, "_pk").select("source", "h")
+    # materialize the deduped per-shingle source sets ONCE: three legs
+    # (pair expansion + both per-source totals) read it, and without
+    # the cut each leg re-runs the whole contraction+explode pipeline
+    sets = (
+        d.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
+    )
     pairs = sets.select(
         F.explode(
             F.expr(
@@ -90,7 +109,15 @@ def docs_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = pairs.groupBy("sa", "sb").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_shared")
     )
-    tot = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # per-source distinct-shingle totals REUSE the deduped sets relation
+    # (one row per (h, member source)) instead of a second distinct
+    # shuffle over the raw exploded pairs
+    tot = (
+        sets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)  # |sources| rows, 2 legs
+    )
     ta = tot.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
     tb = tot.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
     return (

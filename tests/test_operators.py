@@ -3366,3 +3366,159 @@ def test_pq_recall_eval_matches_python(spark, tmp_path):
     for qid in range(NQ):
         assert got[qid][:3] == want[qid][:3], (qid, got[qid], want[qid])
         assert abs(got[qid][3] - round(want[qid][3], 6)) < 1e-9
+
+
+def test_srm_check_matches_python(spark, tmp_path):
+    """X218 against a hashlib replay on a DELIBERATELY imbalanced
+    user set (40 arm-0 vs 5 arm-1 ids picked by their md5 arm): the
+    chi-square must reduce to (n1-n0)^2/(n0+n1) exactly and the flag
+    must trip; a user appearing in many events still counts once."""
+    import hashlib
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave10 import events_srm_check
+
+    def arm(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15], 16) % 2
+
+    a0 = [u for u in range(500) if arm(u) == 0][:40]
+    a1 = [u for u in range(500) if arm(u) == 1][:5]
+    rows, eid = [], 0
+    for u in a0 + a1:
+        for k in range(1 + u % 3):  # repeat events: distinct must dedupe
+            rows.append((eid, "2024-01-05T00:00:00", u, "view", 1.0, None))
+            eid += 1
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    [r] = events_srm_check(spark, str(tmp_path)).collect()
+    n0, n1 = len(a0), len(a1)
+    assert (r["n_ctl"], r["n_trt"]) == (n0, n1)
+    assert abs(r["trt_share"] - round(n1 / (n0 + n1), 6)) < 1e-12
+    chi2 = (n1 - n0) ** 2 / (n0 + n1)
+    assert abs(r["chi2"] - round(chi2, 6)) < 1e-12
+    assert r["srm_flag"] is True and chi2 > 3.8414588206941236
+
+
+def test_did_estimator_matches_python(spark, tmp_path):
+    """X219 against a pure-Python replay: planted pre/post purchase
+    values per arm (incl. a null value and non-purchase noise), exact
+    decimal cell sums over FIXED per-arm user counts, one empty cell
+    (no arm-1 pre purchases) exercising the COALESCE."""
+    import hashlib
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave10 import events_did_estimator
+
+    def arm(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15], 16) % 2
+
+    a0 = [u for u in range(200) if arm(u) == 0][:6]
+    a1 = [u for u in range(200) if arm(u) == 1][:4]
+    PRE, POST = "2024-01-10T00:00:00", "2024-01-20T00:00:00"
+    rows, eid = [], 0
+
+    def ev(u, ts, etype, value):
+        nonlocal eid
+        rows.append((eid, ts, u, etype, value, None))
+        eid += 1
+
+    sums = {("c", "pre"): 0.0, ("c", "post"): 0.0, ("t", "pre"): 0.0, ("t", "post"): 0.0}
+    for i, u in enumerate(a0):
+        ev(u, PRE, "purchase", 10.0 + i)
+        sums[("c", "pre")] += 10.0 + i
+        if i % 2 == 0:
+            ev(u, POST, "purchase", 30.0 + i)
+            sums[("c", "post")] += 30.0 + i
+        ev(u, PRE, "view", 999.0)  # non-purchase noise
+    for i, u in enumerate(a1):
+        # NO arm-1 pre purchases: the (trt, pre) cell is empty -> 0
+        ev(u, POST, "purchase", 50.0 + 2 * i)
+        sums[("t", "post")] += 50.0 + 2 * i
+        ev(u, PRE, "click", 7.0)
+    ev(a1[0], POST, "purchase", None)  # null value: adds nothing
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(f"{tmp_path}/events.parquet")
+
+    [r] = events_did_estimator(spark, str(tmp_path)).collect()
+    n0, n1 = len(a0), len(a1)
+    assert (r["n_ctl"], r["n_trt"]) == (n0, n1)
+    want = {
+        "pre_ctl": sums[("c", "pre")] / n0,
+        "post_ctl": sums[("c", "post")] / n0,
+        "pre_trt": sums[("t", "pre")] / n1,
+        "post_trt": sums[("t", "post")] / n1,
+    }
+    for k, v in want.items():
+        assert abs(r[k] - round(v, 6)) < 1e-9, (k, r[k], v)
+    did = (want["post_trt"] - want["pre_trt"]) - (want["post_ctl"] - want["pre_ctl"])
+    assert abs(r["did"] - round(did, 6)) < 1e-9
+    assert r["pre_trt"] == 0.0  # the planted empty cell
+
+
+def test_tar_shard_manifest_matches_stdlib_tarfile(spark, tmp_path):
+    """X220: the ustar writer+parser round trip, independently
+    adjudicated by the STDLIB tarfile reader — our manifest (names,
+    sizes, header offsets) must equal tarfile's member list for every
+    shard, the checksums must verify, a planted null text must
+    survive as an empty member, and the payload bytes at offset+512
+    must be the document text (the random-access contract)."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.operators.multimodal import (
+        parse_tar_manifest,
+        synth_tar_shards,
+    )
+    from tfl_realtime_lakehouse_spark.queries.wave10 import (
+        docs_tar_shard_manifest,
+    )
+
+    texts = {
+        i: (None if i == 5 else "x" * (i * 37 % 700) + f" doc {i} αβ") for i in range(40)
+    }
+    pd.DataFrame(
+        {
+            "doc_id": list(texts),
+            "text": list(texts.values()),
+            "lang": "en",
+            "source": "s0",
+            "n_chars": [len(t) if t else 0 for t in texts.values()],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    shards = {r["shard_id"]: bytes(r["payload"]) for r in synth_tar_shards(docs).collect()}
+    got = [
+        (r["shard_id"], r["member"], r["n_bytes"], r["offset"], r["cksum_ok"])
+        for r in docs_tar_shard_manifest(spark, str(tmp_path)).collect()
+    ]
+    assert all(ok for *_, ok in got)
+
+    want = []
+    for sid, blob in shards.items():
+        tf = tarfile.open(fileobj=io.BytesIO(blob))
+        for m in tf.getmembers():
+            want.append((sid, m.name, m.size, m.offset, True))
+            # random-access contract: data lives at header offset + 512
+            doc_id = int(m.name[3:11])
+            payload = blob[m.offset + 512 : m.offset + 512 + m.size]
+            assert payload == (texts[doc_id] or "").encode()
+    assert sorted(got) == sorted(want)
+    # the null-text doc is present with size 0
+    assert (5 // 16, "doc00000005.txt", 0) in {(s, n, b) for s, n, b, *_ in got}
+    # parser agrees with parse_tar_manifest on the collected shards too
+    n_members = sum(
+        1 for r in parse_tar_manifest(synth_tar_shards(docs)).collect()
+    )
+    assert n_members == 40

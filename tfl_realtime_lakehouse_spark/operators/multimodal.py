@@ -1189,3 +1189,136 @@ def audio_frame_rms(assets: DataFrame, frame_len: int = 80) -> DataFrame:
             )
 
     return assets.select("asset_id", "payload").mapInPandas(run, AUDIO_FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style tar shards: the LLM training-data container format.
+# Real POSIX-ustar writer AND parser (512-byte blocks, octal fields,
+# the spaces-then-store header checksum) — no tarfile module, so the
+# byte layout is pinned by this code, not a library version.
+
+_TAR_BLOCK = 512
+TAR_SHARD_DOCS = 16  # documents per shard (the WebDataset shard unit)
+
+
+def _octal(value: int, width: int) -> bytes:
+    """Zero-padded octal field with trailing NUL (ustar numeric form)."""
+    return f"{value:0{width - 1}o}".encode() + b"\x00"
+
+
+def tar_member_bytes(name: str, data: bytes) -> bytes:
+    """One ustar member: 512-byte header (with the real checksum —
+    sum of header bytes with the chksum field as 8 spaces, stored as
+    6 octal digits + NUL + space) followed by the payload padded to a
+    512 boundary."""
+    h = bytearray(_TAR_BLOCK)
+    nb = name.encode()
+    h[0 : len(nb)] = nb                      # name[100]
+    h[100:108] = _octal(0o644, 8)            # mode
+    h[108:116] = _octal(0, 8)                # uid
+    h[116:124] = _octal(0, 8)                # gid
+    h[124:136] = _octal(len(data), 12)       # size
+    h[136:148] = _octal(0, 12)               # mtime (fixed: determinism)
+    h[148:156] = b" " * 8                    # chksum placeholder
+    h[156] = 0x30                            # typeflag '0' (regular)
+    h[257:263] = b"ustar\x00"                # magic
+    h[263:265] = b"00"                       # version
+    ck = sum(h)
+    h[148:155] = f"{ck:06o}".encode() + b"\x00"
+    h[155] = 0x20
+    pad = (-len(data)) % _TAR_BLOCK
+    return bytes(h) + data + b"\x00" * pad
+
+
+TAR_SHARD_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def synth_tar_shards(
+    documents: DataFrame, shard_docs: int = TAR_SHARD_DOCS
+) -> DataFrame:
+    """Pack the documents table into WebDataset-style tar shards:
+    shard = doc_id // shard_docs, members ``doc<id:08d>.txt`` in
+    doc_id order (the manifest's replayable total order), null text →
+    empty member. One applyInPandas task per shard — the shard IS the
+    parallelism unit, exactly as a 100 TB export would lay them out."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        blob = b"".join(
+            tar_member_bytes(
+                f"doc{int(i):08d}.txt",
+                (t if isinstance(t, str) else "").encode(),
+            )
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        )
+        blob += b"\x00" * (2 * _TAR_BLOCK)  # end-of-archive marker
+        return pd.DataFrame(
+            {"shard_id": [int(pdf["shard_id"].iloc[0])], "payload": [blob]}
+        )
+
+    return (
+        documents.select(
+            F.floor(F.col("doc_id") / shard_docs).cast("long").alias("shard_id"),
+            "doc_id",
+            "text",
+        )
+        .groupBy("shard_id")
+        .applyInPandas(build, TAR_SHARD_SCHEMA)
+    )
+
+
+TAR_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("member", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("cksum_ok", T.BooleanType()),
+    ]
+)
+
+
+def parse_tar_manifest(shards: DataFrame) -> DataFrame:
+    """Walk each shard's 512-byte blocks and emit the member manifest
+    (name, size, HEADER byte offset, checksum verification) — the
+    random-access index a training loader needs to read one document
+    out of a multi-GB shard without scanning it. Map-only over
+    shards; stops at the end-of-archive zero block."""
+
+    def walk(payload: bytes):
+        out = []
+        off = 0
+        while off + _TAR_BLOCK <= len(payload):
+            h = payload[off : off + _TAR_BLOCK]
+            if h == b"\x00" * _TAR_BLOCK:
+                break
+            name = h[0:100].split(b"\x00", 1)[0].decode()
+            size = int(h[124:135].decode(), 8)
+            stored = int(
+                h[148:156].replace(b"\x00", b" ").strip().decode() or "0", 8
+            )
+            ck = sum(h[0:148]) + 8 * 0x20 + sum(h[156:])
+            out.append((name, size, off, ck == stored))
+            off += _TAR_BLOCK + ((size + _TAR_BLOCK - 1) // _TAR_BLOCK) * _TAR_BLOCK
+        return out
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = {c: [] for c in ("shard_id", "member", "n_bytes", "offset", "cksum_ok")}
+            for sid, payload in zip(pdf["shard_id"], pdf["payload"]):
+                for name, size, off, ok in walk(bytes(payload)):
+                    rows["shard_id"].append(int(sid))
+                    rows["member"].append(name)
+                    rows["n_bytes"].append(size)
+                    rows["offset"].append(off)
+                    rows["cksum_ok"].append(ok)
+            yield pd.DataFrame(rows)
+
+    return shards.mapInPandas(run, TAR_MANIFEST_SCHEMA)

@@ -60,6 +60,9 @@ DRIVER_WINDOW = [
     # ---- Registered this round (wave 10) ----
     "embedding_ann_ivf_recall_eval",
     "embedding_ann_pq_recall_eval",
+    "events_srm_check",
+    "events_did_estimator",
+    "docs_tar_shard_manifest",
     # ---- Oracle-generator refactor re-drives ----
     "dedup_minhash_estimate_error",
     "embedding_ann_lsh_verified",

@@ -3522,3 +3522,90 @@ def test_tar_shard_manifest_matches_stdlib_tarfile(spark, tmp_path):
         1 for r in parse_tar_manifest(synth_tar_shards(docs)).collect()
     )
     assert n_members == 40
+
+
+def test_ann_ndcg_eval_matches_python(spark, tmp_path):
+    """X221 against a pure-Python replay: Rademacher codes → candidate
+    pairs → approx ranking by (6-dp cosine, id) → graded relevance from
+    the exact ranking → decimal DCG/IDCG with the baked 9-dp discount
+    literals. All ids ≡ 0 (mod 4) so the query's sample filter keeps
+    the whole fixture."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.operators.similarity import rademacher_signs
+    from tfl_realtime_lakehouse_spark.queries import wave10
+    from tfl_realtime_lakehouse_spark.queries.wave10 import embedding_ann_ndcg_eval
+
+    k, nq, d = wave10._NDCG_K, 20, 64
+    ids = [4 * i for i in range(30)]
+    rng = np.random.default_rng(17)
+    vecs = rng.uniform(-1, 1, size=(len(ids), d)).astype(np.float32)
+    pd.DataFrame(
+        {"vec_id": ids, "embedding": list(vecs), "label": 0}
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    x = vecs.astype(np.float64)
+    idx = {v: i for i, v in enumerate(ids)}
+
+    def fold(vals):
+        acc = 0.0
+        for v in vals:
+            acc += v
+        return acc
+
+    def cos6(a, b):
+        xa, xb = x[idx[a]], x[idx[b]]
+        dot = fold([p * q for p, q in zip(xa, xb)])
+        na = fold([p * p for p in xa]) ** 0.5
+        nb = fold([p * p for p in xb]) ** 0.5
+        c = dot / (na * nb)
+        return float(Decimal(c).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    planes = np.asarray(
+        [rademacher_signs("rlsh", t, b, d) for t in range(16) for b in range(8)]
+    )
+    dots = x @ planes.T
+    codes = ((dots >= 0).astype(int).reshape(len(ids), 16, 8) * (1 << np.arange(8))).sum(axis=2)
+    cand = set()
+    for t in range(16):
+        by = {}
+        for i, v in enumerate(ids):
+            by.setdefault(codes[i, t], []).append(v)
+        for vs in by.values():
+            for i2 in range(len(vs)):
+                for j2 in range(i2 + 1, len(vs)):
+                    cand.add((vs[i2], vs[j2]))
+    queries = [v for v in ids if v < nq]
+    W = [Decimal(f"{w:.9f}") for w in wave10._NDCG_W]
+    want = {}
+    for q in queries:
+        mates = [b for a, b in cand if a == q] + [a for a, b in cand if b == q]
+        approx = sorted(set(mates), key=lambda v: (-cos6(q, v), v))[:k]
+        exact = sorted((v for v in ids if v != q), key=lambda v: (-cos6(q, v), v))[:k]
+        rel = {v: k + 1 - (r + 1) for r, v in enumerate(exact)}
+        dcg = sum(
+            (Decimal(rel.get(v, 0)) * W[p] for p, v in enumerate(approx)),
+            Decimal(0),
+        )
+        idcg = sum(
+            (Decimal(rel[v]) * W[r] for r, v in enumerate(exact)), Decimal(0)
+        )
+        want[q] = (
+            round(float(dcg), 6),
+            round(float(idcg), 6),
+            round(float(dcg) / float(idcg), 6),
+        )
+
+    got = {
+        r["query_id"]: (r["dcg"], r["idcg"], r["ndcg_at_k"])
+        for r in embedding_ann_ndcg_eval(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(queries)
+    for q in queries:
+        for a, b in zip(got[q], want[q]):
+            assert abs(a - b) < 1e-9, (q, got[q], want[q])
+    # order quality must be a real measurement: not all 1.0
+    assert any(v[2] < 1.0 for v in want.values())

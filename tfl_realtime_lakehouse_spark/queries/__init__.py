@@ -63,6 +63,7 @@ DRIVER_WINDOW = [
     "events_srm_check",
     "events_did_estimator",
     "docs_tar_shard_manifest",
+    "embedding_ann_ndcg_eval",
     # ---- Oracle-generator refactor re-drives ----
     "dedup_minhash_estimate_error",
     "embedding_ann_lsh_verified",

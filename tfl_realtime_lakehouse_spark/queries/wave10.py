@@ -32,6 +32,8 @@ float sums pin to decimal(38,12); counts stay integer end to end.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -695,3 +697,156 @@ def docs_tar_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shards = M.synth_tar_shards(table(spark, sf_dir, "documents"))
     return M.parse_tar_manifest(shards)
+
+
+# ---------------------------------------------------------------------------
+# X221 — nDCG@10 for the ANN ranking (ORDER quality, not just set overlap)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# positional discounts 1/ln(pos+1) BAKED as 9-dp literals: zero runtime
+# logarithms, so no cross-engine libm question can ever touch the hash
+_NDCG_W = [round(1.0 / math.log(p + 1), 9) for p in range(1, _NDCG_K + 1)]
+
+
+def _ndcg_oracle(k: int = _NDCG_K, nq: int = 20) -> str:
+    from tfl_realtime_lakehouse_spark.queries.vector_queries import (
+        _COSINE_DOUBLE,
+        _rademacher_codes_sql,
+    )
+
+    cos = _COSINE_DOUBLE.format(a="ea.embedding", b="eb.embedding")
+    w_case = " ".join(
+        f"WHEN {p + 1} THEN CAST({_NDCG_W[p]} AS DECIMAL(12,9))"
+        for p in range(k)
+    )
+    return f"""
+    WITH sample AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    codes AS MATERIALIZED (
+      {_rademacher_codes_sql(16, 8, 64)}
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM codes a JOIN codes b
+        ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+    ),
+    qc AS (
+      SELECT vec_a AS query_id, vec_b AS vec_id FROM cand WHERE vec_a < {nq}
+      UNION ALL
+      SELECT vec_b, vec_a FROM cand WHERE vec_b < {nq}
+    ),
+    approx AS (
+      SELECT query_id, vec_id, rnk AS pos FROM (
+        SELECT qc.query_id, qc.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qc.query_id
+                 ORDER BY ROUND({cos}, 6) DESC, qc.vec_id) AS rnk
+        FROM qc
+        JOIN sample ea ON ea.vec_id = qc.query_id
+        JOIN sample eb ON eb.vec_id = qc.vec_id
+      ) WHERE rnk <= {k}
+    ),
+    exact AS (
+      SELECT query_id, vec_id, CAST({k + 1} - rnk AS DECIMAL(4,0)) AS rel,
+             rnk FROM (
+        SELECT ea.vec_id AS query_id, eb.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY ea.vec_id
+                 ORDER BY ROUND({cos}, 6) DESC, eb.vec_id) AS rnk
+        FROM sample ea CROSS JOIN sample eb
+        WHERE ea.vec_id < {nq} AND eb.vec_id != ea.vec_id
+      ) WHERE rnk <= {k}
+    ),
+    dcg AS (
+      SELECT a.query_id,
+             SUM(COALESCE(e.rel, CAST(0 AS DECIMAL(4,0)))
+                 * (CASE a.pos {w_case} END)) AS dcg
+      FROM approx a LEFT JOIN exact e
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY 1
+    ),
+    idcg AS (
+      SELECT query_id, SUM(rel * (CASE rnk {w_case} END)) AS idcg
+      FROM exact GROUP BY 1
+    )
+    SELECT i.query_id,
+           ROUND(CAST(COALESCE(d.dcg, 0) AS DOUBLE), 6) AS dcg,
+           ROUND(CAST(i.idcg AS DOUBLE), 6) AS idcg,
+           ROUND(CAST(COALESCE(d.dcg, 0) AS DOUBLE)
+                 / CAST(i.idcg AS DOUBLE), 6) AS ndcg_at_k
+    FROM idcg i LEFT JOIN dcg d ON d.query_id = i.query_id
+    """
+
+
+@register(
+    "embedding_ann_ndcg_eval",
+    oracle=_ndcg_oracle(),
+    doc="nDCG@10 of the sign-LSH ANN ranking against exact cosine "
+    "order — the ORDER-quality companion to X202's recall@10 (two "
+    "rankings with identical top-10 SETS can still disagree on order; "
+    "recall can't see that, nDCG can). Graded relevance rel = 11 − "
+    "exact_rank for the exact top-10 (integer), position discounts "
+    "1/ln(pos+1) baked as 9-dp DECIMAL LITERALS — zero runtime "
+    "logarithms, so no libm question touches the hash — and every "
+    "rel·w product and cross-row sum stays in exact decimals until "
+    "the final double division, rounded at 6 dp. Both rankings use "
+    "the (6-dp cosine, id) total order. Scale shape: identical to "
+    "X202 (bucket equi-join candidates + broadcast-query exact leg, "
+    "both legs output-sized before the join).",
+)
+def embedding_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.operators import similarity as S
+
+    k, nq = _NDCG_K, 20
+    emb = table(spark, sf_dir, "embeddings")
+    sample = emb.where(F.col("vec_id") % 4 == 0)
+    exact = S.cosine_topk(sample, sample.where(F.col("vec_id") < nq), k=k)
+    pairs = S.rademacher_lsh_pairs(sample, tables=16, bits=8, threshold=-1.0)
+    qa = pairs.where(F.col("vec_a") < nq).select(
+        F.col("vec_a").alias("query_id"), F.col("vec_b").alias("vec_id"), "score"
+    )
+    qb = pairs.where(F.col("vec_b") < nq).select(
+        F.col("vec_b").alias("query_id"), F.col("vec_a").alias("vec_id"), "score"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    approx = (
+        qa.unionAll(qb)
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("query_id", "vec_id", "pos")
+    )
+    wlit = F.array(*[F.lit(v).cast("decimal(12,9)") for v in _NDCG_W])
+    rel = (F.lit(k + 1) - F.col("rnk")).cast("decimal(4,0)")
+    ex = exact.select("query_id", "vec_id", rel.alias("rel"), "rnk")
+    dcg = (
+        approx.join(ex.select("query_id", "vec_id", "rel"), ["query_id", "vec_id"], "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("rel"), F.lit(0).cast("decimal(4,0)"))
+                * F.element_at(wlit, F.col("pos"))
+            ).alias("t"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("dcg"))
+    )
+    idcg = (
+        ex.select(
+            "query_id", (F.col("rel") * F.element_at(wlit, F.col("rnk"))).alias("t")
+        )
+        .groupBy("query_id")
+        .agg(F.sum("t").alias("idcg"))
+    )
+    zero = F.lit(0).cast("decimal(38,9)")
+    return idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        F.round(F.coalesce(F.col("dcg"), zero).cast("double"), 6).alias("dcg"),
+        F.round(F.col("idcg").cast("double"), 6).alias("idcg"),
+        F.round(
+            F.coalesce(F.col("dcg"), zero).cast("double")
+            / F.col("idcg").cast("double"),
+            6,
+        ).alias("ndcg_at_k"),
+    )

@@ -151,6 +151,13 @@ HEADLINERS = [
     "embedding_lsh_bucket_balance",
     "events_uplift_by_decile",
     "doc_winnowing_fingerprints",
+    # round-9 wave 10
+    "embedding_ann_ivf_recall_eval",
+    "embedding_ann_pq_recall_eval",
+    "embedding_ann_ndcg_eval",
+    "events_srm_check",
+    "events_did_estimator",
+    "docs_tar_shard_manifest",
 ]
 
 

@@ -620,21 +620,28 @@ def kmeans_assign_exact(
     cents = centroids.select(
         F.col("cell").alias("_cc"), F.col("centroid").alias("_cv")
     )
-    j = corpus.select(id_col, _as_double(F.col(vec_col)).alias("_e")).join(
-        F.broadcast(cents)
-    )
+    # EXACT-VECTOR CONTRACTION (r9, transparent): identical vectors get
+    # identical (dist, cell) structs, so the k-way argmin runs once per
+    # DISTINCT vector and copies pick their cell up through one
+    # vector-keyed equi-join — k× fewer folds on duplicated corpora,
+    # the same shuffle count on duplicate-free ones.
+    src = corpus.select(id_col, _as_double(F.col(vec_col)).alias("_e"))
     best = (
-        j.select(
-            id_col,
+        src.select("_e")
+        .distinct()
+        .join(F.broadcast(cents))
+        .select(
+            "_e",
             F.struct(
                 _sq_l2_6(F.col("_e"), F.col("_cv")).alias("d"),
                 F.col("_cc").alias("c"),
             ).alias("_s"),
         )
-        .groupBy(id_col)
+        .groupBy("_e")
         .agg(F.min("_s").alias("_s"))
+        .select("_e", F.col("_s.c").alias(cell_col))
     )
-    return best.select(id_col, F.col("_s.c").alias(cell_col))
+    return src.join(best, "_e").select(id_col, cell_col)
 
 
 def kmeans_train_exact(
@@ -675,18 +682,60 @@ def kmeans_train_exact(
         .select((F.col("_r") - 1).cast("int").alias("cell"), "centroid")
     )
     cents = seeds.localCheckpoint(storageLevel=_CKPT_LEVEL)
-    ex = corpus.select(
-        id_col, F.posexplode(_as_double(F.col(vec_col))).alias("_dim", "_x")
+    # EXACT-VECTOR CONTRACTION (r9, transparent): byte-identical copies
+    # share every assignment (same fold → same (dist, cell) struct) and
+    # contribute cnt-weighted decimal sums that EQUAL summing the
+    # copies, so the iteration runs over DISTINCT vectors — on the 50×
+    # replicated sf5 corpus that is 50× fewer distance folds and a
+    # 128 k-row update explode instead of 6.4 M. repartition(N, vec)
+    # is the contraction shuffle AND the spread (the pca_cov_exact
+    # AQE-coalesce lesson); the checkpoint is reused by every round.
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    reps = (
+        corpus.select(_as_double(F.col(vec_col)).alias("_e"))
+        .repartition(par, F.col("_e"))
+        .groupBy("_e")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
+    ex = reps.select("_e", "_cnt", F.posexplode("_e").alias("_dim", "_x"))
     for _ in range(iters):
-        assigned = kmeans_assign_exact(corpus, cents, id_col, vec_col)
+        cc = cents.select(
+            F.col("cell").alias("_cc"), F.col("centroid").alias("_cv")
+        )
+        assigned = (
+            reps.join(F.broadcast(cc))
+            .select(
+                "_e",
+                F.struct(
+                    _sq_l2_6(F.col("_e"), F.col("_cv")).alias("d"),
+                    F.col("_cc").alias("c"),
+                ).alias("_s"),
+            )
+            .groupBy("_e")
+            .agg(F.min("_s").alias("_s"))
+            .select("_e", F.col("_s.c").alias("cell"))
+        )
+        # weighted update, the pca_cov_exact two-level trick: per-row
+        # work stays a plain decimal cast-sum; the multiply runs on the
+        # (cell, dim, multiplicity)-aggregated relation. Exactness:
+        # Σ_copies cast(x) = Σ_cnt cnt·Σ_reps cast(x), and the member
+        # count is Σ cnt — both identical to the uncontracted form.
         upd = (
-            ex.join(assigned, id_col)
+            ex.join(F.broadcast(assigned), "_e")
+            .groupBy("cell", "_dim", "_cnt")
+            .agg(
+                F.sum(F.col("_x").cast("decimal(38,12)")).alias("_s1"),
+                F.count(F.lit(1)).alias("_n1"),
+            )
             .groupBy("cell", "_dim")
             .agg(
                 (
-                    F.sum(F.col("_x").cast("decimal(38,12)")).cast("double")
-                    / F.count(F.lit(1))
+                    F.sum(
+                        F.col("_s1").cast("decimal(25,12)")
+                        * F.col("_cnt").cast("decimal(12,0)")
+                    ).cast("double")
+                    / F.sum(F.col("_cnt") * F.col("_n1"))
                 ).alias("_mu")
             )
             .groupBy("cell")

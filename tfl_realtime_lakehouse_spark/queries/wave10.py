@@ -34,10 +34,13 @@ from __future__ import annotations
 
 import math
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from tfl_realtime_lakehouse_spark.queries.registry import register, table
+
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 # ---------------------------------------------------------------------------
 # X215 — IVF recall@k with SQL-replayable k-means training
@@ -231,23 +234,33 @@ def embedding_ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rn") <= NPROBE)
         .select("query_id", "cell")
     )
-    cand = (
-        probe.join(mem, "cell")
+    # EXACT-VECTOR CONTRACTION of the eval legs (r9 second pass):
+    # distances are content-pure, so the per-(query, DISTINCT vector)
+    # table D is folded once (q·|distinct| folds — 40 k at sf5 instead
+    # of the 2.5 M per-copy folds the first shape paid) and copies
+    # pick their distance up through one skinny vector-keyed join;
+    # identical arrays fold to identical doubles, so the (d, vec_id)
+    # rankings — and the hash — are untouched.
+    dv = embd.select("e").distinct()
+    D = dv.join(F.broadcast(q)).select(
+        "query_id", "e", S._sq_l2_6(F.col("qe"), F.col("e")).alias("d")
+    )
+    scored = (
+        embd.join(D, "e")
         .where(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(q), "query_id")
-        .join(embd, "vec_id")
-        .select("query_id", "vec_id", S._sq_l2_6(F.col("qe"), F.col("e")).alias("d"))
+        .select("query_id", "vec_id", "d")
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)  # exact + cand legs
     )
     wk = Window.partitionBy("query_id").orderBy("d", "vec_id")
+    cand = probe.join(mem, "cell").select("query_id", "vec_id")
     approx = (
-        cand.withColumn("rn", F.row_number().over(wk))
+        scored.join(cand, ["query_id", "vec_id"])
+        .withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= TOPK)
         .select("query_id", "vec_id")
     )
     exact = (
-        embd.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", S._sq_l2_6(F.col("qe"), F.col("e")).alias("d"))
-        .withColumn("rn", F.row_number().over(wk))
+        scored.withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= TOPK)
         .select("query_id", "vec_id")
     )
@@ -385,6 +398,18 @@ def embedding_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     m, sd, codes, iters = _PQ_M, _PQ_SUB_D, _PQ_CODES, _PQ_ITERS
     TOPK, NQ = 10, 20
     emb = table(spark, sf_dir, "embeddings")
+    embd = emb.select("vec_id", S._as_double(F.col("embedding")).alias("e"))
+    q = embd.where(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    # EXACT-VECTOR CONTRACTION of the eval legs (r9 second pass, the
+    # X215 discipline): a full vector determines all m codes, so codes,
+    # LUT lookups, and the decimal ADC fold run per DISTINCT vector
+    # (q·|distinct|·m skinny rows instead of the q·|corpus|·m shuffle
+    # the first shape paid); copies pick their ADC up through one
+    # vector-keyed join, and slicing the double array equals casting
+    # the float slice, so every distance is bit-identical.
+    dv = embd.select("e").distinct().localCheckpoint(storageLevel=_CKPT_LEVEL)
     parts = []
     for s in range(m):
         sub = emb.select(
@@ -393,30 +418,46 @@ def embedding_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         books = S.kmeans_train_exact(
             sub, k=codes, iters=iters, tag=f"pq{s}:"
         )
-        assigned = S.kmeans_assign_exact(sub, books)
-        qsub = sub.where(F.col("vec_id") < NQ).select(
-            F.col("vec_id").alias("query_id"),
-            S._as_double(F.col("embedding")).alias("qe"),
+        sub_dv = dv.select("e", F.slice("e", s * sd + 1, sd).alias("se"))
+        cc = books.select(
+            F.col("cell").alias("_cc"), F.col("centroid").alias("_cv")
+        )
+        assigned_dv = (
+            sub_dv.join(F.broadcast(cc))
+            .select(
+                "e",
+                F.struct(
+                    S._sq_l2_6(F.col("se"), F.col("_cv")).alias("d"),
+                    F.col("_cc").alias("c"),
+                ).alias("_s"),
+            )
+            .groupBy("e")
+            .agg(F.min("_s").alias("_s"))
+            .select("e", F.col("_s.c").alias("cell"))
+        )
+        qsub = q.select(
+            "query_id", F.slice("qe", s * sd + 1, sd).alias("qse")
         )
         lut = qsub.join(F.broadcast(books)).select(
             "query_id",
             "cell",
-            S._sq_l2_6(F.col("qe"), F.col("centroid")).alias("d6"),
+            S._sq_l2_6(F.col("qse"), F.col("centroid")).alias("d6"),
         )
         parts.append(
-            assigned.join(F.broadcast(lut), "cell").select(
+            assigned_dv.join(F.broadcast(lut), "cell").select(
                 "query_id",
-                "vec_id",
+                "e",
                 F.col("d6").cast("decimal(18,6)").alias("dd"),
             )
         )
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionAll(p)
+    adc_dv = allp.groupBy("query_id", "e").agg(F.sum("dd").alias("adc"))
     score = (
-        allp.where(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("dd").alias("adc"))
+        embd.join(adc_dv, "e")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "adc")
     )
     approx = (
         score.withColumn(
@@ -428,16 +469,14 @@ def embedding_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOPK)
         .select("query_id", "vec_id")
     )
-    embd = emb.select("vec_id", S._as_double(F.col("embedding")).alias("e"))
-    q = embd.where(F.col("vec_id") < NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    D = dv.join(F.broadcast(q)).select(
+        "query_id", "e", S._sq_l2_6(F.col("qe"), F.col("e")).alias("d")
     )
     wk = Window.partitionBy("query_id").orderBy("d", "vec_id")
     exact = (
-        embd.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", "vec_id", S._sq_l2_6(F.col("qe"), F.col("e")).alias("d")
-        )
+        embd.join(D, "e")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "d")
         .withColumn("rn", F.row_number().over(wk))
         .where(F.col("rn") <= TOPK)
         .select("query_id", "vec_id")

@@ -2498,3 +2498,83 @@ def test_streaming_uplift_by_decile_matches_batch_query(spark, tmp_path):
     assert set(got) == set(range(1, 11))
     assert got[1][1] == 0 and got[1][3] is None and got[1][4] is None
     assert sum(v[0] + v[1] for v in got.values()) == 22
+
+
+def test_streaming_did_matches_batch_query(spark, tmp_path):
+    """Cross-batch DiD maintenance (X222 twin): the user-keyed state
+    operator maintains exact per-user (y_pre, y_post) decimal sums and
+    the stateless readout over the maintained table must equal the
+    BATCH events_did_estimator query over the union — bit-for-bit,
+    because the readout rebuilds the batch wide frame and calls its
+    own downstream function. Planted: a user whose PRE purchase
+    arrives in batch 1 and POST purchase only in batch 2 (the
+    straddling leg), an all-other-type user (counts in n_arm, adds
+    0 to every cell), a null purchase value, and no arm-1 pre
+    purchases at all (empty-cell COALESCE)."""
+    import datetime
+    import hashlib
+    from decimal import Decimal
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.did import (
+        did_readout,
+        streaming_did_per_user,
+    )
+
+    def arm(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15], 16) % 2
+
+    a0 = [u for u in range(200) if arm(u) == 0][:5]
+    a1 = [u for u in range(200) if arm(u) == 1][:4]
+    PRE = datetime.datetime(2024, 1, 5)
+    POST = datetime.datetime(2024, 1, 25)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    eid = iter(range(10_000))
+
+    def ev(u, ts, etype, value):
+        return (next(eid), ts, u, etype, value, "{}")
+
+    straddler = a0[0]
+    b1 = [ev(straddler, PRE, "purchase", 11.5)]
+    b1 += [ev(a0[1], PRE, "purchase", 20.25), ev(a0[2], POST, "purchase", 7.0)]
+    b1 += [ev(a0[3], PRE, "view", 5.0)]          # other-type-only user
+    b1 += [ev(a1[0], POST, "purchase", 40.0), ev(a1[1], POST, "purchase", None)]
+    b2 = [ev(straddler, POST, "purchase", 99.75)]  # straddling metric
+    b2 += [ev(a0[4], POST, "purchase", 3.125)]
+    b2 += [ev(a1[2], POST, "purchase", 60.5), ev(a1[3], PRE, "click", 1.0)]
+    src = str(tmp_path / "did-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_did_per_user(stream)
+    _run_stream(out, tmp_path, "did_out", mode="update")
+    latest = {}
+    for r in spark.sql("select * from did_out").collect():
+        tot = Decimal(r["y_pre"]) + Decimal(r["y_post"])
+        if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (tot, r)
+    per_user = spark.createDataFrame(
+        [v[1] for v in latest.values()],
+        "user_id long, variant int, y_pre string, y_post string",
+    )
+    cols = ("n_ctl", "n_trt", "pre_ctl", "post_ctl", "pre_trt", "post_trt", "did")
+    [g] = did_readout(per_user).collect()
+    union_dir = str(tmp_path / "did-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+    [w] = REGISTRY["events_did_estimator"].fn(spark, union_dir).collect()
+    assert tuple(g[c] for c in cols) == tuple(w[c] for c in cols)
+    # non-vacuous plants
+    assert g["n_ctl"] == 5 and g["n_trt"] == 4
+    assert g["pre_trt"] == 0.0            # arm-1 pre cell empty
+    assert g["post_trt"] > 0.0
+    assert g["did"] == w["did"] and g["did"] is not None

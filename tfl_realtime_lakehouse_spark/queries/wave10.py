@@ -658,6 +658,15 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick(1, False).alias("s1pre"),
         pick(1, True).alias("s1post"),
     ).crossJoin(F.broadcast(narm))
+    return _did_readout(wide)
+
+
+def _did_readout(wide: DataFrame) -> DataFrame:
+    """DiD downstream shared verbatim by the batch query and the
+    streaming twin (streaming/did.py): takes the one-row wide frame
+    (s0pre/s0post/s1pre/s1post decimal(37,12), n0/n1) and produces the
+    7-column readout — the single-function-object discipline that
+    makes the twin's bit-for-bit claim structural (X207/X212 pattern)."""
     m = {
         k: F.col(s).cast("double") / F.col(n)
         for k, s, n in (

@@ -2578,3 +2578,68 @@ def test_streaming_did_matches_batch_query(spark, tmp_path):
     assert g["pre_trt"] == 0.0            # arm-1 pre cell empty
     assert g["post_trt"] > 0.0
     assert g["did"] == w["did"] and g["did"] is not None
+
+
+def test_streaming_srm_matches_batch_query(spark, tmp_path):
+    """Cross-batch SRM gate (X223 twin): ZERO new state — the per-arm
+    population counts come from X208's maintained CUPED table, and the
+    readout is the batch events_srm_check downstream function object.
+    Planted: a deliberately imbalanced population split across two
+    micro-batches (users repeat across batches — the state-store key
+    set must dedupe), tripping the flag on both sides."""
+    import datetime
+    import hashlib
+    from decimal import Decimal
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.srm import (
+        srm_readout,
+        streaming_srm_per_user,
+    )
+
+    def arm(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15], 16) % 2
+
+    a0 = [u for u in range(500) if arm(u) == 0][:30]
+    a1 = [u for u in range(500) if arm(u) == 1][:6]
+    t0 = datetime.datetime(2024, 1, 2)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    eid = iter(range(10_000))
+
+    def ev(u):
+        return (next(eid), t0, u, "view", 1.0, "{}")
+
+    b1 = [ev(u) for u in a0[:20] + a1[:3]]
+    b2 = [ev(u) for u in a0[10:] + a1]  # overlap: users straddle batches
+    src = str(tmp_path / "srm-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_srm_per_user(stream)
+    _run_stream(out, tmp_path, "srm_out", mode="update")
+    latest = {}
+    for r in spark.sql("select * from srm_out").collect():
+        tot = Decimal(r["sx"]) + Decimal(r["sy"])
+        if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (tot, r)
+    per_user = spark.createDataFrame(
+        [v[1] for v in latest.values()],
+        "user_id long, variant int, sx string, sy string",
+    )
+    cols = ("n_ctl", "n_trt", "trt_share", "chi2", "srm_flag")
+    [g] = srm_readout(per_user).collect()
+    union_dir = str(tmp_path / "srm-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+    [w] = REGISTRY["events_srm_check"].fn(spark, union_dir).collect()
+    assert tuple(g[c] for c in cols) == tuple(w[c] for c in cols)
+    assert g["n_ctl"] == 30 and g["n_trt"] == 6 and g["srm_flag"] is True

@@ -541,6 +541,13 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
         F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
     )
+    return _srm_readout(wide)
+
+
+def _srm_readout(wide: DataFrame) -> DataFrame:
+    """SRM downstream shared verbatim by the batch query and the
+    streaming twin (streaming/srm.py): (n0, n1) one-row frame → the
+    5-column gate readout (the single-function-object discipline)."""
     tot = (F.col("n0") + F.col("n1")).cast("double")
     diff2 = ((F.col("n1") - F.col("n0")) * (F.col("n1") - F.col("n0"))).cast(
         "double"

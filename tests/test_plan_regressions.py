@@ -145,6 +145,25 @@ BUDGETS = {
     # vector-contracted relation); the FINAL plan is the literal-basis
     # fold projection — map-only, zero shuffle, zero Python
     "embedding_pca_project": (0, 0),
+    # ---- r9 wave 10 (post-contraction shapes) ----
+    # vector-contracted eval: distinct + D-fold + membership join +
+    # cand/exact windows + recall fold; training rounds are cut by
+    # model-sized checkpoints. A per-copy fold stage reappearing here
+    # is the 2.5M-fold regression the contraction removed.
+    "embedding_ann_ivf_recall_eval": (11, 0),
+    # 4 subspace code-assignments + decimal ADC fold per DISTINCT
+    # vector + copy join-back; same regression guard as the IVF eval
+    "embedding_ann_pq_recall_eval": (9, 0),
+    # X202's candidate machinery + two decimal DCG folds; the Arrow
+    # stages are the 4 Rademacher code matmuls
+    "embedding_ann_ndcg_eval": (8, 4),
+    # one shard groupBy + the two real-codec Python stages (pack,
+    # parse) — the shard is the parallelism unit by design
+    "docs_tar_shard_manifest": (1, 2),
+    # distinct-user agg + 2-row fold
+    "events_srm_check": (2, 0),
+    # distinct-user agg + ONE events scan into the 4-cell aggregate
+    "events_did_estimator": (3, 0),
 }
 
 

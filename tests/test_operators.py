@@ -3609,3 +3609,105 @@ def test_ann_ndcg_eval_matches_python(spark, tmp_path):
             assert abs(a - b) < 1e-9, (q, got[q], want[q])
     # order quality must be a real measurement: not all 1.0
     assert any(v[2] < 1.0 for v in want.values())
+
+
+# ---------------------------------------------------------------------------
+# Round-10 ADVICE hardening: loud failures instead of silent corruption
+# ---------------------------------------------------------------------------
+
+
+def test_tar_member_bytes_rejects_oversized_name_and_payload():
+    """r9 ADVICE: a >100-byte member name used to spill into the
+    mode/uid header fields (corrupt shard, no error); an ≥8 GiB payload
+    would overflow the 11-digit octal size field. Both must raise."""
+    import pytest as _pytest
+
+    from tfl_realtime_lakehouse_spark.operators.multimodal import (
+        tar_member_bytes,
+    )
+
+    # boundary: exactly 100 bytes is legal
+    blob = tar_member_bytes("n" * 100, b"ok")
+    assert blob[:100] == b"n" * 100
+    with _pytest.raises(ValueError, match="100-byte"):
+        tar_member_bytes("n" * 101, b"x")
+    # multi-byte utf-8 counts in BYTES, not characters
+    with _pytest.raises(ValueError, match="100-byte"):
+        tar_member_bytes("α" * 51, b"x")
+    with _pytest.raises(ValueError, match="octal size"):
+        # fake the length check without allocating 8 GiB
+        class _Huge(bytes):
+            def __len__(self):
+                return 8**11
+
+        tar_member_bytes("big.bin", _Huge())
+
+
+def test_did_state_fn_skips_null_post_rows():
+    """r9 ADVICE: a purchase with NULL ts (is_post=None) used to fall
+    through `if is_post:` into the PRE period; the batch query drops
+    the post=NULL group entirely, so the twin must skip the row."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.streaming.did import _did_state_fn
+
+    class _FakeState:
+        exists = False
+
+        def __init__(self):
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+    st = _FakeState()
+    pdf = pd.DataFrame(
+        {
+            "yr": [Decimal("5"), Decimal("7"), None, Decimal("11")],
+            "_post": [False, None, True, True],
+        }
+    )
+    (out,) = _did_state_fn((42, 1), iter([pdf]), st)
+    # 7 (null post) skipped; None yr skipped; 5 pre; 11 post
+    assert out["y_pre"].iloc[0] == "5"
+    assert out["y_post"].iloc[0] == "11"
+    assert st.updated == ("5", "11")
+
+
+def test_kmeans_train_exact_overflow_fails_loudly(spark):
+    """r9 ADVICE: the decimal(38,12)→(25,12) downcast in the weighted
+    centroid update silently NULLed past 1e13 with ANSI off; the
+    _dec25_guard must turn an out-of-domain corpus into an error."""
+    import pytest as _pytest
+
+    from tfl_realtime_lakehouse_spark.operators.similarity import (
+        kmeans_train_exact,
+    )
+
+    big = spark.createDataFrame(
+        [(i, [1.0e14, 1.0e14]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="overflow"):
+        kmeans_train_exact(big, k=1, iters=1).collect()
+
+
+def test_pca_cov_exact_excludes_null_vectors(spark):
+    """r9 ADVICE: rows with a NULL embedding used to vanish from n
+    implicitly (the exploded count marker drops the null group); the
+    contract is now an explicit input filter — n, mean, cov over the
+    non-null rows only."""
+    from tfl_realtime_lakehouse_spark.operators.similarity import (
+        pca_cov_exact,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 3.0]), (1, None), (2, [5.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    n, mean, cov = pca_cov_exact(df, dims=2)
+    assert n == 2
+    assert mean == [3.0, 5.0]
+    assert abs(cov[0][0] - 4.0) < 1e-12 and abs(cov[1][1] - 4.0) < 1e-12

@@ -1213,6 +1213,13 @@ def tar_member_bytes(name: str, data: bytes) -> bytes:
     512 boundary."""
     h = bytearray(_TAR_BLOCK)
     nb = name.encode()
+    # ustar hard limits: the name field is 100 bytes and the size field
+    # 11 octal digits (~8 GiB). Out-of-range members must fail LOUDLY —
+    # a silent bytearray spill into mode/uid would emit a corrupt shard.
+    if len(nb) > 100:
+        raise ValueError(f"tar member name exceeds ustar 100-byte field: {name!r}")
+    if len(data) >= 8**11:
+        raise ValueError(f"tar member payload {len(data)} B exceeds the 11-digit octal size field")
     h[0 : len(nb)] = nb                      # name[100]
     h[100:108] = _octal(0o644, 8)            # mode
     h[108:116] = _octal(0, 8)                # uid

@@ -644,6 +644,26 @@ def kmeans_assign_exact(
     return src.join(best, "_e").select(id_col, cell_col)
 
 
+def _dec25_guard(c):
+    """decimal(38,12) partial sum → the decimal(25,12) operand of the
+    (25,12)×(12,0) weighted multiply, GUARDED: with ANSI off an
+    overflow past 1e13 silently becomes NULL and would corrupt the
+    centroid / covariance instead of failing (r9 ADVICE). assert_true
+    rides the value expression through coalesce (NULL-on-pass, so it
+    can't be pruned), costing one comparison on the already-aggregated
+    model-sized relation; an out-of-domain corpus now fails loudly."""
+    return F.coalesce(
+        F.assert_true(
+            F.abs(c) < F.lit(10**13),
+            F.lit(
+                "decimal(25,12) operand overflow: |partial sum| >= 1e13 — "
+                "corpus outside the documented kmeans/pca exact-sum domain"
+            ),
+        ).cast("decimal(25,12)"),
+        c.cast("decimal(25,12)"),
+    )
+
+
 def kmeans_train_exact(
     corpus: DataFrame,
     k: int = 8,
@@ -732,7 +752,7 @@ def kmeans_train_exact(
             .agg(
                 (
                     F.sum(
-                        F.col("_s1").cast("decimal(25,12)")
+                        _dec25_guard(F.col("_s1"))
                         * F.col("_cnt").cast("decimal(12,0)")
                     ).cast("double")
                     / F.sum(F.col("_cnt") * F.col("_n1"))
@@ -1868,7 +1888,15 @@ def pca_cov_exact(corpus: DataFrame, vec_col: str = "embedding", dims: int = 64)
     Returns (n, mean: list, cov: list[list]) with mean/cov derived by
     the pinned tree  meanᵢ = dbl(Sᵢ)/n,  covᵢⱼ = dbl(Sxxᵢⱼ)/n − mᵢ·mⱼ
     (each decimal→double cast correctly rounded, each op one rounding).
+
+    NULL-vector contract (r9 ADVICE, made explicit): rows with a NULL
+    ``vec_col`` are EXCLUDED from n, mean, and cov — filtered here at
+    the input, not dropped implicitly by the exploded count marker (n
+    is derived from position 0 of the concat/posexplode, which a null
+    vector would silently vanish from; the filter makes the contract
+    visible and keeps n ≡ marker-sum by construction).
     """
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     xd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     # EXACT-VECTOR CONTRACTION (r9, the contracted_vector_pairs recipe
     # applied to moments): k byte-identical copies of a vector
@@ -1928,7 +1956,7 @@ def pca_cov_exact(corpus: DataFrame, vec_col: str = "embedding", dims: int = 64)
         .groupBy("p")
         .agg(
             F.sum(
-                F.col("s1").cast("decimal(25,12)")
+                _dec25_guard(F.col("s1"))
                 * F.col("_cnt").cast("decimal(12,0)")
             ).alias("s")
         )

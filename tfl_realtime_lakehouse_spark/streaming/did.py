@@ -67,6 +67,12 @@ def _did_state_fn(
         for yr, is_post in zip(pdf["yr"], pdf["_post"]):
             if yr is None:
                 continue
+            # null ts → _post is null: the BATCH query groups those rows
+            # into a post=NULL fifth cell that the MAX/CASE wide frame
+            # drops, so the twin must skip them too (a bare `if is_post`
+            # would silently count them as pre-period)
+            if is_post is None or pd.isna(is_post):
+                continue
             if is_post:
                 post += yr
             else:

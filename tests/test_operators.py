@@ -3711,3 +3711,262 @@ def test_pca_cov_exact_excludes_null_vectors(spark):
     assert n == 2
     assert mean == [3.0, 5.0]
     assert abs(cov[0][0] - 4.0) < 1e-12 and abs(cov[1][1] - 4.0) < 1e-12
+
+
+def test_ivfpq_recall_eval_matches_python(spark, tmp_path):
+    """X224 end-to-end against a pure-Python replay of the COMPOSED
+    pipeline: coarse md5-seeded Lloyd cells, IEEE residuals against the
+    trained centroids, four per-subspace residual codebooks, per-
+    (query, probed-cell) decimal-pinned residual ADC, both top-k legs.
+    Same dyadic-grid fixture discipline as the X215/X216 tests."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries import wave11
+    from tfl_realtime_lakehouse_spark.queries.wave11 import (
+        embedding_ann_ivfpq_recall_eval,
+    )
+
+    n, d = 50, 64
+    K, citers = wave11._IP_CELLS, wave11._IP_CITERS
+    m, sd, codes, piters = (
+        wave11._IP_M,
+        wave11._IP_SUB_D,
+        wave11._IP_CODES,
+        wave11._IP_PITERS,
+    )
+    NPROBE, TOPK, NQ = wave11._IP_NPROBE, wave11._IP_TOPK, wave11._IP_NQ
+    rng = np.random.default_rng(24)
+    vecs = (rng.integers(-1024, 1025, size=(n, d)) / 1024.0).astype(np.float32)
+    pd.DataFrame(
+        {"vec_id": range(n), "embedding": list(vecs), "label": 0}
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    x = vecs.astype(np.float64)
+
+    def sqdist(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            t = a[i] - b[i]
+            acc += t * t
+        return acc
+
+    def q6(v):
+        return float(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def d6dec(v):
+        return Decimal(q6(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+
+    def train(rows, k, iters, tag, dd):
+        order = sorted(
+            range(n),
+            key=lambda i: (hashlib.md5(f"{tag}{i}".encode()).hexdigest(), i),
+        )
+        kk = min(k, n)
+        cents = {c: [float(v) for v in rows[order[c]]] for c in range(kk)}
+        for _ in range(iters):
+            a = {
+                i: min(range(kk), key=lambda c: (q6(sqdist(rows[i], cents[c])), c))
+                for i in range(n)
+            }
+            for c in range(kk):
+                mem = [i for i in range(n) if a[i] == c]
+                if not mem:
+                    continue
+                cents[c] = [
+                    float(
+                        sum(
+                            (
+                                Decimal(float(rows[i][dim])).quantize(
+                                    Decimal("1e-12"), ROUND_HALF_UP
+                                )
+                                for i in mem
+                            ),
+                            Decimal(0),
+                        )
+                    )
+                    / len(mem)
+                    for dim in range(dd)
+                ]
+        assign = {
+            i: min(range(kk), key=lambda c: (q6(sqdist(rows[i], cents[c])), c))
+            for i in range(n)
+        }
+        return cents, assign
+
+    ccents, cmem = train(x, K, citers, "ivfpqc:", d)
+    resid = np.array(
+        [[x[i][dim] - ccents[cmem[i]][dim] for dim in range(d)] for i in range(n)]
+    )
+    books, rcodes = {}, {}
+    for s in range(m):
+        books[s], rcodes[s] = train(
+            resid[:, s * sd : (s + 1) * sd], codes, piters, f"rpq{s}:", sd
+        )
+
+    want = {}
+    for qid in range(NQ):
+        probed = sorted(range(K), key=lambda c: (q6(sqdist(x[qid], ccents[c])), c))[
+            :NPROBE
+        ]
+        luts = {}
+        for c in probed:
+            qr = [x[qid][dim] - ccents[c][dim] for dim in range(d)]
+            luts[c] = {
+                s: {
+                    code: d6dec(sqdist(qr[s * sd : (s + 1) * sd], books[s][code]))
+                    for code in books[s]
+                }
+                for s in range(m)
+            }
+        adc = {}
+        for j in range(n):
+            if cmem[j] not in probed or j == qid:
+                continue
+            adc[j] = sum(
+                (luts[cmem[j]][s][rcodes[s][j]] for s in range(m)), Decimal(0)
+            )
+        approx = sorted(adc, key=lambda j: (adc[j], j))[:TOPK]
+        exact = sorted(
+            (j for j in range(n) if j != qid),
+            key=lambda j: (q6(sqdist(x[qid], x[j])), j),
+        )[:TOPK]
+        common = len(set(approx) & set(exact))
+        want[qid] = (len(exact), len(approx), common, common / len(exact))
+
+    got = {
+        r["query_id"]: (r["n_exact"], r["n_approx"], r["n_common"], r["recall_at_k"])
+        for r in embedding_ann_ivfpq_recall_eval(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == set(range(NQ))
+    for qid in range(NQ):
+        assert got[qid][:3] == want[qid][:3], (qid, got[qid], want[qid])
+        assert abs(got[qid][3] - round(want[qid][3], 6)) < 1e-9
+    assert any(v[3] < 1.0 for v in want.values())
+
+
+def test_semantic_dedup_exact_matches_python(spark, tmp_path):
+    """X225 against a PER-ID pure-Python replay of the sequential
+    greedy (the contraction in semantic_dedup_exact runs over distinct
+    vectors and expands copies — the replay here never contracts, so
+    the test proves the contraction exact). Fixture plants byte-
+    identical copies (rep expansion), a correlated family (a real
+    greedy chain through threshold-graph edges), and random dyadic
+    vectors (natural sparse edges at the 0.25 threshold)."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries import wave11
+    from tfl_realtime_lakehouse_spark.queries.wave11 import (
+        semantic_dedup_recall_eval,
+    )
+
+    n, d = 36, 64
+    K, iters, thr = wave11._SDD_K, wave11._SDD_ITERS, wave11._SDD_THR
+    rng = np.random.default_rng(25)
+    vecs = (rng.integers(-1024, 1025, size=(n, d)) / 1024.0).astype(np.float32)
+    # byte-identical copies: two of vec 0, one of vec 9
+    vecs[5] = vecs[0]
+    vecs[17] = vecs[0]
+    vecs[20] = vecs[9]
+    # correlated family around vec 28: strong edges -> a greedy chain
+    for j in (29, 30, 31, 32):
+        noise = (rng.integers(-64, 65, size=d) / 1024.0).astype(np.float32)
+        vecs[j] = (vecs[28] + noise).astype(np.float32)
+    pd.DataFrame(
+        {"vec_id": range(n), "embedding": list(vecs), "label": 0}
+    ).to_parquet(f"{tmp_path}/embeddings.parquet")
+
+    x = vecs.astype(np.float64)
+
+    def q6(v):
+        return float(Decimal(v).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    def sqdist(a, b):
+        acc = 0.0
+        for i in range(len(a)):
+            t = a[i] - b[i]
+            acc += t * t
+        return acc
+
+    def cos6(a, b):
+        dot = 0.0
+        for i in range(len(a)):
+            dot = dot + a[i] * b[i]
+        sa = 0.0
+        for v in a:
+            sa = sa + v * v
+        sb = 0.0
+        for v in b:
+            sb = sb + v * v
+        import math
+
+        return q6(dot / (math.sqrt(sa) * math.sqrt(sb)))
+
+    # exact k-means replay (tag sdd:, 1 round) — same as the X215 replay
+    order = sorted(
+        range(n), key=lambda i: (hashlib.md5(f"sdd:{i}".encode()).hexdigest(), i)
+    )
+    cents = {c: [float(v) for v in x[order[c]]] for c in range(K)}
+    for _ in range(iters):
+        a = {
+            i: min(range(K), key=lambda c: (q6(sqdist(x[i], cents[c])), c))
+            for i in range(n)
+        }
+        for c in range(K):
+            mem = [i for i in range(n) if a[i] == c]
+            if not mem:
+                continue
+            cents[c] = [
+                float(
+                    sum(
+                        (
+                            Decimal(float(x[i][dim])).quantize(
+                                Decimal("1e-12"), ROUND_HALF_UP
+                            )
+                            for i in mem
+                        ),
+                        Decimal(0),
+                    )
+                )
+                / len(mem)
+                for dim in range(d)
+            ]
+    mem = {
+        i: min(range(K), key=lambda c: (q6(sqdist(x[i], cents[c])), c))
+        for i in range(n)
+    }
+
+    # sequential greedy per cell, PER ID (uncontracted)
+    want = {}
+    for c in range(K):
+        ids = sorted(i for i in range(n) if mem[i] == c)
+        kept = []
+        for i in ids:
+            shadow = [j for j in kept if cos6(x[j], x[i]) >= thr]
+            if shadow:
+                want[i] = (c, 0, min(shadow))
+            else:
+                kept.append(i)
+                want[i] = (c, 1, None)
+
+    got = {
+        r["vec_id"]: (r["cell"], r["keep"], r["pruned_by"])
+        for r in semantic_dedup_recall_eval(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    # the fixture must exercise every branch: copies pruned by their
+    # rep, a cross-content prune, and keepers in >= 2 cells
+    assert want[5] == (want[0][0], 0, 0) and want[17] == (want[0][0], 0, 0)
+    assert any(
+        pb is not None and not np.array_equal(vecs[i], vecs[pb])
+        for i, (_, k, pb) in want.items()
+        if k == 0
+    )
+    assert len({c for c, k, _ in want.values() if k == 1}) >= 2

@@ -164,6 +164,18 @@ BUDGETS = {
     "events_srm_check": (2, 0),
     # distinct-user agg + ONE events scan into the 4-cell aggregate
     "events_did_estimator": (3, 0),
+    # ---- r10 wave 11 ----
+    # the composed IVF-PQ eval: trainings/dv/residuals run eagerly via
+    # model-sized checkpoints; the FINAL plan is the eval machinery —
+    # every exchange rides a DISTINCT-vector, probe- or output-sized
+    # relation except the two vector-keyed copy join-backs (the only
+    # corpus-sized shuffles). A jump past this bound means a per-copy
+    # fold stage reappeared (the regression the contraction removed).
+    "embedding_ann_ivfpq_recall_eval": (38, 0),
+    # rep-contracted SemDeDup: member expansion agg + cogroup key
+    # shuffle; the one Python stage IS the greedy (cogrouped pandas);
+    # the quadratic edge scan runs eagerly behind the checkpoint
+    "semantic_dedup_recall_eval": (2, 1),
 }
 
 
@@ -180,7 +192,7 @@ def test_rrf_legs_use_take_ordered_not_global_sort(spark, sf_smoke):
 def _counts(plan: str) -> tuple[int, int]:
     ex = len(re.findall(r"\bExchange hashpartitioning", plan))
     py = len(
-        re.findall(r"\b(ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas)\b", plan)
+        re.findall(r"\b(ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|FlatMapCoGroupsInPandas|MapInPandas)\b", plan)
     )
     return ex, py
 

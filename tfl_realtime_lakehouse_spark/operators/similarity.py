@@ -1322,6 +1322,154 @@ def semantic_dedup(
     return assigned.groupBy("cell").applyInPandas(prune, out_schema)
 
 
+def semantic_dedup_exact(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 1,
+    threshold: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tag: str = "sdd:",
+) -> DataFrame:
+    """Cross-engine-REPLAYABLE SemDeDup: the hash-checkable twin of
+    :func:`semantic_dedup` (which trains with the BLAS k-means tier and
+    greedy-prunes over unrounded float64 sims — correct, but not
+    SQL-replayable). Every step here has an exactly-equivalent DuckDB
+    form, so an oracle can replay the WHOLE pipeline bit-for-bit:
+
+    - cells: :func:`kmeans_train_exact` (md5-seeded init, 6-dp
+      squared-L2 assignment with id ties, decimal centroid sums) +
+      :func:`kmeans_assign_exact`;
+    - edge graph: within-cell pair cosines computed JVM-SIDE and
+      rounded at 6 dp BEFORE the greedy (the X96 MMR discipline — the
+      Python worker never produces a float the oracle can't reproduce),
+      kept only where sim ≥ threshold;
+    - greedy: ascending-id pass per cell — i is pruned iff an
+      already-KEPT j < i has sim(j, i) ≥ threshold, pruned_by = the
+      lowest such keeper. Equivalently (what the oracle unrolls as a
+      bounded peeling fixpoint): keepers are the lexicographically
+      first maximal independent set of the threshold graph, and
+      pruned_by = min kept earlier neighbor.
+
+    EXACT-VECTOR CONTRACTION (the X2/X47 exact-first discipline): the
+    threshold graph is content-pure, and byte-identical copies always
+    collapse onto their minimum-id copy (cos(v, v) rounds to 1.0 ≥ any
+    threshold ≤ 0.999999 — asserted), so the O(|cell|²) pair scan and
+    the greedy run over DISTINCT vectors only; copies expand afterward
+    with keep = 0 and pruned_by = their representative (if kept) or
+    its pruner. On a 50×-replicated corpus that is 2500× fewer pair
+    cosines for a bit-identical result.
+
+    Fixed k by design: this is the VERIFICATION tier (the oracle
+    unrolls exactly k cells and a fixed peeling depth); production
+    SemDeDup auto-tunes k via :func:`semantic_dedup`'s
+    target_cell_size. Output: (id, cell, keep, pruned_by)."""
+    if not threshold <= 0.999999:
+        raise ValueError(
+            "semantic_dedup_exact requires threshold <= 0.999999: the "
+            "copy-contraction relies on identical vectors shadowing "
+            "each other at 6-dp rounding"
+        )
+    corpus = fan_out(corpus)
+    cents = kmeans_train_exact(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, tag=tag
+    )
+    src = corpus.select(id_col, _as_double(F.col(vec_col)).alias("_e"))
+    # content-pure cell per DISTINCT vector (the kmeans_assign_exact
+    # argmin, kept here so the same relation feeds reps AND edges)
+    cc = cents.select(F.col("cell").alias("_cc"), F.col("centroid").alias("_cv"))
+    dv_cell = (
+        src.select("_e")
+        .distinct()
+        .join(F.broadcast(cc))
+        .select(
+            "_e",
+            F.struct(
+                _sq_l2_6(F.col("_e"), F.col("_cv")).alias("d"),
+                F.col("_cc").alias("c"),
+            ).alias("_s"),
+        )
+        .groupBy("_e")
+        .agg(F.min("_s").alias("_s"))
+        .select("_e", F.col("_s.c").alias("cell"))
+    )
+    # representative = min id per distinct vector; members carry their rep
+    members = (
+        src.join(dv_cell, "_e")
+        .groupBy("_e", "cell")
+        .agg(
+            F.min(F.col(id_col)).alias("rep_id"),
+            F.collect_list(F.col(id_col)).alias("_ids"),
+        )
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
+    )
+    reps = members.select("cell", "rep_id", "_e")
+    ra = reps.select("cell", F.col("rep_id").alias("_a"), F.col("_e").alias("_ea"))
+    rb = reps.select("cell", F.col("rep_id").alias("_b"), F.col("_e").alias("_eb"))
+    edges = (
+        ra.join(rb, "cell")
+        .where(F.col("_a") < F.col("_b"))
+        .where(F.round(cosine(F.col("_ea"), F.col("_eb")), 6) >= F.lit(threshold))
+        .select("cell", "_a", "_b")
+        # bounded (threshold-clearing rep pairs only); the eager cut also
+        # makes the cogroup sides distinct relations (the X96 idiom)
+        .localCheckpoint(eager=True, storageLevel=_CKPT_LEVEL)
+    )
+    mem_rows = members.select(
+        "cell", "rep_id", F.explode("_ids").alias(id_col)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("keep", T.IntegerType()),
+            T.StructField("pruned_by", T.LongType()),
+        ]
+    )
+
+    def prune(keys: tuple, mpdf: pd.DataFrame, epdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = keys
+        # greedy over representatives, ascending id (move-for-move what
+        # the oracle's peeling fixpoint computes)
+        rep_ids = sorted(mpdf["rep_id"].unique())
+        earlier: dict[int, list[int]] = {int(r): [] for r in rep_ids}
+        for a, b in zip(epdf["_a"], epdf["_b"]):
+            earlier[int(b)].append(int(a))
+        kept: set[int] = set()
+        pruned_by: dict[int, int] = {}
+        for r in rep_ids:
+            shadow = [a for a in earlier[int(r)] if a in kept]
+            if shadow:
+                pruned_by[int(r)] = min(shadow)
+            else:
+                kept.add(int(r))
+        out_id, out_keep, out_pb = [], [], []
+        for vid, rep in zip(mpdf[id_col], mpdf["rep_id"]):
+            vid, rep = int(vid), int(rep)
+            if vid == rep:
+                out_id.append(vid)
+                out_keep.append(1 if rep in kept else 0)
+                out_pb.append(None if rep in kept else pruned_by[rep])
+            else:
+                # copy: shadowed by its rep (kept) or the rep's pruner
+                out_id.append(vid)
+                out_keep.append(0)
+                out_pb.append(rep if rep in kept else pruned_by[rep])
+        return pd.DataFrame(
+            {
+                id_col: out_id,
+                "cell": pd.array([cell] * len(out_id), dtype="int32"),
+                "keep": pd.array(out_keep, dtype="int32"),
+                "pruned_by": pd.array(out_pb, dtype="Int64"),
+            }
+        )
+
+    return mem_rows.groupBy("cell").cogroup(edges.groupBy("cell")).applyInPandas(
+        prune, out_schema
+    )
+
+
 def ivfpq_build(
     corpus: DataFrame,
     n_cells: int = 8,

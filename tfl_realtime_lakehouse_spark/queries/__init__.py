@@ -27,6 +27,7 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     wave8,
     wave9,
     wave10,
+    wave11,
 )
 
 # The driver's correctness harness checks the FIRST 50 registry entries in

@@ -66,24 +66,28 @@ def _kmeans_ctes(
     d: int = _D,
     lo: int | None = None,
     hi: int | None = None,
+    rel: str = "embeddings",
+    col: str = "embedding",
 ) -> str:
     """Unrolled Lloyd rounds as CTEs: {pfx}c0 (md5-seeded) …
     {pfx}c{iters}, plus the {pfx}ex / {pfx}exd scans. Mirrors
     kmeans_train_exact step for step; `{pfx}mem` is the final
     assignment under {pfx}c{iters}. With lo/hi (1-based inclusive, the
     DuckDB slice convention) the training runs on that subspace of the
-    embedding — the PQ per-subspace form."""
-    src = "embedding" if lo is None else f"embedding[{lo}:{hi}]"
+    embedding — the PQ per-subspace form. rel/col point the scans at
+    any (vec_id, vector) relation — e.g. the IVF-PQ residual CTE
+    (X224) or a filtered subsample — instead of the embeddings table."""
+    src = col if lo is None else f"{col}[{lo}:{hi}]"
     dist = _dist_sql("a.e", "c.c", d)
     parts = [
         f"""{pfx}ex AS MATERIALIZED (
       SELECT vec_id, LIST_TRANSFORM({src}, x -> x::DOUBLE) AS e
-      FROM embeddings
+      FROM {rel}
     ),
     {pfx}exd AS MATERIALIZED (
       SELECT vec_id, CAST(GENERATE_SUBSCRIPTS({src}, 1) AS INTEGER) AS dim,
              CAST(UNNEST({src}) AS DOUBLE) AS x
-      FROM embeddings
+      FROM {rel}
     ),
     {pfx}c0 AS (
       SELECT CAST(r - 1 AS INTEGER) AS cell, e AS c FROM (

@@ -2211,12 +2211,12 @@ def test_streaming_cuped_matches_batch_query(spark, tmp_path):
     # largest exact (sx + sy) is the final state — order-independent)
     latest = {}
     for r in spark.sql("select * from cuped_out").collect():
-        tot = Decimal(r["sx"]) + Decimal(r["sy"])
+        tot = (Decimal(r["sx"]) + Decimal(r["sy"]), r["np"])
         if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
             latest[r["user_id"]] = (tot, r)
     per_user = spark.createDataFrame(
         [v[1] for v in latest.values()],
-        "user_id long, variant int, sx string, sy string",
+        "user_id long, variant int, sx string, sy string, np long",
     )
     got = {
         r["variant"]: (
@@ -2470,12 +2470,12 @@ def test_streaming_uplift_by_decile_matches_batch_query(spark, tmp_path):
     _run_stream(out, tmp_path, "uplift_out", mode="update")
     latest = {}
     for r in spark.sql("select * from uplift_out").collect():
-        tot = Decimal(r["sx"]) + Decimal(r["sy"])
+        tot = (Decimal(r["sx"]) + Decimal(r["sy"]), r["np"])
         if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
             latest[r["user_id"]] = (tot, r)
     per_user = spark.createDataFrame(
         [v[1] for v in latest.values()],
-        "user_id long, variant int, sx string, sy string",
+        "user_id long, variant int, sx string, sy string, np long",
     )
     cols = ("n0", "n1", "mean_y0", "mean_y1", "uplift")
     got = {
@@ -2627,12 +2627,12 @@ def test_streaming_srm_matches_batch_query(spark, tmp_path):
     _run_stream(out, tmp_path, "srm_out", mode="update")
     latest = {}
     for r in spark.sql("select * from srm_out").collect():
-        tot = Decimal(r["sx"]) + Decimal(r["sy"])
+        tot = (Decimal(r["sx"]) + Decimal(r["sy"]), r["np"])
         if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
             latest[r["user_id"]] = (tot, r)
     per_user = spark.createDataFrame(
         [v[1] for v in latest.values()],
-        "user_id long, variant int, sx string, sy string",
+        "user_id long, variant int, sx string, sy string, np long",
     )
     cols = ("n_ctl", "n_trt", "trt_share", "chi2", "srm_flag")
     [g] = srm_readout(per_user).collect()
@@ -2643,3 +2643,92 @@ def test_streaming_srm_matches_batch_query(spark, tmp_path):
     [w] = REGISTRY["events_srm_check"].fn(spark, union_dir).collect()
     assert tuple(g[c] for c in cols) == tuple(w[c] for c in cols)
     assert g["n_ctl"] == 30 and g["n_trt"] == 6 and g["srm_flag"] is True
+
+
+def test_streaming_lift_matches_batch_query(spark, tmp_path):
+    """Cross-batch A/B lift maintenance (X226 twin): the shared CUPED
+    state layer's new purchase-event count makes conversion visible
+    (conv = np > 0 — a NULL-value purchase converts a user while
+    adding nothing to sy), and the stateless readout over the
+    maintained table must equal the BATCH events_abtest_lift query
+    over the union — bit-for-bit, because the readout IS the batch
+    downstream function (_lift_readout). Planted: a null-value-
+    purchase-only converter, a converter whose ONLY purchase arrives
+    in batch 2 (the cross-batch leg), a two-batch repeat purchaser
+    (np=2, still one conversion), and purchase-free users in both
+    arms."""
+    import datetime
+    from decimal import Decimal
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.lift import (
+        lift_readout,
+        streaming_lift_per_user,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    eid = iter(range(10_000))
+
+    def ev(user, etype, value):
+        return (next(eid), t0, user, etype, value, "{}")
+
+    b1 = []
+    for i in range(40):
+        b1.append(ev(i, "view", 10.0 + i))
+        if i % 4 == 0:
+            b1.append(ev(i, "purchase", 25.0 + i))
+    b1.append(ev(300, "purchase", None))   # null-value purchase: converts
+    b1.append(ev(301, "scroll", 7.0))      # never purchases
+    b1.append(ev(302, "view", 1.0))        # converts only in batch 2
+    b1.append(ev(303, "purchase", 5.0))    # repeat purchaser ...
+    b2 = [ev(303, "purchase", 6.0)]        # ... second purchase, np=2
+    b2.append(ev(302, "purchase", 9.0))
+    for i in range(20, 55):
+        b2.append(ev(i, "click", 2.0 + i))
+        if i % 5 == 0:
+            b2.append(ev(i, "purchase", 60.0 + i))
+    src = str(tmp_path / "lift-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    out = streaming_lift_per_user(stream)
+    _run_stream(out, tmp_path, "lift_out", mode="update")
+    latest = {}
+    for r in spark.sql("select * from lift_out").collect():
+        tot = (Decimal(r["sx"]) + Decimal(r["sy"]), r["np"])
+        if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (tot, r)
+    per_user = spark.createDataFrame(
+        [v[1] for v in latest.values()],
+        "user_id long, variant int, sx string, sy string, np long",
+    )
+    cols = (
+        "n_a", "conv_a", "n_b", "conv_b", "rate_a", "rate_b", "lift", "z_score",
+    )
+    [g] = lift_readout(per_user).collect()
+
+    union_dir = str(tmp_path / "lift-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+    [w] = REGISTRY["events_abtest_lift"].fn(spark, union_dir).collect()
+    assert tuple(g[c] for c in cols) == tuple(w[c] for c in cols)
+    # non-vacuous: both arms populated with converters and
+    # non-converters, z defined, and the planted edge cases held:
+    # the null-value purchaser and the cross-batch converter each
+    # count exactly once
+    assert g["n_a"] + g["n_b"] == 59
+    assert 0 < g["conv_a"] < g["n_a"] and 0 < g["conv_b"] < g["n_b"]
+    assert g["z_score"] is not None
+    np_by_user = {u: latest[u][1]["np"] for u in latest}
+    assert np_by_user[300] == 1 and np_by_user[302] == 1
+    assert np_by_user[303] == 2 and np_by_user[301] == 0

@@ -2559,6 +2559,14 @@ def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("nb"),
         F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("cb"),
     )
+    return _lift_readout(wide)
+
+
+def _lift_readout(wide: DataFrame) -> DataFrame:
+    """Lift downstream shared verbatim by the batch query and the
+    streaming twin (streaming/lift.py): (na, ca, nb, cb) one-row frame
+    → the 8-column rates/lift/pooled-z readout — the single-function-
+    object discipline (X207/X212/X218/X219 pattern)."""
     na, ca = F.col("na").cast("double"), F.col("ca").cast("double")
     nb, cb = F.col("nb").cast("double"), F.col("cb").cast("double")
     pooled = (ca + cb) / (na + nb)

@@ -61,13 +61,25 @@ _RAW = T.StructType(
         T.StructField("variant", T.IntegerType()),
         T.StructField("sx", T.StringType()),
         T.StructField("sy", T.StringType()),
+        T.StructField("np", T.LongType()),
     ]
 )
 
+# STATE MIGRATION NOTE (r10): the struct gained ``np`` — the user's
+# purchase-EVENT count (int, never null — set on every update, so the
+# Arrow float64-null trap cannot touch it). It is what the lift twin's
+# conversion needs (conv = any purchase event, INCLUDING null-value
+# purchases, which sy cannot see). applyInPandasWithState state
+# schemas are not evolvable in place: a deployment upgrading from the
+# r9 (sx, sy) layout starts a new checkpoint (or backfills np from the
+# batch query once) — the same note X208 carried when it adopted this
+# layer. One state store now serves FIVE readouts: CUPED, uplift
+# deciles, SRM, lift, and (via its own struct) DiD.
 _STATE = T.StructType(
     [
         T.StructField("sx", T.StringType()),
         T.StructField("sy", T.StringType()),
+        T.StructField("np", T.LongType()),
     ]
 )
 
@@ -77,24 +89,33 @@ def _cuped_state_fn(
 ) -> Iterator[pd.DataFrame]:
     user_id, variant = key
     if state.exists:
-        sx_str, sy_str = state.get
+        sx_str, sy_str, np_cnt = state.get
         sx, sy = Decimal(sx_str), Decimal(sy_str)
+        np_cnt = int(np_cnt)
     else:
         # the batch COALESCE: a user exists with x = y = 0 the moment
         # ANY of their events arrives
-        sx, sy = Decimal(0), Decimal(0)
+        sx, sy, np_cnt = Decimal(0), Decimal(0), 0
     for pdf in pdfs:
         # xr/yr arrive as decimal(27,12) objects or None — exact adds
-        # only; SUM-skips-null semantics match the batch aggregate
+        # only; SUM-skips-null semantics match the batch aggregate.
+        # pr is the purchase-event marker (1/None): counting it — not
+        # null-skipping yr — is what makes a NULL-VALUE purchase a
+        # conversion, exactly like the batch lift query's DISTINCT
+        # purchase-user set.
         sx += sum((v for v in pdf["xr"] if v is not None), Decimal(0))
         sy += sum((v for v in pdf["yr"] if v is not None), Decimal(0))
-    state.update((str(sx), str(sy)))
+        # Arrow hands a nullable int column to pandas as float64 with
+        # NaN (the r9 trap): pd.isna, not `is not None`
+        np_cnt += int(sum(1 for v in pdf["pr"] if not pd.isna(v)))
+    state.update((str(sx), str(sy), np_cnt))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "variant": [variant],
             "sx": [str(sx)],
             "sy": [str(sy)],
+            "np": pd.array([np_cnt], dtype="int64"),
         }
     )
 
@@ -118,6 +139,7 @@ def streaming_cuped_per_user(events: DataFrame) -> DataFrame:
         F.when(
             F.col("event_type") == "purchase", F.col("value").cast(dec)
         ).alias("yr"),
+        F.when(F.col("event_type") == "purchase", F.lit(1)).alias("pr"),
     )
     return base.groupBy("user_id", "variant").applyInPandasWithState(
         _cuped_state_fn,

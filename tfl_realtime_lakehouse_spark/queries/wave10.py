@@ -414,8 +414,8 @@ def embedding_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector-keyed join, and slicing the double array equals casting
     # the float slice, so every distance is bit-identical.
     dv = embd.select("e").distinct().localCheckpoint(storageLevel=_CKPT_LEVEL)
-    parts = []
-    for s in range(m):
+
+    def build_part(s: int) -> DataFrame:
         sub = emb.select(
             "vec_id", F.slice("embedding", s * sd + 1, sd).alias("embedding")
         )
@@ -447,13 +447,21 @@ def embedding_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cell",
             S._sq_l2_6(F.col("qse"), F.col("centroid")).alias("d6"),
         )
-        parts.append(
-            assigned_dv.join(F.broadcast(lut), "cell").select(
-                "query_id",
-                "e",
-                F.col("d6").cast("decimal(18,6)").alias("dd"),
-            )
+        return assigned_dv.join(F.broadcast(lut), "cell").select(
+            "query_id",
+            "e",
+            F.col("d6").cast("decimal(18,6)").alias("dd"),
         )
+
+    # The four subspace codebook trainings are INDEPENDENT and the
+    # stage is job-count-bound (Lloyd checkpoints dominate, not data) —
+    # submit them concurrently, the X224 discipline backported.
+    # Determinism untouched: each training is self-contained and
+    # md5-tag-seeded.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        parts = list(pool.map(build_part, range(m)))
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionAll(p)

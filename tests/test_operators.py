@@ -3694,6 +3694,29 @@ def test_kmeans_train_exact_overflow_fails_loudly(spark):
         kmeans_train_exact(big, k=1, iters=1).collect()
 
 
+def test_kmeans_train_exact_null_element_fails_with_null_message(spark):
+    """r10 ADVICE: assert_true also throws on a NULL condition, so a
+    vector with NULL elements used to die with the misleading
+    'overflow' message. The guard now leads with an isNotNull assert
+    carrying its own message — NULL partial sums are intentionally
+    fatal (a propagated NULL would zero a centroid dimension), and the
+    error says so. The trigger is a (cell, dim) group whose values are
+    ALL NULL (decimal SUM skips individual NULLs), so every vector here
+    carries NULL at dim 1."""
+    import pytest as _pytest
+
+    from tfl_realtime_lakehouse_spark.operators.similarity import (
+        kmeans_train_exact,
+    )
+
+    holey = spark.createDataFrame(
+        [(0, [1.0, None]), (1, [3.0, None]), (2, [5.0, None]), (3, [7.0, None])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="NULL partial sum"):
+        kmeans_train_exact(holey, k=1, iters=1).collect()
+
+
 def test_pca_cov_exact_excludes_null_vectors(spark):
     """r9 ADVICE: rows with a NULL embedding used to vanish from n
     implicitly (the exploded count marker drops the null group); the

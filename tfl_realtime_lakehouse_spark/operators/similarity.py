@@ -651,8 +651,23 @@ def _dec25_guard(c):
     centroid / covariance instead of failing (r9 ADVICE). assert_true
     rides the value expression through coalesce (NULL-on-pass, so it
     can't be pruned), costing one comparison on the already-aggregated
-    model-sized relation; an out-of-domain corpus now fails loudly."""
+    model-sized relation; an out-of-domain corpus now fails loudly.
+
+    A NULL partial sum (a vector with NULL elements slipped past the
+    caller's filter) is ALSO fatal — assert_true throws on NULL
+    conditions too — but gets its OWN message via the leading isNotNull
+    assert (r10 ADVICE: the overflow message misattributed the null
+    case). Intentional: a silently-propagated NULL sum would zero out a
+    centroid dimension downstream, which is worse than failing."""
     return F.coalesce(
+        F.assert_true(
+            c.isNotNull(),
+            F.lit(
+                "NULL partial sum: a vector with NULL elements reached the "
+                "kmeans/pca exact trainer — filter null-element embeddings "
+                "upstream (exact trainers require fully-populated vectors)"
+            ),
+        ).cast("decimal(25,12)"),
         F.assert_true(
             F.abs(c) < F.lit(10**13),
             F.lit(

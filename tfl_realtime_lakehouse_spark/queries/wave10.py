@@ -457,11 +457,15 @@ def embedding_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage is job-count-bound (Lloyd checkpoints dominate, not data) —
     # submit them concurrently, the X224 discipline backported.
     # Determinism untouched: each training is self-contained and
-    # md5-tag-seeded.
+    # md5-tag-seeded. inheritable_thread_target keeps job-group /
+    # scheduler-pool attribution intact in the pool threads (r10
+    # ADVICE).
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=m) as pool:
-        parts = list(pool.map(build_part, range(m)))
+        parts = list(pool.map(inheritable_thread_target(spark)(build_part), range(m)))
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionAll(p)

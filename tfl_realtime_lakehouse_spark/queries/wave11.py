@@ -293,11 +293,17 @@ def embedding_ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFra
     # job-count-bound (sf0.001 and sf0.1 cost the same), so submit them
     # concurrently — the scheduler interleaves the small checkpoint
     # jobs. Determinism is untouched: each training is self-contained
-    # and seeded by its own md5 tag.
+    # and seeded by its own md5 tag. inheritable_thread_target copies
+    # the submitting thread's JVM-local properties (job group,
+    # scheduler pool) into the pool threads, so job attribution and
+    # group cancellation keep working under pinned-thread mode
+    # (r10 ADVICE).
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=m) as pool:
-        parts = list(pool.map(build_part, range(m)))
+        parts = list(pool.map(inheritable_thread_target(spark)(build_part), range(m)))
     allp = parts[0]
     for p in parts[1:]:
         allp = allp.unionAll(p)
@@ -380,11 +386,16 @@ def _sdd_oracle() -> str:
     d0 AS (SELECT vec_id, cell, CAST(NULL AS INTEGER) AS st FROM mv),
     {peel_sql}
     SELECT d.vec_id, d.cell, CAST(d.st AS INTEGER) AS keep,
-           CAST(pb.pruned_by AS BIGINT) AS pruned_by
+           CAST(pb.pruned_by AS BIGINT) AS pruned_by,
+           u.unresolved
     FROM d{rounds} d LEFT JOIN (
       SELECT e.vb AS vec_id, MIN(e.va) AS pruned_by
       FROM edges e JOIN d{rounds} j ON j.vec_id = e.va AND j.st = 1
       GROUP BY 1) pb ON pb.vec_id = d.vec_id
+    CROSS JOIN (
+      SELECT CAST(COALESCE(SUM(CASE WHEN st IS NULL THEN 1 ELSE 0 END), 0)
+                  AS INTEGER) AS unresolved
+      FROM d{rounds}) u
     """
 
 
@@ -406,6 +417,15 @@ def _sdd_oracle() -> str:
     "when all earlier neighbors are pruned, PRUNED when an earlier "
     "keeper appears; non-convergence leaves NULLs that break the hash "
     "instead of passing silently (measured depth ≤ 9 on this corpus). "
+    "CONVERGENCE SENTINEL (r10 ADVICE): both sides carry an "
+    "`unresolved` column — the oracle counts its still-NULL vertices "
+    "after the unroll, the engine emits the invariant 0 (the "
+    "sequential greedy is TOTAL: every vertex gets a keep/prune "
+    "decision by construction, there is no unresolved state to "
+    "count). A too-shallow unroll now mismatches on a NAMED column "
+    "(oracle unresolved > 0) instead of anonymous NULL keeps, so "
+    "oracle non-convergence is distinguishable from a real engine "
+    "divergence at a glance. "
     "EXACT-VECTOR CONTRACTION: the threshold graph is content-pure "
     "and copies always collapse onto their minimum-id copy, so the "
     "O(|cell|²) pair scan runs over DISTINCT vectors and copies "
@@ -420,6 +440,10 @@ def semantic_dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tfl_realtime_lakehouse_spark.operators import similarity as S
 
     emb = table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup_exact(
+    res = S.semantic_dedup_exact(
         emb, k=_SDD_K, iters=_SDD_ITERS, threshold=_SDD_THR, tag="sdd:"
     )
+    # Convergence sentinel: the engine's greedy is total (see doc), so
+    # 0 is the exact value — a literal, not a computed aggregate, to
+    # keep the (2,1) plan budget. The oracle side computes its count.
+    return res.withColumn("unresolved", F.lit(0).cast("int"))

@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tfl_realtime_lakehouse_spark import hoststamp  # noqa: E402
 from tfl_realtime_lakehouse_spark.queries import REGISTRY  # noqa: E402
 from tfl_realtime_lakehouse_spark.session import get_spark  # noqa: E402
 
@@ -52,20 +53,34 @@ def main():
         "queries": {},
     }
     for name in names:
-        times = []
+        times, cpu, steal = [], [], []
         for i in range(trials + 1):  # +1: first run is the cold warm-up
             t0 = time.monotonic()
+            c0 = hoststamp.jvm_cpu_sec(spark)
+            s0 = hoststamp.steal_jiffies()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             times.append(round(time.monotonic() - t0, 2))
+            c1 = hoststamp.jvm_cpu_sec(spark)
+            s1 = hoststamp.steal_jiffies()
+            cpu.append(
+                round(c1 - c0, 2) if c0 is not None and c1 is not None else -1.0
+            )
+            steal.append((s1 - s0) if s0 is not None and s1 is not None else -1)
             _release_blocks(spark)
         warm = sorted(times[1:])
+        # cpu/steal PER TRIAL (r10 ask #2): when warm wall climbs but
+        # warm cpu stays flat the escalation is host steal; when cpu
+        # climbs with wall the process itself is accumulating work
+        # (lineage/GC) — the exact adjudication r10 couldn't make.
         out["queries"][name] = {
             "cold_first_touch": times[0],
             "warm_trials": times[1:],
             "warm_median": round(statistics.median(warm), 2),
             "warm_spread": round(warm[-1] - warm[0], 2),
+            "cpu_trials": cpu,
+            "steal_trials": steal,
         }
     out["load_after"] = [round(v, 2) for v in os.getloadavg()]
     print(json.dumps(out))

@@ -2814,3 +2814,481 @@ def test_scorecard_kmv_merge_identity():
     # non-vacuous; truncation must actually have dropped members
     assert len(set(a)) > KMV_K and len(set(b)) > KMV_K
     assert est > 0 and len(truth) == KMV_K
+
+
+def test_composed_multireadout_experiment_platform(spark, tmp_path):
+    """The DEPLOYMENT SHAPE of the shared-state claim (r10 verdict ask
+    #3): one cross-batch run maintains ONE CUPED per-user state table,
+    and ALL FIVE experimentation readouts are asserted against their
+    registered batch queries over the same union IN THE SAME TEST —
+    lift, CUPED, uplift deciles, and SRM read the single maintained
+    table (four dashboards, one state store); DiD rides its own
+    (y_pre, y_post) struct over the same source, as its state-migration
+    note documents (pre/post is not derivable from (sx, sy, np)).
+
+    The five per-readout pytests pin each twin individually; this test
+    pins the COMPOSITION: the same maintained rows, decoded once, feed
+    every readout, so a platform wiring all five dashboards off one
+    state store gets batch-identical answers everywhere after any
+    prefix of micro-batches. Fixture plants every family's edge in one
+    corpus: a null-value purchase (converts, adds nothing to sy), an
+    other-type-only user (x=0, y=0, counts in SRM/n_arm), a covariate-
+    in-batch-1 / metric-in-batch-2 straddler, a repeat purchaser
+    (np=2, one conversion), and purchases on both sides of the DiD
+    2024-01-16 cutoff including a pre-in-b1 / post-in-b2 straddle."""
+    import datetime
+    import hashlib
+    from decimal import Decimal
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.cuped import (
+        cuped_readout,
+        streaming_cuped_per_user,
+    )
+    from tfl_realtime_lakehouse_spark.streaming.did import (
+        did_readout,
+        streaming_did_per_user,
+    )
+    from tfl_realtime_lakehouse_spark.streaming.lift import lift_readout
+    from tfl_realtime_lakehouse_spark.streaming.srm import srm_readout
+    from tfl_realtime_lakehouse_spark.streaming.uplift import (
+        uplift_decile_readout,
+    )
+
+    def arm(u):
+        return int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15], 16) % 2
+
+    PRE = datetime.datetime(2024, 1, 5)
+    POST = datetime.datetime(2024, 1, 25)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    eid = iter(range(10_000))
+
+    def ev(u, ts, etype, value):
+        return (next(eid), ts, u, etype, value, "{}")
+
+    b1, b2 = [], []
+    for i in range(32):
+        b1.append(ev(i, PRE, "view", 10.0 + 1.37 * i))
+        if i % 2 == 0:
+            b1.append(ev(i, PRE if i % 4 == 0 else POST, "purchase", 30.0 + 2 * i))
+    for i in range(16, 48):
+        b2.append(ev(i, POST, "click", 3.0 + 0.5 * (i % 9)))
+        if i % 3 == 0:
+            b2.append(ev(i, POST, "purchase", 55.0 + i))
+    b1.append(ev(300, PRE, "purchase", None))   # null value: converts, sy += 0
+    b1.append(ev(301, PRE, "scroll", 99.0))     # other-type-only user
+    b1.append(ev(302, PRE, "view", 42.5))       # covariate now ...
+    b2.append(ev(302, POST, "purchase", 17.25))  # ... metric in batch 2
+    b1.append(ev(303, PRE, "purchase", 5.0))    # repeat purchaser, pre ...
+    b2.append(ev(303, POST, "purchase", 6.0))   # ... post: DiD straddle, np=2
+    src = str(tmp_path / "composed-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    union_dir = str(tmp_path / "composed-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/f=*")
+        )
+
+    # --- the ONE maintained CUPED state table ---
+    _run_stream(
+        streaming_cuped_per_user(stream()), tmp_path, "composed_out", mode="update"
+    )
+    latest = {}
+    for r in spark.sql("select * from composed_out").collect():
+        tot = (Decimal(r["sx"]) + Decimal(r["sy"]), r["np"])
+        if r["user_id"] not in latest or tot >= latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (tot, r)
+    per_user = spark.createDataFrame(
+        [v[1] for v in latest.values()],
+        "user_id long, variant int, sx string, sy string, np long",
+    )
+
+    def rows(df, cols, key=None):
+        out = df.collect()
+        if key is None:
+            [r] = out
+            return tuple(r[c] for c in cols)
+        return {r[key]: tuple(r[c] for c in cols) for r in out}
+
+    def batch(name):
+        return REGISTRY[name].fn(spark, union_dir)
+
+    # readout 1: lift
+    lift_cols = ("n_a", "conv_a", "n_b", "conv_b", "rate_a", "rate_b",
+                 "lift", "z_score")
+    assert rows(lift_readout(per_user), lift_cols) == rows(
+        batch("events_abtest_lift"), lift_cols
+    )
+    # readout 2: CUPED
+    cuped_cols = ("n_users", "mean_metric", "mean_cuped", "theta", "rho2")
+    got_cuped = rows(cuped_readout(per_user), cuped_cols, key="variant")
+    assert got_cuped == rows(batch("events_abtest_cuped"), cuped_cols,
+                             key="variant")
+    # readout 3: uplift deciles
+    up_cols = ("n0", "n1", "mean_y0", "mean_y1", "uplift")
+    got_up = rows(uplift_decile_readout(per_user), up_cols, key="decile")
+    assert got_up == rows(batch("events_uplift_by_decile"), up_cols,
+                          key="decile")
+    # readout 4: SRM gate
+    srm_cols = ("n_ctl", "n_trt", "trt_share", "chi2", "srm_flag")
+    got_srm = rows(srm_readout(per_user), srm_cols)
+    assert got_srm == rows(batch("events_srm_check"), srm_cols)
+
+    # readout 5: DiD — its own (y_pre, y_post) struct over the SAME
+    # source (pre/post is not a function of the CUPED struct)
+    _run_stream(
+        streaming_did_per_user(stream()), tmp_path, "composed_did", mode="update"
+    )
+    dlatest = {}
+    for r in spark.sql("select * from composed_did").collect():
+        tot = Decimal(r["y_pre"]) + Decimal(r["y_post"])
+        if r["user_id"] not in dlatest or tot >= dlatest[r["user_id"]][0]:
+            dlatest[r["user_id"]] = (tot, r)
+    did_per_user = spark.createDataFrame(
+        [v[1] for v in dlatest.values()],
+        "user_id long, variant int, y_pre string, y_post string",
+    )
+    did_cols = ("n_ctl", "n_trt", "pre_ctl", "post_ctl", "pre_trt",
+                "post_trt", "did")
+    got_did = rows(did_readout(did_per_user), did_cols)
+    assert got_did == rows(batch("events_did_estimator"), did_cols)
+
+    # non-vacuous: one population (52 users) seen identically by the
+    # metric readouts and the gate; both arms populated; variance
+    # actually reduced; all 10 deciles present; DiD defined; and the
+    # planted edges held (null-value converter np=1, straddler np=1,
+    # repeat purchaser np=2, other-type user np=0).
+    n_users = {u: r for u, (_, r) in latest.items()}
+    assert len(n_users) == 52
+    assert got_srm[0] + got_srm[1] == 52
+    assert sum(g[0] for g in got_cuped.values()) == 52
+    assert sum(v[0] + v[1] for v in got_up.values()) == 52
+    assert {arm(u) for u in n_users} == {0, 1}
+    assert all(g[3] is not None and g[4] > 0.0 for g in got_cuped.values())
+    assert set(got_up) == set(range(1, 11))
+    assert got_did[6] is not None
+    assert n_users[300]["np"] == 1 and n_users[302]["np"] == 1
+    assert n_users[303]["np"] == 2 and n_users[301]["np"] == 0
+
+
+# ---------------------------------------------------------------------------
+# State-bound SOAK tests (r10 verdict ask #4): ~20 micro-batches per
+# bounded-state twin, then assert the state store's numRowsTotal
+# (query.lastProgress stateOperators) equals the DOCUMENTED bound —
+# turning "state ≤ X forever" from module prose into a tested
+# invariant. Final-state correctness still holds after the soak
+# because every state update is an exact, order-free merge.
+# ---------------------------------------------------------------------------
+
+
+def _soak_state_rows(q):
+    """numRowsTotal of the single stateful operator at the last batch."""
+    ops = q.lastProgress["stateOperators"]
+    assert len(ops) == 1, [o["operatorName"] for o in ops]
+    return ops[0]["numRowsTotal"]
+
+
+def _soak_stream(spark, src, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+
+
+def test_soak_bootstrap_state_bound_20_batches(spark, tmp_path):
+    """X209 soak: 20 micro-batches of purchases; the (variant, b) key
+    space is |arms|·(B+1) = 2·65 = 130, and the state store must hold
+    EXACTLY 130 rows at the end — the documented no-data-sized-leg
+    bound. The readout over the 20-batch-maintained table must still
+    equal the batch query over the union (state stayed correct, not
+    just bounded)."""
+    import datetime
+    from decimal import Decimal
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.bootstrap import (
+        bootstrap_readout,
+        streaming_bootstrap_replicas,
+    )
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    t0 = datetime.datetime(2024, 1, 1)
+    src = str(tmp_path / "soakboot-src")
+    eid = iter(range(100_000))
+    allrows = []
+    for f in range(20):
+        rows = [
+            (next(eid), t0, (7 * f + j) % 29, "purchase", 4.0 + ((f + j) % 11) * 1.5, "{}")
+            for j in range(6)
+        ]
+        rows.append((next(eid), t0, f, "view", 1.0, "{}"))  # ignored type
+        allrows += rows
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f={f:02d}"
+        )
+    q = _run_stream(
+        streaming_bootstrap_replicas(_soak_stream(spark, src, schema)),
+        tmp_path,
+        "soakboot_out",
+        mode="update",
+    )
+    assert _soak_state_rows(q) == 2 * 65  # |arms| · (B + 1), forever
+
+    latest = {}
+    for r in spark.sql("select * from soakboot_out").collect():
+        key = (r["variant"], r["b"])
+        rank = (r["sw"], Decimal(r["swx"]))
+        if key not in latest or rank >= latest[key][0]:
+            latest[key] = (rank, r)
+    assert len(latest) == 130
+    reps = spark.createDataFrame(
+        [v[1] for v in latest.values()], "variant int, b int, sw long, swx string"
+    )
+    union_dir = str(tmp_path / "soakboot-union")
+    spark.createDataFrame(allrows, schema).write.parquet(
+        f"{union_dir}/events.parquet"
+    )
+    cols = ["n_rows", "mean_value", "boot_se", "ci_lo", "ci_hi"]
+    got = {
+        r["variant"]: tuple(r[c] for c in cols)
+        for r in bootstrap_readout(reps).collect()
+    }
+    want = {
+        r["variant"]: tuple(r[c] for c in cols)
+        for r in REGISTRY["events_poisson_bootstrap_ci"].fn(spark, union_dir).collect()
+    }
+    assert got == want and set(got) == {0, 1}
+
+
+def test_soak_kmv_distinct_state_bound_20_batches(spark, tmp_path):
+    """X97 soak: 3 keys × 50 NEW members per batch × 20 batches = 1000
+    distinct members per key (≫ k=64). State must stay at exactly 3
+    rows (one bounded sketch per key), the final sketch must be
+    saturated at k mins, and it must equal the python bottom-64 replay
+    over the whole 20-batch union (mergeability across time)."""
+    import datetime as dt
+    import hashlib
+
+    from tfl_realtime_lakehouse_spark.streaming.kmv import (
+        KMV_K,
+        kmv_estimate,
+        streaming_kmv_distinct,
+    )
+
+    schema = "event_type string, user_id long, ts timestamp"
+    t0 = dt.datetime(2025, 1, 1)
+    src = str(tmp_path / "soakkmv-src")
+    for f in range(20):
+        rows = [
+            (k, 10_000 * ki + 50 * f + j, t0)
+            for ki, k in enumerate(("a", "b", "c"))
+            for j in range(50)
+        ]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f={f:02d}"
+        )
+    q = _run_stream(
+        streaming_kmv_distinct(_soak_stream(spark, src, schema)),
+        tmp_path,
+        "soakkmv_out",
+        mode="update",
+    )
+    assert _soak_state_rows(q) == 3  # one bounded sketch per key
+
+    def h60(u):
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+
+    final = {}
+    for r in spark.sql("select * from soakkmv_out").collect():
+        # n_mins saturates then est only refines; the max-est row per
+        # key is not ordered, so take the row from the LAST batch via
+        # the exact replay instead: recompute and compare every key
+        final.setdefault(r["key"], []).append((r["n_mins"], r["est_distinct"]))
+    for ki, k in enumerate(("a", "b", "c")):
+        members = {10_000 * ki + u for u in range(1000)}
+        mins = sorted(h60(u) for u in members)[:KMV_K]
+        want = (len(mins), kmv_estimate(mins))
+        assert want in final[k]          # the final emission is the replay
+        assert want[0] == KMV_K          # saturated: bound actually binding
+        assert abs(want[1] - 1000) / 1000 < 0.35
+
+
+def test_soak_heavy_hitters_state_bound_20_batches(spark, tmp_path):
+    """X69 soak: 4 shards × capacity-8 MG tables fed 20 batches with
+    ~800 distinct tokens. numRowsTotal must equal the shard count (one
+    bounded MG table per shard — the O(shards·capacity) prose), each
+    latest summary must hold ≤ capacity tokens, and the planted heavy
+    token must survive with the MG undercount guarantee."""
+    from pyspark.sql import functions as SF
+
+    from tfl_realtime_lakehouse_spark.streaming.heavyhitters import (
+        streaming_heavy_hitters,
+    )
+
+    schema = "token string, tiebreak long"
+    src = str(tmp_path / "soakhh-src")
+    capacity, shards = 8, 4
+    true_hh = 0
+    n_total = 0
+    for f in range(20):
+        rows = [("HH", 100 * f + j) for j in range(30)]  # the heavy token
+        true_hh += 30
+        rows += [(f"one-off-{f}-{j}", j) for j in range(40)]
+        n_total += len(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f={f:02d}"
+        )
+    q = _run_stream(
+        streaming_heavy_hitters(
+            _soak_stream(spark, src, schema),
+            "token",
+            "tiebreak",
+            capacity=capacity,
+            shards=shards,
+        ),
+        tmp_path,
+        "soakhh_out",
+        mode="append",
+    )
+    assert _soak_state_rows(q) == shards  # one bounded MG table per shard
+
+    out = spark.sql("select * from soakhh_out")
+    last_seen = {
+        r["shard"]: r["mx"]
+        for r in out.groupBy("shard").agg(SF.max("n_seen").alias("mx")).collect()
+    }
+    latest = [
+        r
+        for r in out.collect()
+        if r["n_seen"] == last_seen[r["shard"]]
+    ]
+    per_shard: dict = {}
+    for r in latest:
+        per_shard.setdefault(r["shard"], []).append(r)
+    assert set(per_shard) == set(range(shards))
+    for s, rows_s in per_shard.items():
+        assert len(rows_s) <= capacity, (s, len(rows_s))
+    [hh] = [r for r in latest if r["token"] == "HH"]
+    # MG guarantee on the heavy token's shard substream: mg_count is an
+    # undercount by at most n_seen/capacity of ITS shard
+    assert true_hh - hh["n_seen"] / capacity <= hh["mg_count"] <= true_hh
+
+
+def test_soak_scorecard_kmv_state_bound_20_batches(spark, tmp_path):
+    """Scorecard-KMV soak: 2 sources × 15 new texts per batch × 20
+    batches (300 distinct texts per source ≫ k=64). State must stay at
+    exactly 2 rows (one bounded struct per source — the 100 TB mode's
+    whole point), and the final estimate must equal the python
+    bottom-64 replay over the union."""
+    import hashlib
+
+    from tfl_realtime_lakehouse_spark.streaming.kmv import KMV_K, kmv_estimate
+    from tfl_realtime_lakehouse_spark.streaming.scorecard import (
+        streaming_source_scorecard,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = str(tmp_path / "soakscore-src")
+    texts: dict = {"s0": set(), "s1": set()}
+    for f in range(20):
+        rows = []
+        for snum, source in enumerate(("s0", "s1")):
+            for j in range(15):
+                t = f"doc {source} {f} {j} " + "x" * ((f + j) % 7)
+                texts[source].add(t)
+                rows.append((1000 * snum + 15 * f + j, t, "en", source, len(t)))
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f={f:02d}"
+        )
+    q = _run_stream(
+        streaming_source_scorecard(
+            _soak_stream(spark, src, schema), distinct_mode="kmv"
+        ),
+        tmp_path,
+        "soakscore_out",
+        mode="update",
+    )
+    assert _soak_state_rows(q) == 2  # one bounded struct per source
+
+    final: dict = {}
+    for r in spark.sql("select * from soakscore_out").collect():
+        final.setdefault(r["source"], []).append(
+            (r["n_docs"], r["est_distinct"])
+        )
+    for source in ("s0", "s1"):
+        mins = sorted(
+            int(hashlib.md5(f"kmv:{t}".encode()).hexdigest()[:15], 16)
+            for t in texts[source]
+        )[:KMV_K]
+        want = (300, kmv_estimate(mins))
+        assert want in final[source]  # the final emission is the replay
+        assert len(texts[source]) == 300 > KMV_K
+
+
+def test_soak_kmv_trailing_state_bound_20_batches(spark, tmp_path):
+    """X171 soak: 20 day-batches through the trailing-7d sketch. State
+    stays at one row per key, emissions only appear for CLOSED days,
+    every sketch is ≤ k mins, and the last closed day's estimate
+    equals the trailing-window python replay (per-day bottom-64 →
+    union → re-rank), proving days beyond the window were actually
+    evicted from the estimate."""
+    import datetime as dt
+    import hashlib
+
+    from tfl_realtime_lakehouse_spark.streaming.kmv import (
+        KMV_K,
+        kmv_estimate,
+        streaming_kmv_trailing,
+    )
+
+    schema = "event_type string, ts timestamp, user_id long"
+    d0 = dt.datetime(2025, 3, 1)
+    src = str(tmp_path / "soaktrail-src")
+    day_users: dict = {}
+    for f in range(20):
+        day = d0 + dt.timedelta(days=f)
+        users = list(range(23 * f, 23 * f + 90))  # 90/day, rolling overlap-free
+        day_users[day] = users
+        rows = [("a", day + dt.timedelta(hours=u % 24), u) for u in users]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/f={f:02d}"
+        )
+    q = _run_stream(
+        streaming_kmv_trailing(_soak_stream(spark, src, schema)),
+        tmp_path,
+        "soaktrail_out",
+        mode="append",
+    )
+    assert _soak_state_rows(q) == 1  # one row per key; day sets bounded inside
+
+    def h60(u):
+        return int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:15], 16)
+
+    got = {
+        r["day"].replace(tzinfo=None): (r["n_mins"], r["est_distinct_7d"])
+        for r in spark.sql("select * from soaktrail_out").collect()
+    }
+    # days 0..18 closed (day 19 still open), all sketches bounded
+    assert set(got) == {d0 + dt.timedelta(days=f) for f in range(19)}
+    assert all(n <= KMV_K for n, _ in got.values())
+    last_closed = d0 + dt.timedelta(days=18)
+    union = set()
+    for back in range(7):
+        users = day_users.get(last_closed - dt.timedelta(days=back), [])
+        union.update(sorted(h60(u) for u in users)[:KMV_K])
+    merged = sorted(union)[:KMV_K]
+    assert got[last_closed] == (len(merged), kmv_estimate(merged))

@@ -3993,3 +3993,162 @@ def test_semantic_dedup_exact_matches_python(spark, tmp_path):
         if k == 0
     )
     assert len({c for c, k, _ in want.values() if k == 1}) >= 2
+
+
+def test_ordered_prefix_sum_matches_unpartitioned_window(spark):
+    """The range-partitioned two-pass prefix sum (X227's engine) must be
+    value-identical to the single-task un-partitioned window it
+    replaces, including with duplicate order values broken by id and a
+    partition count far above, equal to, and below the row count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tfl_realtime_lakehouse_spark.operators.sampling import (
+        ordered_prefix_sum,
+    )
+
+    rows = [(i, (i * 37) % 11, 1 + (i * 13) % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, k long, v long").withColumn(
+        "one", F.lit(1)
+    )
+    w = Window.orderBy(F.col("k").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = {
+        r["id"]: (r["cv"], r["rk"])
+        for r in df.select(
+            "id",
+            F.sum("v").over(w).alias("cv"),
+            F.sum("one").over(w).alias("rk"),
+        ).collect()
+    }
+    for parts in (7, 200, 1):
+        got = {
+            r["id"]: (r["cum_v"], r["rank"])
+            for r in ordered_prefix_sum(
+                df,
+                order_by=[F.col("k").desc(), F.col("id").asc()],
+                values={"v": "cum_v", "one": "rank"},
+                partitions=parts,
+            ).collect()
+        }
+        assert got == want, f"partitions={parts}"
+
+
+def test_corpus_budget_select_matches_python_replay(spark, tmp_path):
+    """X227 replay: greedy quality-per-token prefix selection under a
+    40%-of-corpus token budget, replayed in pure python with the same
+    split semantics (single-space split KEEPS empty strings — double
+    spaces are planted to pin that) and float division order."""
+    import math
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave12 import (
+        corpus_budget_select,
+    )
+
+    texts = []
+    for i in range(40):
+        words = [f"w{(i * j) % 17}" for j in range(3 + i % 9)]
+        if i % 5 == 0:
+            words.insert(1, "")  # double space survives the join
+        if i % 4 == 0:
+            words += ["Dup", "dup"]  # case-folded duplicate
+        texts.append(" ".join(words))
+    pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "text": texts,
+            "lang": "en",
+            "source": [f"s{i % 4}" for i in range(40)],
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    docs = []
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        n_tok = len(toks)
+        uniq = len(set(t.lower().split(" ")))
+        docs.append((i, n_tok, uniq, uniq / max(n_tok, 1)))
+    budget = math.floor(0.4 * sum(d[1] for d in docs))
+    order = sorted(docs, key=lambda d: (-d[3], d[0]))
+    want, cum = {}, 0
+    for rank, (i, n_tok, uniq, ratio) in enumerate(order, start=1):
+        cum += n_tok
+        if cum > budget:
+            break
+        want[i] = (n_tok, uniq, round(ratio, 6), rank, cum)
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["uniq_words"],
+            r["quality_per_token"],
+            r["sel_rank"],
+            r["cum_tokens"],
+        )
+        for r in corpus_budget_select(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert 0 < len(want) < 40  # budget actually binds
+
+
+def test_eval_neyman_allocation_matches_python_replay(spark, tmp_path):
+    """X228 replay: per-source Neyman shares from exact integer partials
+    with the DECIMAL-pinned weight total, including a zero-variance
+    source (sigma 0 -> zero allocation, no division blowup)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries.wave12 import (
+        eval_neyman_allocation,
+    )
+
+    lengths = {
+        "s0": [100, 200, 300, 400],          # wide spread
+        "s1": [250, 250, 250],               # zero variance
+        "s2": [10, 20, 30, 40, 50, 60, 990],  # outlier-heavy
+        "s3": [5, 500],
+    }
+    rows = []
+    for src, ls in lengths.items():
+        for j, n in enumerate(ls):
+            rows.append((len(rows), "x" * n, "en", src, n))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{tmp_path}/documents.parquet")
+
+    stats = {}
+    for src, ls in lengths.items():
+        n, sx, sx2 = len(ls), sum(ls), sum(v * v for v in ls)
+        sigma = ((float(sx2) - float(sx) * float(sx) / float(n)) / float(n)) ** 0.5
+        sigma6 = Decimal(sigma).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        stats[src] = (n, sigma6, Decimal(n) * sigma6)
+    wtot = sum(w for _, _, w in stats.values())
+    import math
+
+    want = {}
+    for src, (n, sigma6, wk) in stats.items():
+        share = float(wk) / float(wtot)
+        want[src] = (
+            n,
+            float(sigma6),
+            round(share, 6),
+            math.floor(1000.0 * share),
+        )
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["sigma_chars"],
+            r["alloc_share"],
+            r["alloc_n"],
+        )
+        for r in eval_neyman_allocation(spark, str(tmp_path)).collect()
+    }
+    assert got == want
+    assert got["s1"][1] == 0.0 and got["s1"][3] == 0  # zero-variance source
+    assert sum(v[3] for v in got.values()) <= 1000  # floor never overshoots

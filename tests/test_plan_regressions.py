@@ -176,6 +176,17 @@ BUDGETS = {
     # shuffle; the one Python stage IS the greedy (cogrouped pandas);
     # the quadratic edge scan runs eagerly behind the checkpoint
     "semantic_dedup_recall_eval": (2, 1),
+    # ---- r11 wave 12 ----
+    # the post-checkpoint plan: ONE pid-keyed window exchange (the
+    # parallel per-partition running sums) + broadcast offset/budget
+    # joins; the range repartition + per-partition totals live behind
+    # the lineage cut. An un-partitioned window appearing here would be
+    # the single-task global-cumsum regression the operator exists to
+    # prevent.
+    "corpus_budget_select": (1, 0),
+    # per-source agg + broadcast scalar; the second hash exchange is
+    # AQE's post-agg read — no corpus-sized join may appear
+    "eval_neyman_allocation": (2, 0),
 }
 
 

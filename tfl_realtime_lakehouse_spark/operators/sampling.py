@@ -217,3 +217,70 @@ def reservoir_per_key(
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_by: list[Column],
+    values: dict[str, str],
+    partitions: int = 32,
+) -> DataFrame:
+    """Distributed running totals over a TOTAL order — the scale-safe
+    replacement for an un-partitioned window, which Spark plans as ONE
+    task holding the entire relation (the classic global-cumsum
+    bottleneck; at 100 TB that task simply never finishes).
+
+    Two-pass range-partitioned plan:
+
+      1. ``repartitionByRange`` on the order keys — partition i holds a
+         contiguous key range strictly before partition i+1's,
+      2. ``sortWithinPartitions`` + pin the partition id, lineage-cut so
+         the sampled range boundaries can never be re-drawn by a
+         recompute,
+      3. per-partition totals (ONE row per partition) to the driver,
+         prefix-folded into per-partition offsets, broadcast back,
+      4. a window partitioned BY PARTITION ID (parallel — every
+         partition is its own window group) adds the within-partition
+         running sum to the offset.
+
+    The result is independent of where the sampled range boundaries
+    fell: offsets come from the actual partition totals and the caller's
+    ``order_by`` must be a total order (tie-free), so every row's prefix
+    set is well-defined regardless of partitioning.
+
+    ``values`` maps input column -> output running-total column; pass a
+    ``F.lit(1)`` helper column to get a global row rank. Integer value
+    columns stay exact end to end.
+    """
+    pid = "__pfx_pid"
+    ranged = (
+        df.repartitionByRange(partitions, *order_by)
+        .sortWithinPartitions(*order_by)
+        .withColumn(pid, F.spark_partition_id())
+        .localCheckpoint(storageLevel=_CKPT_LEVEL)
+    )
+    totals = {
+        r[pid]: [r[c] or 0 for c in values]
+        for r in ranged.groupBy(pid)
+        .agg(*[F.sum(c).alias(c) for c in values])
+        .collect()
+    }
+    offsets, acc = [], [0] * len(values)
+    for p in sorted(totals):
+        offsets.append((p, *acc))
+        acc = [a + t for a, t in zip(acc, totals[p])]
+    off_df = ranged.sparkSession.createDataFrame(
+        offsets, [pid, *[f"__pfx_off_{c}" for c in values]]
+    )
+    w = (
+        Window.partitionBy(pid)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged.join(F.broadcast(off_df), pid)
+    for c, out_col in values.items():
+        out = out.withColumn(
+            out_col,
+            (F.col(f"__pfx_off_{c}") + F.sum(c).over(w)).cast("bigint"),
+        )
+    return out.drop(pid, *[f"__pfx_off_{c}" for c in values])

@@ -28,6 +28,7 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
     wave9,
     wave10,
     wave11,
+    wave12,
 )
 
 # The driver's correctness harness checks the FIRST 50 registry entries in
@@ -39,75 +40,77 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
 # cap) are all verified every round by tools/parity.py + tools/str_identity.py
 # (the same DuckDB-oracle compare, strict string equality).
 DRIVER_WINDOW = [
-    # ---- Round-10 rotation (tenth window) ----
-    # The r01..r09 union already gives every oracle-backed query a
-    # hash-green driver record, so this window carries ZERO rows-only
-    # entries (the r9 verdict's ask #2: CORRECTNESS_r10 must be able
-    # to read 50/50 green — rows-only re-drives live in bench/pytest,
-    # not driver slots). Composition, in the verdict's order:
-    # (1) the two wave-11 evals registered this round,
-    "embedding_ann_ivfpq_recall_eval",
+    # ---- Round-11 rotation (eleventh window) ----
+    # Zero rows-only entries again (r10 closed that bar; rows-only
+    # re-drives live in bench/pytest). Composition, in the r10
+    # verdict's ask-#5 order:
+    # (1) the two wave-12 queries registered this round,
+    "corpus_budget_select",
+    "eval_neyman_allocation",
+    # (2) queries touched by r11 code: the SemDeDup eval gained a
+    # convergence-sentinel column (output schema CHANGED — must
+    # re-drive), and both PQ-family evals now wrap their concurrent
+    # codebook trainings in inheritable_thread_target (results
+    # bit-identical; re-driven as cheap insurance),
     "semantic_dedup_recall_eval",
-    # (2) the r9-contraction-touched re-drives (eval-leg contraction
-    # and pca repartition landed after the r09 driver run),
-    "docs_cross_source_overlap",
-    "embedding_pca_project",
-    "embedding_ann_ivf_recall_eval",
     "embedding_ann_pq_recall_eval",
-    "embedding_matryoshka_eval",
-    # (3) the stalest driver records: ALL 22 queries whose latest
-    # green is round 2, then the 21 oldest round-3 batteries,
-    # alphabetical within vintage (deterministic rotation).
-    "common_span_pairs",
-    "curation_pipeline_summary",
-    "dataset_profile",
-    "doc_rolling_hash",
-    "domain_mixture_sample",
-    "embedding_neardup_docs_bridge",
-    "events_counter_rate",
-    "events_ewma_hourly",
-    "events_rate_anomaly",
-    "events_winsorized_stats",
-    "importance_resample",
-    "leakage_safe_split",
-    "multimodal_audio_meta",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    "multimodal_frame_sample",
-    "multimodal_resize_plan",
-    "pii_redaction",
-    "sample_hash_split",
-    "scd2_user_status",
-    "text_chunking",
-    "text_word_frequencies",
-    "agg_countmin_freq",
-    "agg_stats",
-    "asof_forward_next_error",
-    "asof_nearest_error",
-    "events_cohort_retention",
-    "events_error_rate_wilson",
-    "events_funnel_steps",
-    "events_gapfill_locf",
-    "events_multires_rollup",
-    "events_period_over_period",
-    "events_value_histogram",
-    "events_value_outliers",
-    "join_bloom_pruned_semi",
-    "join_null_safe_eq",
-    "multimodal_phash_neardup",
-    "multimodal_video_meta",
-    "q11_top_value_parts",
-    "q12_priority_by_linestatus",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_diversity",
+    "embedding_ann_ivfpq_recall_eval",
+    # (3) the stalest driver records, oldest vintage first,
+    # alphabetical within vintage (deterministic rotation): all 19
+    # queries whose latest green is round 3,
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q20_qualified_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_supply_price",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "reshape_unpivot",
+    "scalar_arrays",
+    "scalar_bitwise",
+    "scalar_posexplode",
+    "sessions_active_per_hour",
+    "set_union_schema_evolution",
+    "sort_nulls_battery",
+    "text_c4_quality_rules",
+    "text_char_entropy",
+    # (4) then the 26 alphabetically-first of the 36 round-4-vintage
+    # records (the remaining 10 lead the r12 rotation),
+    "agg_kmv_sketch",
+    "agg_quantile_sketch",
+    "anomaly_top_contributors",
+    "cdc_apply_changes",
+    "dedup_normalized_docs",
+    "docs_length_drift_ks",
+    "docs_shard_manifest",
+    "embedding_kcenter_coreset",
+    "embedding_mmr_select",
+    "embedding_random_projection",
+    "events_abtest_lift",
+    "events_changepoint_cusum",
+    "events_equidepth_histogram",
+    "events_forecast_backtest",
+    "events_holt_forecast",
+    "events_interval_merge",
+    "events_mad_outliers",
+    "events_markov_transitions",
+    "events_seasonal_anomaly",
+    "events_sequence_pattern",
+    "events_survival_curve",
+    "incremental_rollup_maintenance",
+    "join_point_in_time_scd2",
+    "knn_label_vote",
+    "multimodal_audio_dedup",
+    "multimodal_audio_frames",
 ]
-# After this round the freshest-record floor rises: every r02 vintage is
-# re-driven, and the two r10 additions were driver-checked the round
-# they shipped (second time the one-round lag is zero). Every tail
-# entry remains verified each session by tools/parity.py AND
-# tools/str_identity.py (the same DuckDB-oracle compare, strict string
-# equality).
+# After this round the freshest-record floor rises to round 4 (10
+# entries) — every r03 vintage is re-driven and the wave-12 pair is
+# driver-checked the round it shipped. Every tail entry remains
+# verified each session by tools/parity.py AND tools/str_identity.py
+# (the same DuckDB-oracle compare, strict string equality).
 
 
 def _apply_driver_window() -> None:

@@ -3292,3 +3292,77 @@ def test_soak_kmv_trailing_state_bound_20_batches(spark, tmp_path):
         union.update(sorted(h60(u) for u in users)[:KMV_K])
     merged = sorted(union)[:KMV_K]
     assert got[last_closed] == (len(merged), kmv_estimate(merged))
+
+
+def test_streaming_neyman_matches_batch_query(spark, tmp_path):
+    """X228 twin: per-source (count, sum, sum-of-squares) exact integer
+    state maintained cross-batch, readout = the batch query's own
+    _neyman_readout function object — bit-identical to the registered
+    batch query on the union after every edge case: a source straddling
+    batches (variance appears only with batch 2's rows), an all-NULL
+    n_chars source (NULL sigma/share/alloc — SUM's null-skip), a
+    mixed null/non-null source, and a source arriving only in batch 2.
+    State bound: one row per source."""
+    import pandas as pd
+
+    from tfl_realtime_lakehouse_spark.queries import REGISTRY
+    from tfl_realtime_lakehouse_spark.streaming.neyman import (
+        neyman_readout,
+        streaming_neyman_stats,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    b1 = [
+        (0, "aa", "en", "s0", 250),
+        (1, "bb", "en", "s0", 250),  # s0 zero-variance in batch 1 ...
+        (2, "cc", "en", "s1", None),  # s1 all-NULL source
+        (3, "dd", "en", "s3", 100),
+        (4, "ee", "en", "s3", None),  # s3 mixed null/non-null
+    ]
+    b2 = [
+        (5, "ff", "en", "s0", 700),  # ... variance appears in batch 2
+        (6, "gg", "en", "s1", None),
+        (7, "hh", "en", "s2", 40),   # s2 arrives only in batch 2
+        (8, "ii", "en", "s2", 360),
+        (9, "jj", "en", "s3", 300),
+    ]
+    src = str(tmp_path / "neyman-src")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/f=2")
+    union_dir = str(tmp_path / "neyman-union")
+    spark.createDataFrame(b1 + b2, schema).write.parquet(
+        f"{union_dir}/documents.parquet"
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    q = _run_stream(
+        streaming_neyman_stats(stream), tmp_path, "neyman_out", mode="update"
+    )
+    ops = q.lastProgress["stateOperators"]
+    assert len(ops) == 1 and ops[0]["numRowsTotal"] == 4  # one row per source
+
+    latest = {}
+    for r in spark.sql("select * from neyman_out").collect():
+        if r["source"] not in latest or r["n_docs"] > latest[r["source"]]["n_docs"]:
+            latest[r["source"]] = r
+    per_source = spark.createDataFrame(
+        list(latest.values()),
+        "source string, n_docs long, n_vals long, sx long, sx2 long",
+    )
+
+    def frame(df):
+        pdf = df.toPandas().sort_values("source").reset_index(drop=True)
+        return pdf.astype(str)
+
+    got = frame(neyman_readout(per_source))
+    want = frame(REGISTRY["eval_neyman_allocation"].fn(spark, union_dir))
+    pd.testing.assert_frame_equal(got, want)
+    # non-vacuous: the NULL source really is NULL, the straddler's
+    # variance is nonzero, and both arms of the mixed source counted
+    w = {r["source"]: r for r in neyman_readout(per_source).collect()}
+    assert w["s1"]["sigma_chars"] is None and w["s1"]["alloc_n"] is None
+    assert w["s0"]["sigma_chars"] > 0 and w["s3"]["n_docs"] == 3

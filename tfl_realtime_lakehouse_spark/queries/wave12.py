@@ -166,6 +166,16 @@ def eval_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sx"),
         F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sx2"),
     )
+    return _neyman_readout(s)
+
+
+def _neyman_readout(s: DataFrame) -> DataFrame:
+    """Allocation readout over the per-source exact partials
+    ``(source, n_docs, sx, sx2)`` — shared function object between the
+    batch query above and the streaming twin (``streaming/neyman.py``),
+    the experimentation-twin discipline: the stream maintains ONLY the
+    mergeable integer partials, and the float math is this one
+    expression tree on both sides."""
     v = s.withColumn(
         "sigma",
         F.sqrt(

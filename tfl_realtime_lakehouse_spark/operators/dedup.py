@@ -34,9 +34,12 @@ def exact_dedup_groups(
 ) -> DataFrame:
     """Group identical documents by content digest; emit group size and
     the representative (minimum) id. Hash-first so the shuffle key is a
-    fixed-width digest, not the document body."""
+    fixed-width digest, not the document body. fan_out first: the md5
+    map side otherwise runs on the scan's split count (measured 1.8-2.2 s
+    single-task at sf0.1 — single-row-group corpus files; no-op at scale)."""
     return (
-        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        fan_out(df)
+        .select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
@@ -164,6 +167,11 @@ def contracted_pairs_generic(
     (sizes, 1.0), SimHash (hamming 0), longest-common-span (all
     windows, full length).
     """
+    # Spread the raw scan once: the md5 members map and the reps
+    # semi-join (whose checkpoint feeds pair_fn/within_fn) otherwise
+    # inherit the scan's single split and serialize every downstream
+    # content pass (measured at sf0.1; no-op on multi-split inputs).
+    df = fan_out(df)
     groups = exact_dedup_groups(df, text_col, id_col)
     members = (
         df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
@@ -222,6 +230,7 @@ def contracted_rowwise(
     ``fn(reps) -> DataFrame`` must key its output by ``id_col`` and emit
     only content-derived columns.
     """
+    df = fan_out(df)  # same single-split rationale as contracted_pairs_generic
     groups = exact_dedup_groups(df, text_col, id_col)
     members = df.select(
         F.col(id_col), F.md5(F.col(text_col)).alias("text_hash")
@@ -451,8 +460,11 @@ def verify_pairs_jaccard(
     """Exact-Jaccard verification of candidate pairs only: join the two
     documents' (distinct) shingle arrays onto each pair and intersect
     per-row. Work scales with the candidate count — never recomputes the
-    all-pairs similarity the candidates were generated to avoid."""
-    sets_ = df.select(
+    all-pairs similarity the candidates were generated to avoid.
+    fan_out first: the shingle pass is compute-dense and otherwise runs
+    on the input's (often 1-partition checkpoint) split count — measured
+    as two 2.5 s single-task broadcast builds at sf0.1."""
+    sets_ = fan_out(df).select(
         F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh")
     )
     out = (
@@ -1048,7 +1060,16 @@ def dedup_clusters(
     ).join(
         groups.select("text_hash", F.col("first_doc").alias("rep")), "text_hash"
     )
-    reps = dedup_representatives(df, text_col, id_col)
+    # Checkpoint + fan_out: the semi-join output inherits the scan's
+    # split count (1 at small SF), and fan_out alone can't probe a wide
+    # plan — materialize first, then spread. The shingle explode below
+    # was a measured 2.7 s single task at sf0.1; no-op once the scan
+    # has ≥ parallelism splits.
+    reps = fan_out(
+        dedup_representatives(df, text_col, id_col).localCheckpoint(
+            storageLevel=_CKPT_LEVEL
+        )
+    )
     pairs = ngram_jaccard_pairs(
         reps,
         text_col,

@@ -1419,10 +1419,37 @@ def semantic_dedup_exact(
         .localCheckpoint(storageLevel=_CKPT_LEVEL)
     )
     reps = members.select("cell", "rep_id", "_e")
-    ra = reps.select("cell", F.col("rep_id").alias("_a"), F.col("_e").alias("_ea"))
-    rb = reps.select("cell", F.col("rep_id").alias("_b"), F.col("_e").alias("_eb"))
+    # SALTED pair scan (guide §2.5): the join key has only k distinct
+    # values, so the quadratic within-cell cosine pass would land on k
+    # shuffle partitions (measured: ONE 13.9 s two-task job at sf0.1,
+    # 30 of 32 cores idle). Deterministic salt = pmod(xxhash64(_b), P)
+    # on the b side; the a side is replicated P ways via a broadcast
+    # range so every (a, b) pair still meets exactly once — now spread
+    # over k·P keys. P scales with the cluster (defaultParallelism),
+    # and the replication cost (P·|reps| skinny rows) is dwarfed by the
+    # |cell|²/P quadratic work each task actually does.
+    n_salt = reps.sparkSession.sparkContext.defaultParallelism
+    salt = reps.sparkSession.range(n_salt).select(
+        F.col("id").cast("int").alias("_sp")
+    )
+    # repartition-BY-NUM (not plain join shuffles): the pair scan is
+    # byte-light but compute-dense, so AQE's size-based coalescing
+    # would re-merge the salted partitions into 1-2 tasks (measured:
+    # the salt alone still ran as ONE 12 s task). An explicit
+    # numPartitions is exempt from AQE coalescing and the join reuses
+    # the partitioning, so no extra exchange.
+    ra = (
+        reps.select("cell", F.col("rep_id").alias("_a"), F.col("_e").alias("_ea"))
+        .join(F.broadcast(salt))
+        .repartition(n_salt, "cell", "_sp")
+    )
+    rb = reps.select(
+        "cell", F.col("rep_id").alias("_b"), F.col("_e").alias("_eb")
+    ).withColumn(
+        "_sp", F.pmod(F.xxhash64(F.col("_b")), F.lit(n_salt)).cast("int")
+    ).repartition(n_salt, "cell", "_sp")
     edges = (
-        ra.join(rb, "cell")
+        ra.join(rb, ["cell", "_sp"])
         .where(F.col("_a") < F.col("_b"))
         .where(F.round(cosine(F.col("_ea"), F.col("_eb")), 6) >= F.lit(threshold))
         .select("cell", "_a", "_b")

@@ -47,6 +47,15 @@ def get_spark(
         # Adaptive execution: runtime shuffle coalescing + skew-join split.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing targets max(bytes/defaultParallelism,
+        # minPartitionSize); the default 1 MB floor collapses BYTE-LIGHT
+        # but COMPUTE-DENSE shuffles (HOF cosine folds, posting
+        # self-joins, quadratic pair scans over hashed keys) onto 1-2
+        # tasks — a suite-wide 127 s of near-serial jobs measured at
+        # sf0.1 (tools/sweep_narrow_jobs.py, r11). 16 KB keeps those at
+        # cluster parallelism while real shuffles (bytes/parallelism ≫
+        # 16 KB) are untouched at any scale.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for any pandas interchange (vectorized UDF path).

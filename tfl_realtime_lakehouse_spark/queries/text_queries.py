@@ -3503,8 +3503,16 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "94.5 s -> distinct-text-bound on the 50x-duplicated sf5 corpus.",
 )
 def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
     docs = table(spark, sf_dir, "documents")
-    keyed = docs.select(
+    # fan_out the scan once: `keyed` feeds the rep groupBy, the gram
+    # explode and both join-backs, and on a single-split scan the
+    # 4-gram Generate+partial-agg stage ran as ONE task (measured
+    # 2.25 s + 1.35 s serial at sf0.1). The round-robin exchange is
+    # reused within the single plan and is a no-op on multi-split
+    # inputs at scale (guide §2.5/§2.6 — spread compute-dense maps).
+    keyed = fan_out(docs).select(
         "doc_id", F.md5("text").alias("_pk"), F.split("text", " ").alias("toks")
     )
     rep = keyed.groupBy("_pk").agg(F.min("doc_id").alias("rep_doc"))

@@ -54,8 +54,12 @@ def get_spark(
         # tasks — a suite-wide 127 s of near-serial jobs measured at
         # sf0.1 (tools/sweep_narrow_jobs.py, r11). 16 KB keeps those at
         # cluster parallelism while real shuffles (bytes/parallelism ≫
-        # 16 KB) are untouched at any scale.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
+        # 16 KB) are untouched at any scale. Env-overridable so a
+        # cluster deployment can retune without a code change.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for any pandas interchange (vectorized UDF path).

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 _CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK  # serialized in PySpark
 
 from tfl_realtime_lakehouse_spark.operators.text import shingles, tokens
-from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+from tfl_realtime_lakehouse_spark.sources.tables import fan_out, keyed_spread
 
 
 def exact_dedup_groups(
@@ -817,23 +817,33 @@ def hamming_near_pairs(
     pairs without n² comparisons; survivors are verified with the exact
     popcount distance. Output (doc_a, doc_b, hamming)."""
     width = total_bits // blocks
-    chunked = sigs.select(
-        F.col(id_col),
-        F.col(sig_col).alias("_sig"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col(sig_col), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
-                    for i in range(blocks)
-                ]
-            )
-        ).alias("c"),
-    ).select(id_col, "_sig", "c.chunk_id", "c.chunk")
+    # keyed_spread pins the per-chunk candidate self-join at cluster
+    # parallelism: signature rows are byte-light (4 longs), so AQE
+    # coalesces the bucket join to 1-2 tasks while the join itself is
+    # compute-dense (within-bucket pair scan + popcount verify +
+    # distinct) — measured +1.1 s warm at sf0.1 without it. Both join
+    # sides read this one REPARTITION_BY_NUM exchange.
+    chunked = keyed_spread(
+        sigs.select(
+            F.col(id_col),
+            F.col(sig_col).alias("_sig"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("chunk_id"),
+                            F.shiftrightunsigned(F.col(sig_col), i * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("chunk"),
+                        )
+                        for i in range(blocks)
+                    ]
+                )
+            ).alias("c"),
+        ).select(id_col, "_sig", "c.chunk_id", "c.chunk"),
+        "chunk_id",
+        "chunk",
+    )
     a = chunked.alias("a")
     b = chunked.alias("b")
     hamming = F.bit_count(F.col("a._sig").bitwiseXOR(F.col("b._sig")))

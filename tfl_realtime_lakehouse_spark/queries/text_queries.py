@@ -3503,15 +3503,18 @@ def text_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "94.5 s -> distinct-text-bound on the 50x-duplicated sf5 corpus.",
 )
 def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out, keyed_spread
 
     docs = table(spark, sf_dir, "documents")
     # fan_out the scan once: `keyed` feeds the rep groupBy, the gram
     # explode and both join-backs, and on a single-split scan the
     # 4-gram Generate+partial-agg stage ran as ONE task (measured
     # 2.25 s + 1.35 s serial at sf0.1). The round-robin exchange is
-    # reused within the single plan and is a no-op on multi-split
-    # inputs at scale (guide §2.5/§2.6 — spread compute-dense maps).
+    # reused within the single plan; fan_out is a no-op only once the
+    # input has >= defaultParallelism splits — an intermediate split
+    # count (e.g. 10 splits on 200 cores) still pays the round-robin
+    # shuffle, accepted here because the downstream gram Generate is
+    # compute-dense (guide §2.5/§2.6 — spread compute-dense maps).
     keyed = fan_out(docs).select(
         "doc_id", F.md5("text").alias("_pk"), F.split("text", " ").alias("toks")
     )
@@ -3525,18 +3528,27 @@ def text_crossdoc_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts = F.when(
         F.size("toks") >= 4, F.sequence(F.lit(1), F.size("toks") - 3)
     ).otherwise(F.array().cast("array<int>"))
-    grams = t.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                starts,
-                lambda i: F.struct(
-                    i.alias("i"),
-                    F.array_join(F.slice("toks", i, 4), " ").alias("gram"),
-                ),
-            )
-        ).alias("s"),
-    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram"))
+    # keyed_spread by gram: the canonical-occurrence aggregate and the
+    # gram join-back below both key on gram, so this one explicit
+    # exchange (REPARTITION_BY_NUM, AQE-exempt) replaces both planner
+    # exchanges AND keeps the compute-dense gram stages at cluster
+    # parallelism when the gram relation is byte-light (measured
+    # +0.9 s warm at sf0.1 under AQE's 1 MB coalescing floor).
+    grams = keyed_spread(
+        t.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.array_join(F.slice("toks", i, 4), " ").alias("gram"),
+                    ),
+                )
+            ).alias("s"),
+        ).select("doc_id", F.col("s.i").alias("i"), F.col("s.gram").alias("gram")),
+        "gram",
+    )
     # Canonical occurrence per duplicated gram: lexicographic min of
     # (doc_id, i) — equals the oracle's two-step arg-min (min doc,
     # then min position within that doc). Computed on representatives

@@ -612,11 +612,22 @@ def doc_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (posexplode posting rows) and takes the sliding minimum with a
     # rows-between window — linear work, one _pk-partitioned shuffle
     # reused by the fingerprint-set aggregation.
+    from tfl_realtime_lakehouse_spark.sources.tables import keyed_spread
+
     k, w = _WINNOW_K, _WINNOW_W
     docs = table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     keyed = docs.select("doc_id", F.md5("text").alias("_pk"))
-    reps = docs.groupBy(F.md5("text").alias("_pk")).agg(
-        F.min("text").alias("text")
+    # keyed_spread pins the k-gram md5 map + sliding-min window at
+    # cluster parallelism: the contraction groupBy's output is
+    # byte-light (~1 MB at sf0.1), so AQE coalesces it to 1-2 tasks
+    # and the whole compute-dense HOF pipeline serialized (measured
+    # 3.7 s vs 0.9 s warm). The window/groupBy/join downstream all key
+    # on _pk, so they reuse this partitioning with no new exchange.
+    reps = keyed_spread(
+        docs.groupBy(F.md5("text").alias("_pk")).agg(
+            F.min("text").alias("text")
+        ),
+        "_pk",
     )
     words = F.split("text", " ")
     nw = F.size(words)

@@ -15,8 +15,23 @@ partitions sized by env for local testing but meant to be overridden to
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+_BYTE_SIZE_RE = re.compile(r"^\d+[kmgt]?b?$", re.IGNORECASE)
+
+
+def _validated_byte_size(value: str, env_name: str) -> str:
+    """Fail fast with a clear message on a malformed Spark byte-size
+    string (e.g. "16kb", "1m", "65536") instead of erroring deep inside
+    Spark's conf parsing at session build (ADVICE r11)."""
+    if not _BYTE_SIZE_RE.match(value.strip()):
+        raise ValueError(
+            f"{env_name}={value!r} is not a Spark byte-size string "
+            "(expected digits with an optional k/m/g/t[b] suffix, e.g. '16k')"
+        )
+    return value.strip()
 
 
 def get_spark(
@@ -48,17 +63,30 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalescing targets max(bytes/defaultParallelism,
-        # minPartitionSize); the default 1 MB floor collapses BYTE-LIGHT
-        # but COMPUTE-DENSE shuffles (HOF cosine folds, posting
-        # self-joins, quadratic pair scans over hashed keys) onto 1-2
-        # tasks — a suite-wide 127 s of near-serial jobs measured at
-        # sf0.1 (tools/sweep_narrow_jobs.py, r11). 16 KB keeps those at
-        # cluster parallelism while real shuffles (bytes/parallelism ≫
-        # 16 KB) are untouched at any scale. Env-overridable so a
-        # cluster deployment can retune without a code change.
+        # minPartitionSize). Round 11 dropped the floor to 16 KB so
+        # byte-light compute-dense shuffles kept cluster parallelism;
+        # round 12 measured that GLOBAL floor's cost in a quiet window
+        # (tools/cpu_tax_probe.py, bench_sf01_r12before.json): suite
+        # JVM CPU 1532 -> 2564 s, and e.g. graph_label_propagation GC
+        # 0.2 -> 7.0 s / task time 25 -> 224 s for NO wall win — tiny
+        # compute-LIGHT shuffles (graph iteration state, trainer
+        # rounds, the scalar tier) were each spread over 32 tasks. The
+        # floor is back at Spark's 1 MB default; the few genuinely
+        # compute-dense byte-light stages (winnowing window, simhash
+        # chunk join, crossdoc gram join — warm A/B wall deltas
+        # +2.8/+1.1/+0.9 s at 1m) are spread EXPLICITLY at their code
+        # sites via sources.tables.keyed_spread (REPARTITION_BY_NUM is
+        # AQE-exempt; count is size-derived, so it still scales). Env
+        # knob retained for cluster retuning. NOTE: getOrCreate reuses
+        # any live session in the process, so the env override (like
+        # every conf here) only applies to the FIRST session built
+        # (ADVICE r11).
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize",
-            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "16k"),
+            _validated_byte_size(
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"),
+                "SPARK_GRAFT_AQE_MIN_PARTITION_SIZE",
+            ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -83,6 +83,68 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     return df
 
 
+def scan_bytes_hint(df: DataFrame) -> int | None:
+    """Best-effort size of the files behind ``df``'s scans (compressed
+    bytes). Used to size explicit repartitions so they stay honest at
+    any scale; returns None when a backing file cannot be statted (the
+    caller falls back to cluster parallelism). With many input files
+    only the first 64 are statted and the total extrapolated — the
+    hint feeds a partition-count heuristic, not accounting."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    from urllib.parse import unquote, urlparse
+
+    sample = files[:64]
+    total = 0
+    for uri in sample:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None
+        try:
+            total += os.path.getsize(unquote(parsed.path))
+        except OSError:
+            return None
+    return int(total * len(files) / len(sample))
+
+
+def keyed_spread(df: DataFrame, *cols: str, target_bytes: int = 64 << 20) -> DataFrame:
+    """Hash-repartition ``df`` by ``cols`` with an EXPLICIT partition
+    count, for the few stages that are BYTE-LIGHT but COMPUTE-DENSE
+    (winnowing's sliding-min window, the simhash chunk self-join, the
+    crossdoc gram join). AQE sizes shuffle partitions by bytes — a
+    100 KB shuffle feeding a quadratic scan coalesces to 1-2 tasks no
+    matter how much CPU the downstream stage burns (guide §2.2/§2.5);
+    REPARTITION_BY_NUM is exempt from AQE coalescing, so the explicit
+    count pins cluster parallelism for exactly that stage. The count is
+    max(defaultParallelism, scan_bytes/target_bytes): at bench scale
+    the parallelism term wins (the whole point); at 100 TB the
+    size-derived term dominates, so the repartition can never squeeze a
+    genuinely large relation onto core-count partitions. Downstream
+    joins/aggregates keyed on a superset of ``cols`` reuse the
+    partitioning, so this usually REPLACES a planner exchange rather
+    than adding one."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    hint = scan_bytes_hint(df) or 0
+    n = max(par, -(-hint // target_bytes))
+    # The planner DROPS a repartition whose partitioning exactly equals
+    # the child's planner-inserted exchange (same keys, same count) —
+    # verified on Spark 4.1: repartition(32, k) over a 32-partition
+    # groupBy(k) leaves only the ENSURE_REQUIREMENTS exchange, which
+    # AQE then coalesces, silently undoing the spread. Nudge the count
+    # off the ambient shuffle-partition number so the REPARTITION_BY_NUM
+    # exchange survives.
+    if n == int(spark.conf.get("spark.sql.shuffle.partitions")):
+        n = max(2, n - 1)
+    from pyspark.sql import functions as F
+
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 # Logical-plan node names that imply an exchange in the physical plan.
 # Substring match over the analyzed plan is deliberately conservative:
 # a false positive just skips an optimization; a false negative would

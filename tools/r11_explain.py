@@ -9,10 +9,14 @@ output (operator tree + per-node details incl. PushedFilters/ReadSchema).
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
-sys.path.insert(0, ".")
+# Resolve the repo root from this file so the tool works from any cwd
+# (ADVICE r11: the bare "." insert depended on being run from the root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tfl_realtime_lakehouse_spark.queries import REGISTRY  # noqa: E402
 from tfl_realtime_lakehouse_spark.session import get_spark  # noqa: E402
@@ -39,16 +43,21 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    for name in queries:
-        df = REGISTRY[name].fn(spark, sf_dir)
-        formatted = df._sc._jvm.PythonSQLUtils.explainString(
-            df._jdf.queryExecution(), "formatted"
-        )
-        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
-        with open(path, "w") as fh:
-            fh.write(formatted)
-        print("wrote", path)
-    spark.stop()
+    try:
+        for name in queries:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            # Public API: capture df.explain()'s stdout instead of
+            # reaching into the py4j internals (ADVICE r11 — the
+            # PythonSQLUtils path was private and version-brittle).
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+            with open(path, "w") as fh:
+                fh.write(buf.getvalue())
+            print("wrote", path)
+    finally:
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -476,10 +476,18 @@ def eval_pairwise_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("ww") - F.lit(0.5)).cast("bigint").alias("wins"),
     ).localCheckpoint(storageLevel=_CKPT_LEVEL)
     g = wtot.select("src", F.lit(1.0).alias("g"))
+    # Every per-round relation here is MODEL-sized (γ and W_i are one
+    # row per source, bounded by the source enum at any corpus scale),
+    # but they sit behind localCheckpoint LogicalRDDs whose size
+    # statistics are unknown, so the planner refused to auto-broadcast
+    # and every round paid shuffle joins on ≤ 20-row inputs (profiled:
+    # 90 jobs, driver gap ≫ job wall). Explicit broadcast hints make each
+    # round's joins exchange-free; values are untouched (same join
+    # keys/types, decimal sums stay order-free).
     for _ in range(rounds):
         gi = g.select(F.col("src"), F.col("g").alias("_gi"))
         gj = g.select(F.col("src").alias("opp"), F.col("g").alias("_gj"))
-        t = dirp.join(gi, "src").join(gj, "opp").select(
+        t = dirp.join(F.broadcast(gi), "src").join(F.broadcast(gj), "opp").select(
             "src",
             (F.col("nn").cast("double") / (F.col("_gi") + F.col("_gj")))
             .cast("decimal(27,12)")
@@ -488,7 +496,7 @@ def eval_pairwise_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         upd = (
             t.groupBy("src")
             .agg(F.sum("t").cast("double").alias("_den"))
-            .join(wtot.select("src", "w_tot"), "src")
+            .join(F.broadcast(wtot.select("src", "w_tot")), "src")
             .select("src", (F.col("w_tot") / F.col("_den")).alias("g"))
         )
         sg = upd.agg(
@@ -501,7 +509,7 @@ def eval_pairwise_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("src", (F.col("g") / F.col("sg")).alias("g"))
             .localCheckpoint(storageLevel=_CKPT_LEVEL)
         )
-    return wtot.join(g, "src").select(
+    return wtot.join(F.broadcast(g), "src").select(
         F.col("src").alias("source"),
         "n_duels",
         "wins",

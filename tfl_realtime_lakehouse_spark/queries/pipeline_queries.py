@@ -90,7 +90,16 @@ def headway_events_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-type + coalesce/nullif + try_cast (NULL on malformed).",
 )
 def stg_events_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tfl_realtime_lakehouse_spark.sources.tables import fan_out
+
     ev = table(spark, sf_dir, "events")
+    # Map-only over the single-split scan: the whole query ran as one
+    # task (sf1 re-eval, r12 verdict ask #9). fan_out after pruning to
+    # the five consumed columns spreads the projection; no-op once the
+    # input has >= parallelism splits.
+    ev = fan_out(
+        ev.select("event_id", "event_type", "user_id", "props", "ts")
+    )
     return ev.select(
         F.col("event_id").cast("bigint").alias("event_key"),
         F.col("event_type").cast("string").alias("line_id"),

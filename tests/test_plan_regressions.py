@@ -52,8 +52,11 @@ BUDGETS = {
     "basket_part_affinity": (3, 0),
     # distinct-text contraction + tf agg + df agg + rank window
     "text_tfidf_topterms": (4, 0),
-    # contraction + gram arg-min + drop-position agg + join-backs
-    "text_crossdoc_span_dedup": (6, 0),
+    # contraction + gram arg-min + drop-position agg + join-backs;
+    # r12: +1 for the explicit gram keyed_spread (REPARTITION_BY_NUM,
+    # AQE-exempt) that pins the compute-dense gram stages at cluster
+    # parallelism and is REUSED by the gram agg and the gram join
+    "text_crossdoc_span_dedup": (7, 0),
     "text_ngram_novelty_curve": (6, 0),
     # weighted one-pass NB train + distinct-text scoring + confusion
     "nb_quality_classifier": (10, 0),
@@ -108,8 +111,9 @@ BUDGETS = {
     # joins + histogram agg — all keyed on fixed-width digests
     "dedup_minhash_estimate_error": (8, 0),
     # duel scan + matchup agg; the 8 MM rounds are cut by model-sized
-    # checkpoints, so the FINAL plan is just the rating join
-    "eval_pairwise_bradley_terry": (2, 0),
+    # checkpoints, so the FINAL plan is just the rating join — r12:
+    # broadcast (gamma is model-sized at any scale), so ZERO exchanges
+    "eval_pairwise_bradley_terry": (0, 0),
     # one single-distinct agg per column over a COLUMN-PRUNED scan,
     # unioned: 11 exchanges each carrying one column's partials; total
     # I/O = one table pass. The one-pass 11-distinct alternative's
@@ -139,7 +143,13 @@ BUDGETS = {
     # (no CSE across lambdas): O(n²) md5s, measured 87 s vs 0.7 s at
     # sf0.1 — a THIRD exchange appearing here is cheaper than that,
     # but the budget pins the linear-hashing shape
-    "doc_winnowing_fingerprints": (2, 0),
+    # r12: +2 for the explicit _pk keyed_spread after the contraction
+    # groupBy (REPARTITION_BY_NUM, AQE-exempt — the byte-light reps
+    # relation otherwise coalesces to 1-2 tasks and the compute-dense
+    # k-gram md5 + sliding-min window serializes; measured 3.7 s vs
+    # 0.9 s warm at sf0.1); the spread subtree appears in both the
+    # base and fingerprint legs
+    "doc_winnowing_fingerprints": (4, 0),
     # ---- r9 ----
     # training runs eagerly (one fused count+mean+products job over the
     # vector-contracted relation); the FINAL plan is the literal-basis

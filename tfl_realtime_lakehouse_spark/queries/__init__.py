@@ -40,77 +40,82 @@ from tfl_realtime_lakehouse_spark.queries import (  # noqa: E402,F401
 # cap) are all verified every round by tools/parity.py + tools/str_identity.py
 # (the same DuckDB-oracle compare, strict string equality).
 DRIVER_WINDOW = [
-    # ---- Round-11 rotation (eleventh window) ----
-    # Zero rows-only entries again (r10 closed that bar; rows-only
-    # re-drives live in bench/pytest). Composition, in the r10
-    # verdict's ask-#5 order:
-    # (1) the two wave-12 queries registered this round,
-    "corpus_budget_select",
-    "eval_neyman_allocation",
-    # (2) queries touched by r11 code: the SemDeDup eval gained a
-    # convergence-sentinel column (output schema CHANGED — must
-    # re-drive), and both PQ-family evals now wrap their concurrent
-    # codebook trainings in inheritable_thread_target (results
-    # bit-identical; re-driven as cheap insurance),
-    "semantic_dedup_recall_eval",
-    "embedding_ann_pq_recall_eval",
+    # ---- Round-12 rotation (twelfth window) ----
+    # Zero rows-only entries (standing bar since r10). Composition, in
+    # the r10 verdict's ask-#5 order:
+    # (1) every oracle-backed query whose plan/operator code was
+    # touched by round-12 optimizations (results verified bit-identical
+    # by str_identity; re-driven as insurance): keyed_spread sites
+    # (winnowing, simhash + the shared hamming chunk join, crossdoc),
+    # Bradley-Terry broadcast hints, kmeans_train_exact seed top-k
+    # (all ANN/semantic recall evals train through it), and the two
+    # fan_out'd staging queries,
+    "doc_winnowing_fingerprints",
+    "simhash_near_pairs",
+    "text_crossdoc_span_dedup",
+    "multimodal_phash_neardup",
+    "eval_pairwise_bradley_terry",
     "embedding_ann_ivfpq_recall_eval",
-    # (3) the stalest driver records, oldest vintage first,
-    # alphabetical within vintage (deterministic rotation): all 19
-    # queries whose latest green is round 3,
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q20_qualified_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_supply_price",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "reshape_unpivot",
-    "scalar_arrays",
-    "scalar_bitwise",
-    "scalar_posexplode",
-    "sessions_active_per_hour",
-    "set_union_schema_evolution",
-    "sort_nulls_battery",
-    "text_c4_quality_rules",
-    "text_char_entropy",
-    # (4) then the 26 alphabetically-first of the 36 round-4-vintage
-    # records (the remaining 10 lead the r12 rotation),
-    "agg_kmv_sketch",
-    "agg_quantile_sketch",
-    "anomaly_top_contributors",
-    "cdc_apply_changes",
-    "dedup_normalized_docs",
-    "docs_length_drift_ks",
-    "docs_shard_manifest",
-    "embedding_kcenter_coreset",
-    "embedding_mmr_select",
-    "embedding_random_projection",
-    "events_abtest_lift",
-    "events_changepoint_cusum",
-    "events_equidepth_histogram",
-    "events_forecast_backtest",
-    "events_holt_forecast",
-    "events_interval_merge",
-    "events_mad_outliers",
-    "events_markov_transitions",
-    "events_seasonal_anomaly",
-    "events_sequence_pattern",
-    "events_survival_curve",
-    "incremental_rollup_maintenance",
-    "join_point_in_time_scd2",
-    "knn_label_vote",
-    "multimodal_audio_dedup",
-    "multimodal_audio_frames",
+    "embedding_ann_ivf_recall_eval",
+    "embedding_ann_pq_recall_eval",
+    "semantic_dedup_recall_eval",
+    "stg_events_contract",
+    "scalar_luhn_card_audit",
+    # (semantic_dedup_prune is also touched but rows-only; its shared
+    # pair-scan semantics are hash-pinned via the recall eval above)
+    # (2) the stalest driver records, oldest vintage first,
+    # alphabetical within vintage: the 10 remaining round-4-vintage
+    # records (floor rises to round 5 after this round),
+    "multimodal_tile_plan",
+    "recommend_parts_for_customer",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "spatial_grid_eps_join",
+    "text_tfidf_topterms",
+    "text_unigram_perplexity",
+    "text_vocab_oov_rate",
+    "text_zipf_fit",
+    "vl_training_export_manifest",
+    # (3) then the 29 alphabetically-first of the 35 round-5-vintage
+    # records (the remaining 6 lead the r13 rotation),
+    "agg_correlation_matrix",
+    "agg_weighted_median_per_group",
+    "customer_revenue_concentration",
+    "customer_rfm_segments",
+    "dq_integrity_audit",
+    "events_behavior_entropy",
+    "events_conversion_lag_quantiles",
+    "events_dau_mau_stickiness",
+    "events_error_budget_burn",
+    "events_gini_concentration",
+    "events_holt_winters_seasonal",
+    "events_hopping_rollup",
+    "events_last_touch_attribution",
+    "events_online_cusum",
+    "events_psi_drift",
+    "events_rolling_7d_actives",
+    "fuzzy_dedup_part_names",
+    "incremental_join_maintenance",
+    "kmv_audience_overlap",
+    "layout_zorder_distribution",
+    "multimodal_pixel_stats",
+    "orders_benford_audit",
+    "orders_duplicate_invoice_pairs",
+    "orders_reconciliation_diff",
+    "part_skyline_price_size",
+    "privacy_k_anonymity",
+    "regr_linear_by_group",
+    "sample_stratified_fixed_k",
+    "sample_weighted_priority",
 ]
-# After this round the freshest-record floor rises to round 4 (10
-# entries) — every r03 vintage is re-driven and the wave-12 pair is
-# driver-checked the round it shipped. Every tail entry remains
-# verified each session by tools/parity.py AND tools/str_identity.py
-# (the same DuckDB-oracle compare, strict string equality).
+# After this round the freshest-record floor rises to round 5 (6
+# entries: scalar_url_parse_battery, scalar_variant_props,
+# table_profile_lineitem, text_tfidf_cosine_pairs,
+# text_vocab_coverage_curve, training_mixture_temperature) and every
+# r12-touched query is driver-checked the round it changed. Every tail
+# entry remains verified each session by tools/parity.py AND
+# tools/str_identity.py (the same DuckDB-oracle compare, strict string
+# equality).
 
 
 def _apply_driver_window() -> None:
